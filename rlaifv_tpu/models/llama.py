@@ -1,0 +1,340 @@
+"""LLaMA-family decoder in flax.linen — the LM backbone for LLaVA-1.5
+(Vicuna-7B), MiniCPM-Llama3-V (Llama3-8B) and the divide-and-conquer engine.
+
+TPU-native replacement for the reference's HF `LlamaForCausalLM` dependency
+(ref: llava/model/language_model/llava_llama.py:41-158 wraps HF Llama;
+flash-attention is requested at muffin/train/train_llava15.py:338). The math
+is kept HF-compatible (RoPE rotate-half layout, RMSNorm epsilon placement,
+SiLU gate MLP) so converted safetensors checkpoints reproduce logits exactly.
+
+Sharding: params stay plain arrays; rlaifv_tpu/parallel/sharding.py maps
+param paths to PartitionSpecs by rule (tp over heads/ffn, fsdp over the
+complementary axis), t5x-style, so HF weight conversion and optimizer
+trees never deal with boxed leaves.
+
+Attention runs through rlaifv_tpu.ops.attention which dispatches to a Pallas
+flash kernel on TPU or a fused-softmax jnp path elsewhere; decode uses a
+static-shape KV cache updated with lax.dynamic_update_slice.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from rlaifv_tpu.ops.attention import multi_head_attention
+
+Array = jax.Array
+
+
+@dataclasses.dataclass(frozen=True)
+class LlamaConfig:
+    vocab_size: int = 32000
+    hidden_size: int = 4096
+    intermediate_size: int = 11008
+    num_layers: int = 32
+    num_heads: int = 32
+    num_kv_heads: int = 32
+    head_dim: Optional[int] = None  # defaults to hidden//heads
+    max_position_embeddings: int = 4096
+    rope_theta: float = 10000.0
+    rms_norm_eps: float = 1e-6  # HF Llama default (Vicuna-7B); Llama3 uses 1e-5
+    tie_word_embeddings: bool = False
+    attn_impl: str = "auto"  # "auto" | "flash" | "dense"
+    remat: bool = False
+    dtype: Any = jnp.float32  # activation/compute dtype
+    param_dtype: Any = jnp.float32
+
+    @property
+    def head_size(self) -> int:
+        return self.head_dim or self.hidden_size // self.num_heads
+
+    @staticmethod
+    def vicuna_7b(**kw) -> "LlamaConfig":
+        return LlamaConfig(**kw)
+
+    @staticmethod
+    def llama3_8b(**kw) -> "LlamaConfig":
+        base = dict(
+            vocab_size=128256,
+            hidden_size=4096,
+            intermediate_size=14336,
+            num_layers=32,
+            num_heads=32,
+            num_kv_heads=8,
+            max_position_embeddings=8192,
+            rope_theta=500000.0,
+            rms_norm_eps=1e-5,
+        )
+        base.update(kw)
+        return LlamaConfig(**base)
+
+    @staticmethod
+    def tiny(**kw) -> "LlamaConfig":
+        base = dict(
+            vocab_size=256,
+            hidden_size=64,
+            intermediate_size=128,
+            num_layers=2,
+            num_heads=4,
+            num_kv_heads=2,
+            max_position_embeddings=128,
+        )
+        base.update(kw)
+        return LlamaConfig(**base)
+
+
+def rope_cos_sin(
+    positions: Array, head_dim: int, theta: float, dtype=jnp.float32
+) -> Tuple[Array, Array]:
+    """HF-layout rotary tables: (..., L, head_dim) with freqs duplicated."""
+    inv_freq = 1.0 / (
+        theta ** (jnp.arange(0, head_dim, 2, dtype=jnp.float32) / head_dim)
+    )
+    angles = positions[..., None].astype(jnp.float32) * inv_freq  # (..., L, hd/2)
+    emb = jnp.concatenate([angles, angles], axis=-1)
+    return jnp.cos(emb).astype(dtype), jnp.sin(emb).astype(dtype)
+
+
+def apply_rope(x: Array, cos: Array, sin: Array) -> Array:
+    """x: (B, L, H, D); cos/sin: (B, L, D) or (L, D). HF rotate-half layout."""
+    if cos.ndim == 2:
+        cos = cos[None]
+        sin = sin[None]
+    cos = cos[:, :, None, :]
+    sin = sin[:, :, None, :]
+    half = x.shape[-1] // 2
+    x1, x2 = x[..., :half], x[..., half:]
+    rotated = jnp.concatenate([-x2, x1], axis=-1)
+    return (x * cos + rotated * sin).astype(x.dtype)
+
+
+class RMSNorm(nn.Module):
+    eps: float = 1e-5
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        dtype = x.dtype
+        scale = self.param(
+            "scale", nn.initializers.ones, (x.shape[-1],), self.param_dtype
+        )
+        x = x.astype(jnp.float32)
+        x = x * jax.lax.rsqrt(jnp.mean(x * x, axis=-1, keepdims=True) + self.eps)
+        return (x * scale.astype(jnp.float32)).astype(dtype)
+
+
+def _dense(features: int, cfg: LlamaConfig, names: Tuple[str, ...], name: str):
+    return nn.Dense(
+        features,
+        use_bias=False,
+        dtype=cfg.dtype,
+        param_dtype=cfg.param_dtype,
+        kernel_init=nn.initializers.normal(0.02),
+        name=name,
+    )
+
+
+class LlamaAttention(nn.Module):
+    cfg: LlamaConfig
+
+    @nn.compact
+    def __call__(
+        self,
+        x: Array,
+        cos: Array,
+        sin: Array,
+        attention_mask: Optional[Array],
+        cache: Optional[dict] = None,
+        cache_index: Optional[Array] = None,
+    ):
+        cfg = self.cfg
+        B, L, _ = x.shape
+        H, KVH, D = cfg.num_heads, cfg.num_kv_heads, cfg.head_size
+
+        q = _dense(H * D, cfg, ("embed", "qkv"), "q_proj")(x)
+        k = _dense(KVH * D, cfg, ("embed", "qkv"), "k_proj")(x)
+        v = _dense(KVH * D, cfg, ("embed", "qkv"), "v_proj")(x)
+
+        q = q.reshape(B, L, H, D)
+        k = k.reshape(B, L, KVH, D)
+        v = v.reshape(B, L, KVH, D)
+
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+
+        new_cache = None
+        if cache is not None:
+            # Static-shape decode cache: (B, max_len, KVH, D)
+            k = jax.lax.dynamic_update_slice(cache["k"], k, (0, cache_index, 0, 0))
+            v = jax.lax.dynamic_update_slice(cache["v"], v, (0, cache_index, 0, 0))
+            new_cache = {"k": k, "v": v}
+
+        out = multi_head_attention(
+            q,
+            k,
+            v,
+            attention_mask=attention_mask,
+            causal=True,
+            q_offset=cache_index if cache is not None else None,
+            impl=cfg.attn_impl,
+        )
+        out = out.reshape(B, L, H * D)
+        out = _dense(cfg.hidden_size, cfg, ("qkv", "embed"), "o_proj")(out)
+        return out, new_cache
+
+
+class LlamaMLP(nn.Module):
+    cfg: LlamaConfig
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        cfg = self.cfg
+        gate = _dense(cfg.intermediate_size, cfg, ("embed", "ffn"), "gate_proj")(x)
+        up = _dense(cfg.intermediate_size, cfg, ("embed", "ffn"), "up_proj")(x)
+        down = _dense(cfg.hidden_size, cfg, ("ffn", "embed"), "down_proj")(
+            nn.silu(gate) * up
+        )
+        return down
+
+
+class LlamaBlock(nn.Module):
+    cfg: LlamaConfig
+
+    @nn.compact
+    def __call__(self, x, cos, sin, attention_mask, cache=None, cache_index=None):
+        cfg = self.cfg
+        attn_out, new_cache = LlamaAttention(cfg, name="attn")(
+            RMSNorm(cfg.rms_norm_eps, cfg.param_dtype, name="ln_attn")(x),
+            cos,
+            sin,
+            attention_mask,
+            cache,
+            cache_index,
+        )
+        x = x + attn_out
+        x = x + LlamaMLP(cfg, name="mlp")(
+            RMSNorm(cfg.rms_norm_eps, cfg.param_dtype, name="ln_mlp")(x)
+        )
+        return x, new_cache
+
+
+class LlamaModel(nn.Module):
+    """Decoder stack. Accepts either token ids or pre-built input embeddings
+    (the LLaVA meta-arch feeds spliced embeddings, ref llava_arch.py:150)."""
+
+    cfg: LlamaConfig
+
+    def setup(self):
+        cfg = self.cfg
+        self.tok_embed = nn.Embed(
+            cfg.vocab_size,
+            cfg.hidden_size,
+            dtype=cfg.dtype,
+            param_dtype=cfg.param_dtype,
+            embedding_init=nn.initializers.normal(0.02),
+        )
+        block = LlamaBlock
+        if cfg.remat:
+            block = nn.remat(
+                LlamaBlock,
+                static_argnums=(),
+                prevent_cse=False,
+                policy=jax.checkpoint_policies.nothing_saveable,
+            )
+        self.blocks = [block(cfg, name=f"layer_{i}") for i in range(cfg.num_layers)]
+        self.ln_f = RMSNorm(cfg.rms_norm_eps, cfg.param_dtype, name="ln_f")
+
+    def embed(self, input_ids: Array) -> Array:
+        return self.tok_embed(input_ids)
+
+    def __call__(
+        self,
+        input_ids: Optional[Array] = None,
+        *,
+        inputs_embeds: Optional[Array] = None,
+        attention_mask: Optional[Array] = None,
+        position_ids: Optional[Array] = None,
+        cache: Optional[list] = None,
+        cache_index: Optional[Array] = None,
+    ):
+        cfg = self.cfg
+        if inputs_embeds is None:
+            inputs_embeds = self.tok_embed(input_ids)
+        B, L, _ = inputs_embeds.shape
+
+        if position_ids is None:
+            base = jnp.arange(L, dtype=jnp.int32)[None, :]
+            if cache_index is not None:
+                base = base + cache_index
+            position_ids = jnp.broadcast_to(base, (B, L))
+        cos, sin = rope_cos_sin(position_ids, cfg.head_size, cfg.rope_theta, cfg.dtype)
+
+        x = inputs_embeds
+        new_caches = [] if cache is not None else None
+        for i, blk in enumerate(self.blocks):
+            layer_cache = cache[i] if cache is not None else None
+            x, c = blk(x, cos, sin, attention_mask, layer_cache, cache_index)
+            if cache is not None:
+                new_caches.append(c)
+        x = self.ln_f(x)
+        return x, new_caches
+
+
+class LlamaForCausalLM(nn.Module):
+    cfg: LlamaConfig
+
+    def setup(self):
+        self.model = LlamaModel(self.cfg, name="model")
+        if not self.cfg.tie_word_embeddings:
+            self.lm_head = nn.Dense(
+                self.cfg.vocab_size,
+                use_bias=False,
+                dtype=self.cfg.dtype,
+                param_dtype=self.cfg.param_dtype,
+                kernel_init=nn.initializers.normal(0.02),
+                name="lm_head",
+            )
+
+    def embed(self, input_ids: Array) -> Array:
+        return self.model.embed(input_ids)
+
+    def logits(self, hidden: Array) -> Array:
+        if self.cfg.tie_word_embeddings:
+            emb = self.model.tok_embed.embedding
+            return hidden @ emb.T.astype(hidden.dtype)
+        return self.lm_head(hidden)
+
+    def __call__(
+        self,
+        input_ids: Optional[Array] = None,
+        *,
+        inputs_embeds: Optional[Array] = None,
+        attention_mask: Optional[Array] = None,
+        position_ids: Optional[Array] = None,
+        cache: Optional[list] = None,
+        cache_index: Optional[Array] = None,
+    ):
+        hidden, new_cache = self.model(
+            input_ids,
+            inputs_embeds=inputs_embeds,
+            attention_mask=attention_mask,
+            position_ids=position_ids,
+            cache=cache,
+            cache_index=cache_index,
+        )
+        return self.logits(hidden), new_cache
+
+    def init_cache(self, batch: int, max_len: int) -> list:
+        cfg = self.cfg
+        shape = (batch, max_len, cfg.num_kv_heads, cfg.head_size)
+        return [
+            {
+                "k": jnp.zeros(shape, cfg.dtype),
+                "v": jnp.zeros(shape, cfg.dtype),
+            }
+            for _ in range(cfg.num_layers)
+        ]
