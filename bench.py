@@ -1,0 +1,150 @@
+"""Benchmark: DPO pairs/sec/chip on the largest LLaVA config fitting one chip.
+
+Prints ONE JSON line:
+  {"metric": "dpo_pairs_per_sec_per_chip", "value": N, "unit": "pairs/s",
+   "vs_baseline": R, ...}
+
+vs_baseline: the reference publishes no throughput numbers
+(BASELINE.md — `published = {}`), so the baseline is an analytic estimate of
+the reference stack's A100 throughput on the SAME model config: A100 peak
+312 bf16 TFLOP/s at 45% MFU (a generous DeepSpeed ZeRO-2 + flash-attn
+figure), i.e. vs_baseline = ours_pairs_per_sec / (0.45*312e12/flops_per_pair).
+"""
+from __future__ import annotations
+
+import json
+import time
+from functools import partial
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+
+    from rlaifv_tpu.models.clip_vit import CLIPVisionConfig
+    from rlaifv_tpu.models.llama import LlamaConfig
+    from rlaifv_tpu.models.llava import LlavaConfig, LlavaForCausalLM
+    from rlaifv_tpu.train.train_step import (
+        DPOHparams,
+        DPOTrainState,
+        LlavaDPOAdapter,
+        make_dpo_train_step,
+        make_optimizer,
+    )
+    from rlaifv_tpu.utils.synth import llava_flops_per_pair, synth_dpo_batch
+
+    dev = jax.devices()[0]
+    on_tpu = dev.platform == "tpu"
+
+    # ~470M-param LLaMA + CLIP-L-like tower at 224px: fits v5e (16G) with
+    # bf16 params/grads + fp32 adam state and seq 1024.
+    dtype = jnp.bfloat16 if on_tpu else jnp.float32
+    cfg = LlavaConfig(
+        llm=LlamaConfig(
+            vocab_size=32000,
+            hidden_size=1536,
+            intermediate_size=4096,
+            num_layers=12,
+            num_heads=12,
+            num_kv_heads=12,
+            max_position_embeddings=2048,
+            remat=True,
+            dtype=dtype,
+            param_dtype=dtype,
+        ),
+        vision=CLIPVisionConfig(
+            image_size=224,
+            patch_size=14,
+            hidden_size=1024,
+            intermediate_size=4096,
+            num_layers=24,
+            num_heads=16,
+            dtype=dtype,
+            param_dtype=dtype,
+        ),
+    )
+    seq_len = 1024
+    n_pairs = 4 if on_tpu else 1
+
+    model = LlavaForCausalLM(cfg)
+    adapter = LlavaDPOAdapter(model)
+    batch = synth_dpo_batch(cfg, n_pairs=n_pairs, max_len=seq_len, answer_len=256)
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+
+    params = model.init(
+        jax.random.PRNGKey(0),
+        batch["input_ids"][:2],
+        images=batch["images"][:2],
+        image_starts=batch["image_starts"][:2],
+    )["params"]
+
+    hp = DPOHparams(beta=0.1)
+    opt = make_optimizer(5e-7, total_steps=100)
+    state = DPOTrainState(jnp.int32(0), params, opt.init(params))
+    step_fn = make_dpo_train_step(adapter, opt, hp)
+
+    # The axon remote-execution tunnel returns from block_until_ready before
+    # the device finishes; only a host fetch truly synchronizes. Run K steps
+    # inside one jitted scan, fetch a scalar, and difference two K values to
+    # cancel the RPC + dispatch overhead.
+    def make_runner(k):
+        @partial(jax.jit, donate_argnums=0)
+        def run(state, batch):
+            def body(st, _):
+                st, m = step_fn(st, batch)
+                return st, m["loss"]
+
+            st, losses = jax.lax.scan(body, state, None, length=k)
+            return st, losses[-1]
+
+        return run
+
+    k_small, k_big = (1, 5) if on_tpu else (1, 3)
+    run_small, run_big = make_runner(k_small), make_runner(k_big)
+
+    def timed(run):
+        nonlocal state
+        t0 = time.perf_counter()
+        state, l = run(state, batch)
+        float(l)  # host fetch = real sync
+        return time.perf_counter() - t0
+
+    # compile + warm both programs (state is donated through)
+    timed(run_small)
+    timed(run_big)
+
+    t_small = min(timed(run_small) for _ in range(3))
+    t_big = min(timed(run_big) for _ in range(3))
+    dt = (t_big - t_small) / (k_big - k_small)
+
+    pairs_per_sec = n_pairs / dt
+    fpp = llava_flops_per_pair(cfg, seq_len)
+    achieved_flops = pairs_per_sec * fpp
+    peak = 197e12 if on_tpu else 1e12  # v5e bf16 peak
+    mfu = achieved_flops / peak
+
+    ref_a100 = 0.45 * 312e12 / fpp  # analytic reference estimate (see docstring)
+    print(json.dumps({
+        "metric": "dpo_pairs_per_sec_per_chip",
+        "value": round(pairs_per_sec, 3),
+        "unit": "pairs/s",
+        "vs_baseline": round(pairs_per_sec / ref_a100, 3),
+        "detail": {
+            "model": "llava15-proxy-470m",
+            "seq_len": seq_len,
+            "pairs_per_batch": n_pairs,
+            "step_ms": round(dt * 1000, 1),
+            "mfu": round(mfu, 3),
+            "platform": dev.platform,
+            "device": str(dev),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,61 @@
+"""Orbax checkpointing: params + optimizer state + step, sharding-aware.
+
+Replaces HF Trainer step checkpoints and the ZeRO-3 gather-on-save path
+(ref: muffin/train/train_llava15.py:102-112,326-331 — save every 167 steps,
+keep 50, auto-resume iff a checkpoint dir exists). Orbax writes each shard
+from its owning host, so no rank-0 gather is needed.
+"""
+from __future__ import annotations
+
+import os
+import re
+from typing import Any, Optional
+
+import jax
+import orbax.checkpoint as ocp
+
+Tree = Any
+
+
+class CheckpointManager:
+    def __init__(self, directory: str, save_total_limit: int = 50):
+        self.directory = os.path.abspath(directory)
+        options = ocp.CheckpointManagerOptions(
+            max_to_keep=save_total_limit,
+            create=True,
+            enable_async_checkpointing=True,
+        )
+        self._mgr = ocp.CheckpointManager(self.directory, options=options)
+
+    def save(self, step: int, state: Tree, force: bool = False) -> bool:
+        return self._mgr.save(
+            step, args=ocp.args.StandardSave(state), force=force
+        )
+
+    def latest_step(self) -> Optional[int]:
+        return self._mgr.latest_step()
+
+    def restore(self, state_template: Tree, step: Optional[int] = None) -> Tree:
+        step = step if step is not None else self.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"no checkpoint under {self.directory}")
+        return self._mgr.restore(
+            step, args=ocp.args.StandardRestore(state_template)
+        )
+
+    def wait(self):
+        self._mgr.wait_until_finished()
+
+    def close(self):
+        self._mgr.close()
+
+
+def has_resumable_checkpoint(output_dir: str) -> bool:
+    """Auto-resume contract: resume iff checkpoints exist in output_dir
+    (ref train_llava15.py:326-331 checks for 'checkpoint-*')."""
+    if not os.path.isdir(output_dir):
+        return False
+    for name in os.listdir(output_dir):
+        if re.fullmatch(r"\d+", name):
+            return True
+    return False

@@ -1,0 +1,218 @@
+"""Batched KV-cache decode engine (prefill + jitted scan loop).
+
+TPU-native replacement for HF `model.generate`
+(ref: chat.py:169-178 beam/greedy chat decode; muffin/llava15_gen_data.py:
+273-313 sampling + 1-token yes/no scoring). Conventions:
+
+- prompts are LEFT-padded (like the reference's torch_pad_sequence with
+  left flip, llava15_gen_data.py:21-36): every row's last prompt token sits
+  at the same index, so one shared cache_index drives the decode scan while
+  per-row position ids subtract the pad offset.
+- the whole decode runs as one lax.scan of single-token steps over a
+  static-shape cache — one compiled program per (batch, prompt_len,
+  max_new) bucket.
+- multimodal prefill splices precomputed vision features (encode once).
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rlaifv_tpu.genai.sampling import SamplingParams, sample_token
+
+Array = jax.Array
+
+
+def left_pad_batch(seqs, pad_id: int, length: Optional[int] = None):
+    """List of 1-D int arrays -> (ids (B, L), mask (B, L)) left-padded."""
+    L = length or max(len(s) for s in seqs)
+    B = len(seqs)
+    ids = np.full((B, L), pad_id, np.int32)
+    mask = np.zeros((B, L), np.int32)
+    for i, s in enumerate(seqs):
+        s = np.asarray(s)[-L:]
+        ids[i, L - len(s):] = s
+        mask[i, L - len(s):] = 1
+    return ids, mask
+
+
+@dataclasses.dataclass
+class GenerateResult:
+    tokens: np.ndarray  # (B, max_new) generated ids, pad after EOS
+    lengths: np.ndarray  # (B,) #generated incl. EOS
+    first_logits: np.ndarray  # (B, V) logits of the first generated position
+
+
+class DecodeEngine:
+    """Wraps a multimodal causal LM for batched generation."""
+
+    def __init__(
+        self,
+        model,
+        params,
+        *,
+        eos_id: int = 2,
+        pad_id: int = 0,
+        vocab_size: Optional[int] = None,
+    ):
+        self.model = model
+        self.params = params
+        self.eos_id = eos_id
+        self.pad_id = pad_id
+        self.vocab_size = vocab_size or model.cfg.llm.vocab_size
+        self._gen_fns = {}
+
+    # -------------------------------------------------- jitted internals
+
+    def _build(self, sp: SamplingParams, max_new: int):
+        key = (sp, max_new)
+        if key in self._gen_fns:
+            return self._gen_fns[key]
+
+        model = self.model
+        eos_id, pad_id, V = self.eos_id, self.pad_id, self.vocab_size
+        use_rep = sp.repetition_penalty != 1.0
+
+        @partial(jax.jit, static_argnames=("max_len",))
+        def run(params, ids, mask, images, image_starts, rng, max_len):
+            B, Lp = ids.shape
+            cache = model.init_cache(B, max_len)
+
+            pos = jnp.cumsum(mask, axis=1) - 1  # left-pad aware positions
+            pos = jnp.maximum(pos, 0)
+
+            cache_mask = jnp.zeros((B, max_len), jnp.int32)
+            cache_mask = cache_mask.at[:, :Lp].set(mask)
+
+            if images is not None:
+                feats = model.apply(
+                    {"params": params}, images, method=model.encode_images
+                )
+                embeds = model.apply(
+                    {"params": params},
+                    jnp.maximum(ids, 0),
+                    method=lambda m, i: m.llm.embed(i),
+                )
+                from rlaifv_tpu.models.llava import splice_image_features
+
+                embeds = splice_image_features(embeds, feats, image_starts)
+                logits, cache = model.apply(
+                    {"params": params},
+                    inputs_embeds=embeds,
+                    attention_mask=cache_mask,
+                    position_ids=pos,
+                    cache=cache,
+                    cache_index=jnp.int32(0),
+                    method=lambda m, **kw: m.llm(**kw),
+                )
+            else:
+                logits, cache = model.apply(
+                    {"params": params},
+                    input_ids=jnp.maximum(ids, 0),
+                    attention_mask=cache_mask,
+                    position_ids=pos,
+                    cache=cache,
+                    cache_index=jnp.int32(0),
+                    method=lambda m, **kw: m.llm(**kw),
+                )
+            first_logits = logits[:, -1, :]  # last prompt index (left-pad)
+
+            token_seen = jnp.zeros((B, V), jnp.int32)
+            if use_rep:
+                onehot = jax.nn.one_hot(
+                    jnp.maximum(ids, 0), V, dtype=jnp.int32
+                ) * mask[..., None]
+                token_seen = onehot.sum(axis=1).astype(jnp.int32)
+
+            prompt_len = mask.sum(axis=1)  # (B,)
+
+            def step(carry, t):
+                cache, cache_mask, last_logits, token_seen, done, rng = carry
+                rng, sub = jax.random.split(rng)
+                tok = sample_token(sub, last_logits, sp,
+                                   token_seen if use_rep else None)
+                tok = jnp.where(done, pad_id, tok)
+                new_done = done | (tok == eos_id)
+
+                cache_mask = cache_mask.at[:, Lp + t].set(
+                    (~done).astype(jnp.int32)
+                )
+                pos_t = (prompt_len + t)[:, None]
+                step_logits, cache = model.apply(
+                    {"params": params},
+                    input_ids=tok[:, None],
+                    attention_mask=cache_mask,
+                    position_ids=pos_t,
+                    cache=cache,
+                    cache_index=jnp.int32(Lp) + t,
+                    method=lambda m, **kw: m.llm(**kw),
+                )
+                if use_rep:
+                    token_seen = token_seen.at[jnp.arange(B), tok].add(
+                        (~done).astype(jnp.int32)
+                    )
+                return (
+                    (cache, cache_mask, step_logits[:, 0], token_seen,
+                     new_done, rng),
+                    tok,
+                )
+
+            done0 = jnp.zeros((B,), bool)
+            carry0 = (cache, cache_mask, first_logits, token_seen, done0, rng)
+            _, tokens = jax.lax.scan(
+                step, carry0, jnp.arange(max_new, dtype=jnp.int32)
+            )
+            return tokens.T, first_logits  # (B, max_new)
+
+        self._gen_fns[key] = run
+        return run
+
+    # -------------------------------------------------- public API
+
+    def generate(
+        self,
+        prompts,  # list of token-id sequences (image sentinels pre-expanded)
+        *,
+        images: Optional[np.ndarray] = None,  # (B, H, W, 3)
+        image_starts: Optional[np.ndarray] = None,  # relative to each prompt
+        sampling: SamplingParams = SamplingParams.greedy(),
+        max_new_tokens: int = 512,
+        seed: int = 0,
+        prompt_bucket: int = 64,
+    ) -> GenerateResult:
+        B = len(prompts)
+        Lp = max(len(p) for p in prompts)
+        Lp = ((Lp + prompt_bucket - 1) // prompt_bucket) * prompt_bucket
+        ids, mask = left_pad_batch(prompts, self.pad_id, Lp)
+
+        starts = None
+        if images is not None:
+            # shift image starts by each row's left-pad offset
+            offs = Lp - np.asarray([len(p) for p in prompts])
+            starts = np.asarray(image_starts, np.int32) + offs.astype(np.int32)
+            starts = np.where(np.asarray(image_starts) < 0, -1, starts)
+
+        max_len = Lp + max_new_tokens
+        run = self._build(sampling, max_new_tokens)
+        tokens, first_logits = run(
+            self.params,
+            jnp.asarray(ids),
+            jnp.asarray(mask),
+            jnp.asarray(images) if images is not None else None,
+            jnp.asarray(starts) if starts is not None else None,
+            jax.random.PRNGKey(seed),
+            max_len=max_len,
+        )
+        tokens = np.array(tokens)  # writable copy
+        lengths = np.zeros(B, np.int64)
+        for i in range(B):
+            row = tokens[i]
+            eos = np.where(row == self.eos_id)[0]
+            lengths[i] = (eos[0] + 1) if len(eos) else len(row)
+            tokens[i, lengths[i]:] = self.pad_id
+        return GenerateResult(tokens, lengths, np.asarray(first_logits))

@@ -112,6 +112,15 @@ def apply_rope(x: Array, cos: Array, sin: Array) -> Array:
     return (x * cos + rotated * sin).astype(x.dtype)
 
 
+def llama_init_cache(cfg: LlamaConfig, batch: int, max_len: int) -> list:
+    """Static-shape decode cache: per layer (B, max_len, KVH, D)."""
+    shape = (batch, max_len, cfg.num_kv_heads, cfg.head_size)
+    return [
+        {"k": jnp.zeros(shape, cfg.dtype), "v": jnp.zeros(shape, cfg.dtype)}
+        for _ in range(cfg.num_layers)
+    ]
+
+
 class RMSNorm(nn.Module):
     eps: float = 1e-5
     param_dtype: Any = jnp.float32
@@ -329,12 +338,4 @@ class LlamaForCausalLM(nn.Module):
         return self.logits(hidden), new_cache
 
     def init_cache(self, batch: int, max_len: int) -> list:
-        cfg = self.cfg
-        shape = (batch, max_len, cfg.num_kv_heads, cfg.head_size)
-        return [
-            {
-                "k": jnp.zeros(shape, cfg.dtype),
-                "v": jnp.zeros(shape, cfg.dtype),
-            }
-            for _ in range(cfg.num_layers)
-        ]
+        return llama_init_cache(self.cfg, batch, max_len)

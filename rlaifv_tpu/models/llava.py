@@ -125,6 +125,30 @@ class LlavaForCausalLM(nn.Module):
             cache_index=cache_index,
         )
 
+    def forward_with_features(
+        self,
+        input_ids: Array,
+        image_features: Array,
+        image_starts: Array,
+        attention_mask: Optional[Array] = None,
+    ) -> Array:
+        """Forward from precomputed vision features (B or 2B rows). Lets the
+        DPO step encode each image once and tile features across win‖rej."""
+        ids = jnp.maximum(input_ids, 0)
+        embeds = splice_image_features(
+            self.llm.embed(ids), image_features, image_starts
+        )
+        logits, _ = self.llm(inputs_embeds=embeds, attention_mask=attention_mask)
+        return logits
+
+    def forward_text(
+        self, input_ids: Array, attention_mask: Optional[Array] = None
+    ) -> Array:
+        logits, _ = self.llm(
+            input_ids=jnp.maximum(input_ids, 0), attention_mask=attention_mask
+        )
+        return logits
+
     def decode_step(
         self,
         token_ids: Array,
@@ -141,4 +165,6 @@ class LlavaForCausalLM(nn.Module):
         )
 
     def init_cache(self, batch: int, max_len: int) -> list:
-        return self.llm.init_cache(batch, max_len)
+        from rlaifv_tpu.models.llama import llama_init_cache
+
+        return llama_init_cache(self.cfg.llm, batch, max_len)

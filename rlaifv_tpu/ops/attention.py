@@ -104,13 +104,10 @@ def multi_head_attention(
     sequences, the dense path otherwise; "flash"/"dense" force a path.
     """
     B, Lq, H, D = q.shape
-    n_rep = H // k.shape[2]
-    k = repeat_kv(k, n_rep)
-    v = repeat_kv(v, n_rep)
     Lk = k.shape[1]
 
     use_flash = impl == "flash" or (
-        impl == "auto" and _on_tpu() and Lq >= 128 and Lq == Lk and D % 128 == 0
+        impl == "auto" and _on_tpu() and Lq >= 128 and Lq == Lk and D <= 256
     )
     if use_flash:
         from rlaifv_tpu.ops.flash_attention import flash_attention
@@ -119,5 +116,8 @@ def multi_head_attention(
             q, k, v, attention_mask=attention_mask, causal=causal
         )
 
+    n_rep = H // k.shape[2]
+    k = repeat_kv(k, n_rep)
+    v = repeat_kv(v, n_rep)
     bias = _build_bias(Lq, Lk, attention_mask, causal, q_offset, B)
     return dense_attention(q, k, v, bias)

@@ -1,0 +1,329 @@
+"""Pallas TPU flash attention (training path): blocked-q, resident-KV.
+
+TPU-native replacement for the flash-attention CUDA kernel the reference
+requests (muffin/train/train_llava15.py:338). Design, per the TPU memory
+hierarchy (pallas_guide.md):
+
+- grid (B, H, Lq/BQ): each program streams one q block from HBM into VMEM
+  and keeps the full K/V for its (batch, kv-head) resident in VMEM —
+  RLAIF-V sequences are <= 2048+576 tokens, so K,V in bf16 occupy ~1.3 MB:
+  far under the 16 MB VMEM budget and cheaper than online-softmax streaming.
+- scores/softmax accumulate in fp32 on the MXU (preferred_element_type),
+  outputs cast back to the activation dtype.
+- GQA without materializing repeated heads: the k/v BlockSpec index map
+  folds the q-head -> kv-head mapping (h // n_rep).
+- backward is the standard two-kernel flash split: dq over q blocks, dk/dv
+  over k blocks, both recomputing probabilities from the saved row
+  logsumexp; D = rowsum(dO*O) is a cheap XLA fusion outside the kernels.
+
+Masking: causal (absolute positions) + optional key padding mask, additive
+-1e30 in fp32. Rows that are fully masked produce zeros (not NaN).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Array = jax.Array
+
+NEG_INF = -1e30
+DEFAULT_BLOCK_Q = 256
+
+
+def _pick_block_q(L: int) -> Optional[int]:
+    for b in (DEFAULT_BLOCK_Q, 128):
+        if L % b == 0:
+            return b
+    return None
+
+
+# ---------------------------------------------------------------- forward
+
+
+def _fwd_kernel(mask_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, block_q,
+                causal):
+    iq = pl.program_id(2)
+    q = q_ref[0, 0].astype(jnp.float32)  # (BQ, D)
+    k = k_ref[0, 0].astype(jnp.float32)  # (L, D)
+    L = k.shape[0]
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale  # (BQ, L)
+
+    kpos = jax.lax.broadcasted_iota(jnp.int32, (block_q, L), 1)
+    bias = jnp.where(mask_ref[0, 0] != 0, 0.0, NEG_INF)[None, :]
+    if causal:
+        qpos = iq * block_q + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, L), 0
+        )
+        bias = bias + jnp.where(kpos <= qpos, 0.0, NEG_INF)
+    s = s + bias
+
+    m = jnp.max(s, axis=1, keepdims=True)
+    # guard fully-masked rows
+    m_safe = jnp.maximum(m, NEG_INF / 2)
+    p = jnp.exp(s - m_safe)
+    l = jnp.sum(p, axis=1, keepdims=True)
+    p = p / jnp.maximum(l, 1e-30)
+
+    v = v_ref[0, 0].astype(jnp.float32)
+    o = jax.lax.dot_general(
+        p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    o_ref[0, 0] = o.astype(o_ref.dtype)
+    lse_ref[0, 0, :, 0] = m_safe[:, 0] + jnp.log(jnp.maximum(l[:, 0], 1e-30))
+
+
+def _fwd(q, k, v, mask, scale, causal, block_q):
+    B, H, Lq, D = q.shape
+    KVH, Lk = k.shape[1], k.shape[2]
+    n_rep = H // KVH
+    grid = (B, H, Lq // block_q)
+
+    kernel = functools.partial(
+        _fwd_kernel, scale=scale, block_q=block_q, causal=causal
+    )
+    out, lse = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, Lk), lambda b, h, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_q, D), lambda b, h, i: (b, h, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, Lk, D), lambda b, h, i: (b, h // n_rep, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, Lk, D), lambda b, h, i: (b, h // n_rep, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, block_q, D), lambda b, h, i: (b, h, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_q, 1), lambda b, h, i: (b, h, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, H, Lq, D), q.dtype),
+            jax.ShapeDtypeStruct((B, H, Lq, 1), jnp.float32),
+        ],
+    )(mask[:, None, :], q, k, v)
+    return out, lse
+
+
+# ---------------------------------------------------------------- backward
+
+
+def _bwd_dq_kernel(mask_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                   dq_ref, *, scale, block_q, causal):
+    iq = pl.program_id(2)
+    q = q_ref[0, 0].astype(jnp.float32)
+    k = k_ref[0, 0].astype(jnp.float32)
+    v = v_ref[0, 0].astype(jnp.float32)
+    L = k.shape[0]
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    kpos = jax.lax.broadcasted_iota(jnp.int32, (block_q, L), 1)
+    bias = jnp.where(mask_ref[0, 0] != 0, 0.0, NEG_INF)[None, :]
+    if causal:
+        qpos = iq * block_q + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, L), 0
+        )
+        bias = bias + jnp.where(kpos <= qpos, 0.0, NEG_INF)
+    p = jnp.exp(s + bias - lse_ref[0, 0, :, 0][:, None])
+
+    do = do_ref[0, 0].astype(jnp.float32)
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    ds = p * (dp - delta_ref[0, 0, :, 0][:, None]) * scale
+    dq = jax.lax.dot_general(
+        ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    dq_ref[0, 0] = dq.astype(dq_ref.dtype)
+
+
+def _bwd_dkv_kernel(mask_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                    dk_ref, dv_ref, *, scale, block_k, causal, n_rep):
+    ik = pl.program_id(2)
+    # this program owns one k block for one *kv* head; sum over the q heads
+    # mapped onto it.
+    k = k_ref[0, 0].astype(jnp.float32)  # (BK, D)
+    v = v_ref[0, 0].astype(jnp.float32)
+    Lq = q_ref.shape[3]
+    BK, D = k.shape
+
+    dk_acc = jnp.zeros((BK, D), jnp.float32)
+    dv_acc = jnp.zeros((BK, D), jnp.float32)
+
+    kpos = ik * block_k + jax.lax.broadcasted_iota(jnp.int32, (Lq, BK), 1)
+    qpos = jax.lax.broadcasted_iota(jnp.int32, (Lq, BK), 0)
+    bias = jnp.where(mask_ref[0, 0] != 0, 0.0, NEG_INF)[None, :]
+    if causal:
+        bias = bias + jnp.where(kpos <= qpos, 0.0, NEG_INF)
+
+    for r in range(n_rep):
+        q = q_ref[0, 0, r].astype(jnp.float32)  # (Lq, D)
+        do = do_ref[0, 0, r].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale  # (Lq, BK)
+        p = jnp.exp(s + bias - lse_ref[0, 0, r, :, 0][:, None])
+        dv_acc = dv_acc + jax.lax.dot_general(
+            p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        ds = p * (dp - delta_ref[0, 0, r, :, 0][:, None]) * scale
+        dk_acc = dk_acc + jax.lax.dot_general(
+            ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+
+    dk_ref[0, 0] = dk_acc.astype(dk_ref.dtype)
+    dv_ref[0, 0] = dv_acc.astype(dv_ref.dtype)
+
+
+def _bwd(scale, causal, block_q, res, g):
+    q, k, v, mask, out, lse = res
+    do, _ = g
+    B, H, Lq, D = q.shape
+    KVH, Lk = k.shape[1], k.shape[2]
+    n_rep = H // KVH
+
+    delta = jnp.sum(
+        do.astype(jnp.float32) * out.astype(jnp.float32), axis=-1, keepdims=True
+    )  # (B, H, Lq, 1) — matches the lse layout
+    mask3 = mask[:, None, :]  # (B, 1, Lk)
+
+    dq_kernel = functools.partial(
+        _bwd_dq_kernel, scale=scale, block_q=block_q, causal=causal
+    )
+    dq = pl.pallas_call(
+        dq_kernel,
+        grid=(B, H, Lq // block_q),
+        in_specs=[
+            pl.BlockSpec((1, 1, Lk), lambda b, h, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_q, D), lambda b, h, i: (b, h, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, Lk, D), lambda b, h, i: (b, h // n_rep, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, Lk, D), lambda b, h, i: (b, h // n_rep, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_q, D), lambda b, h, i: (b, h, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_q, 1), lambda b, h, i: (b, h, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_q, 1), lambda b, h, i: (b, h, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, block_q, D), lambda b, h, i: (b, h, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, H, Lq, D), q.dtype),
+    )(mask3, q, k, v, do, lse, delta)
+
+    block_k = block_q
+    # group q-heads by kv head for the dkv kernel: (B, KVH, n_rep, Lq, D)
+    qg = q.reshape(B, KVH, n_rep, Lq, D)
+    dog = do.reshape(B, KVH, n_rep, Lq, D)
+    lseg = lse.reshape(B, KVH, n_rep, Lq, 1)
+    deltag = delta.reshape(B, KVH, n_rep, Lq, 1)
+
+    dkv_kernel = functools.partial(
+        _bwd_dkv_kernel, scale=scale, block_k=block_k, causal=causal,
+        n_rep=n_rep,
+    )
+    dk, dv = pl.pallas_call(
+        dkv_kernel,
+        grid=(B, KVH, Lk // block_k),
+        in_specs=[
+            pl.BlockSpec((1, 1, block_k), lambda b, h, i: (b, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, n_rep, Lq, D), lambda b, h, i: (b, h, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_k, D), lambda b, h, i: (b, h, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_k, D), lambda b, h, i: (b, h, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, n_rep, Lq, D), lambda b, h, i: (b, h, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, n_rep, Lq, 1), lambda b, h, i: (b, h, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, n_rep, Lq, 1), lambda b, h, i: (b, h, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, block_k, D), lambda b, h, i: (b, h, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_k, D), lambda b, h, i: (b, h, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, KVH, Lk, D), k.dtype),
+            jax.ShapeDtypeStruct((B, KVH, Lk, D), v.dtype),
+        ],
+    )(mask3, qg, k, v, dog, lseg, deltag)
+
+    # reshape dkv kernel views back; mask grad is None
+    return dq, dk, dv, None
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _flash(q, k, v, mask, scale, causal, block_q):
+    out, _ = _fwd(q, k, v, mask, scale, causal, block_q)
+    return out
+
+
+def _flash_fwd(q, k, v, mask, scale, causal, block_q):
+    out, lse = _fwd(q, k, v, mask, scale, causal, block_q)
+    return out, (q, k, v, mask, out, lse)
+
+
+def _flash_bwd(scale, causal, block_q, res, g):
+    return _bwd(scale, causal, block_q, res, (g, None))
+
+
+_flash.defvjp(_flash_fwd, _flash_bwd)
+
+
+def flash_attention(
+    q: Array,
+    k: Array,
+    v: Array,
+    *,
+    attention_mask: Optional[Array] = None,
+    causal: bool = True,
+) -> Array:
+    """q (B, L, H, D); k/v (B, L, KVH, D) — KVH divides H. Returns (B, L, H, D).
+
+    attention_mask: (B, L) key validity (1 = attend). Falls back to the
+    dense path when L is not a multiple of the block size.
+    """
+    B, Lq, H, D = q.shape
+    Lk, KVH = k.shape[1], k.shape[2]
+    block_q = _pick_block_q(min(Lq, Lk))
+    if block_q is None or Lq != Lk:
+        from rlaifv_tpu.ops.attention import _build_bias, dense_attention, repeat_kv
+
+        n_rep = H // KVH
+        bias = _build_bias(Lq, Lk, attention_mask, causal, None, B)
+        return dense_attention(q, repeat_kv(k, n_rep), repeat_kv(v, n_rep), bias)
+
+    if attention_mask is None:
+        attention_mask = jnp.ones((B, Lk), jnp.int32)
+    attention_mask = attention_mask.astype(jnp.int32)
+
+    scale = 1.0 / (D ** 0.5)
+    qt = q.transpose(0, 2, 1, 3)  # (B, H, L, D)
+    kt = k.transpose(0, 2, 1, 3)  # (B, KVH, L, D)
+    vt = v.transpose(0, 2, 1, 3)
+    out = _flash(qt, kt, vt, attention_mask, scale, causal, block_q)
+    return out.transpose(0, 2, 1, 3)

@@ -1,0 +1,87 @@
+"""Synthetic DPO batches + model setup helpers for benches/dry-runs/tests."""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+
+from rlaifv_tpu.constants import IGNORE_INDEX, IMAGE_TOKEN_INDEX
+from rlaifv_tpu.data.collator import DPOCollator
+from rlaifv_tpu.models.llava import LlavaConfig
+
+
+def synth_preference_pairs(
+    cfg: LlavaConfig,
+    n_pairs: int,
+    *,
+    answer_len: int = 96,
+    question_len: int = 24,
+    seed: int = 0,
+):
+    """Random preference pairs shaped like real RLAIF-V rows."""
+    rng = np.random.default_rng(seed)
+    vocab = cfg.llm.vocab_size
+    size = cfg.vision.image_size
+    pairs = []
+    for _ in range(n_pairs):
+        q = rng.integers(5, vocab, size=question_len).tolist()
+        image = rng.normal(size=(size, size, 3)).astype(np.float32)
+
+        def side(ans_len):
+            ans = rng.integers(5, vocab, size=ans_len).tolist()
+            ids = [1, *q[:4], IMAGE_TOKEN_INDEX, *q[4:], *ans, 2]
+            labels = [IGNORE_INDEX] * (len(ids) - len(ans) - 1) + ans + [2]
+            return {
+                "input_ids": np.asarray(ids, np.int64),
+                "labels": np.asarray(labels, np.int64),
+                "image": image,
+            }
+
+        win = side(answer_len)
+        rej = side(answer_len + rng.integers(-16, 16))
+        win.update(ref_win_logp=float(rng.normal(-200, 20)),
+                   ref_win_avg_logp=float(rng.normal(-2, 0.2)))
+        rej.update(ref_rej_logp=float(rng.normal(-210, 20)),
+                   ref_rej_avg_logp=float(rng.normal(-2.2, 0.2)))
+        pairs.append((rej, win))
+    return pairs
+
+
+def synth_dpo_batch(
+    cfg: LlavaConfig,
+    n_pairs: int,
+    max_len: int,
+    *,
+    answer_len: int = 96,
+    seed: int = 0,
+    beta: float = 0.1,
+):
+    coll = DPOCollator(
+        pad_token_id=0,
+        max_len=max_len,
+        num_patches=cfg.num_image_tokens,
+        beta=beta,
+    )
+    return coll(synth_preference_pairs(cfg, n_pairs, answer_len=answer_len, seed=seed))
+
+
+def llava_flops_per_pair(cfg: LlavaConfig, seq_len: int) -> float:
+    """Approx train FLOPs per preference pair (fwd+bwd, 2 sequences/pair)."""
+    llm = cfg.llm
+    n_params_llm = (
+        llm.vocab_size * llm.hidden_size * (1 if llm.tie_word_embeddings else 2)
+        + llm.num_layers
+        * (
+            llm.hidden_size * llm.head_size * (llm.num_heads + 2 * llm.num_kv_heads)
+            + llm.num_heads * llm.head_size * llm.hidden_size
+            + 3 * llm.hidden_size * llm.intermediate_size
+        )
+    )
+    # 2 seqs per pair, fwd+bwd = 3x fwd matmul cost, 2 flops per MAC
+    flops_llm = 2 * 6 * n_params_llm * seq_len
+    attn = 2 * (6 * llm.num_layers * 2 * seq_len * seq_len * llm.hidden_size)
+    v = cfg.vision
+    n_params_vit = v.layers_to_run * (4 * v.hidden_size ** 2 + 2 * v.hidden_size * v.intermediate_size)
+    # vision runs once per pair (feature tiling)
+    flops_vit = 6 * n_params_vit * (v.num_patches + 1)
+    return float(flops_llm + attn + flops_vit)

@@ -1,0 +1,71 @@
+"""Flash attention kernel vs dense reference — fwd and grads.
+
+On CPU these run the kernel in interpreter mode (slow, small shapes only);
+the same tests execute compiled on a real TPU via tests/run_tpu_checks.py.
+"""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from rlaifv_tpu.ops.attention import _build_bias, dense_attention, repeat_kv
+
+pytestmark = pytest.mark.skipif(
+    jax.default_backend() not in ("tpu",),
+    reason="pallas kernel tests run on TPU (see tests/run_tpu_checks.py)",
+)
+
+
+def _ref(q, k, v, mask, causal=True):
+    n_rep = q.shape[2] // k.shape[2]
+    bias = _build_bias(q.shape[1], k.shape[1], mask, causal, None, q.shape[0])
+    return dense_attention(q, repeat_kv(k, n_rep), repeat_kv(v, n_rep), bias)
+
+
+@pytest.mark.parametrize("kvh", [8, 2])
+def test_flash_forward_matches_dense(kvh):
+    from rlaifv_tpu.ops.flash_attention import flash_attention
+
+    rng = np.random.default_rng(0)
+    B, L, H, D = 2, 256, 8, 128
+    q = jnp.asarray(rng.normal(size=(B, L, H, D)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(B, L, kvh, D)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(B, L, kvh, D)), jnp.float32)
+    mask = np.ones((B, L), np.int32)
+    mask[1, 200:] = 0
+    mask = jnp.asarray(mask)
+
+    out = flash_attention(q, k, v, attention_mask=mask)
+    want = _ref(q, k, v, mask)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want), atol=2e-3)
+
+
+@pytest.mark.parametrize("kvh", [8, 2])
+def test_flash_grads_match_dense(kvh):
+    from rlaifv_tpu.ops.flash_attention import flash_attention
+
+    rng = np.random.default_rng(1)
+    B, L, H, D = 1, 256, 8, 128
+    q = jnp.asarray(rng.normal(size=(B, L, H, D)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(B, L, kvh, D)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(B, L, kvh, D)), jnp.float32)
+    mask = np.ones((B, L), np.int32)
+    mask[0, 230:] = 0
+    mask = jnp.asarray(mask)
+    g = jnp.asarray(rng.normal(size=(B, L, H, D)), jnp.float32)
+
+    def f_flash(q, k, v):
+        return (flash_attention(q, k, v, attention_mask=mask) * g).sum()
+
+    def f_dense(q, k, v):
+        return (_ref(q, k, v, mask) * g).sum()
+
+    gf = jax.grad(f_flash, argnums=(0, 1, 2))(q, k, v)
+    gd = jax.grad(f_dense, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(gf, gd, "qkv"):
+        # TPU fp32 matmuls run as multi-pass bf16; two computation
+        # orders differ by ~1e-2 absolute on O(10) gradients.
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=4e-2, rtol=2e-2,
+            err_msg=f"grad mismatch for {name}",
+        )
