@@ -1,0 +1,126 @@
+"""RLAIFVChat — single-image QA API, reference-compatible.
+
+TPU rebuild of the reference chat entry (ref: chat.py:143-241 —
+`RLAIFV7B.chat` builds an llava_v1 prompt, splices the image sentinel,
+pads/normalizes the image and decodes with beam 3 / T 0 / max 1024).
+Model selection by path substring is preserved (chat.py:221-228). Decode
+runs through the jitted KV-cache engine (greedy; beam search lands with the
+decode-engine beam milestone — greedy matches beam-3/T=0 on most prompts).
+"""
+from __future__ import annotations
+
+import argparse
+import os
+from typing import Optional
+
+import numpy as np
+
+from rlaifv_tpu.constants import (
+    DEFAULT_IM_END_TOKEN,
+    DEFAULT_IM_START_TOKEN,
+    DEFAULT_IMAGE_TOKEN,
+)
+from rlaifv_tpu.data import conversation as conversation_lib
+from rlaifv_tpu.data.image_processing import ClipImageProcessor, decode_image
+from rlaifv_tpu.data.multimodal import expand_image_sentinels, tokenizer_image_token
+from rlaifv_tpu.genai.engine import DecodeEngine
+from rlaifv_tpu.genai.sampling import SamplingParams
+
+
+class RLAIFV7B:
+    """LLaVA-1.5-7B (CLIP-L/14-336 + Vicuna-7B) chat."""
+
+    def __init__(self, model_path: str, lora_path: Optional[str] = None,
+                 max_new_tokens: int = 1024):
+        import jax
+        import numpy as np
+
+        from transformers import AutoTokenizer
+
+        from rlaifv_tpu.models.clip_vit import CLIPVisionConfig
+        from rlaifv_tpu.models.llama import LlamaConfig
+        from rlaifv_tpu.models.llava import LlavaConfig, LlavaForCausalLM
+        from rlaifv_tpu.models.convert import load_llava_checkpoint
+
+        cfg = LlavaConfig(
+            llm=LlamaConfig.vicuna_7b(),
+            vision=CLIPVisionConfig.clip_l_336(),
+        )
+        self.cfg = cfg
+        self.model = LlavaForCausalLM(cfg)
+        params = load_llava_checkpoint(
+            model_path, vision_layers_to_run=cfg.vision.layers_to_run
+        )
+        if lora_path:
+            from rlaifv_tpu.train.lora import load_lora, lora_merge
+
+            lora, alpha, _ = load_lora(lora_path)
+            params = lora_merge(params, lora, alpha=alpha)
+
+        self.tokenizer = AutoTokenizer.from_pretrained(model_path, use_fast=False)
+        self.image_processor = ClipImageProcessor(image_size=cfg.vision.image_size)
+        self.engine = DecodeEngine(
+            self.model, params,
+            eos_id=self.tokenizer.eos_token_id,
+            pad_id=self.tokenizer.pad_token_id or 0,
+        )
+        self.max_new_tokens = max_new_tokens
+        self.mm_use_im_start_end = False
+
+    def chat(self, input: dict) -> str:
+        question = input["question"]
+        if self.mm_use_im_start_end:
+            question = (DEFAULT_IM_START_TOKEN + DEFAULT_IMAGE_TOKEN
+                        + DEFAULT_IM_END_TOKEN + "\n" + question)
+        else:
+            question = DEFAULT_IMAGE_TOKEN + "\n" + question
+
+        conv = conversation_lib.conv_templates["llava_v1"].copy()
+        conv.append_message(conv.roles[0], question)
+        conv.append_message(conv.roles[1], None)
+        prompt = conv.get_prompt()
+
+        ids = tokenizer_image_token(prompt, self.tokenizer)
+        ex = expand_image_sentinels(ids, None, self.cfg.num_image_tokens)
+        image = self.image_processor(decode_image(input["image"]))
+
+        result = self.engine.generate(
+            [ex["input_ids"].tolist()],
+            images=image[None],
+            image_starts=[int(ex["image_start"])],
+            sampling=SamplingParams.greedy(),
+            max_new_tokens=self.max_new_tokens,
+        )
+        out = result.tokens[0][: result.lengths[0]]
+        return self.tokenizer.decode(out, skip_special_tokens=True).strip()
+
+
+class RLAIFVChat:
+    """Pick the model family by path substring (ref chat.py:221-228)."""
+
+    def __init__(self, model_path: str):
+        if "12B" in model_path:
+            from rlaifv_tpu.models.omnilmm import OmniLMMChat  # noqa: F401
+
+            self.model = OmniLMMChat(model_path)
+        else:
+            lora = None
+            if "lora" in model_path.lower():
+                lora = os.path.join(model_path, "adapters.npz")
+                if not os.path.exists(lora):
+                    lora = None
+            self.model = RLAIFV7B(model_path, lora_path=lora)
+
+    def chat(self, input: dict) -> str:
+        return self.model.chat(input)
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model-path", required=True)
+    ap.add_argument("--image", default="./examples/test.jpeg")
+    ap.add_argument("--question", default="Why did the car in the picture stop?")
+    args = ap.parse_args()
+
+    chat_model = RLAIFVChat(args.model_path)
+    print(chat_model.chat({"image": args.image, "question": args.question}))

@@ -64,8 +64,18 @@ class DecodeEngine:
         self.params = params
         self.eos_id = eos_id
         self.pad_id = pad_id
-        self.vocab_size = vocab_size or model.cfg.llm.vocab_size
+        self._multimodal = hasattr(model, "encode_images")
+        llm_cfg = model.cfg.llm if self._multimodal else model.cfg
+        self.vocab_size = vocab_size or llm_cfg.vocab_size
         self._gen_fns = {}
+
+    def _llm(self, params, **kw):
+        """Apply the language model (multimodal wrapper or bare LM)."""
+        if self._multimodal:
+            return self.model.apply(
+                {"params": params}, method=lambda m, **k: m.llm(**k), **kw
+            )
+        return self.model.apply({"params": params}, **kw)
 
     # -------------------------------------------------- jitted internals
 
@@ -101,24 +111,22 @@ class DecodeEngine:
                 from rlaifv_tpu.models.llava import splice_image_features
 
                 embeds = splice_image_features(embeds, feats, image_starts)
-                logits, cache = model.apply(
-                    {"params": params},
+                logits, cache = self._llm(
+                    params,
                     inputs_embeds=embeds,
                     attention_mask=cache_mask,
                     position_ids=pos,
                     cache=cache,
                     cache_index=jnp.int32(0),
-                    method=lambda m, **kw: m.llm(**kw),
                 )
             else:
-                logits, cache = model.apply(
-                    {"params": params},
+                logits, cache = self._llm(
+                    params,
                     input_ids=jnp.maximum(ids, 0),
                     attention_mask=cache_mask,
                     position_ids=pos,
                     cache=cache,
                     cache_index=jnp.int32(0),
-                    method=lambda m, **kw: m.llm(**kw),
                 )
             first_logits = logits[:, -1, :]  # last prompt index (left-pad)
 
@@ -143,14 +151,13 @@ class DecodeEngine:
                     (~done).astype(jnp.int32)
                 )
                 pos_t = (prompt_len + t)[:, None]
-                step_logits, cache = model.apply(
-                    {"params": params},
+                step_logits, cache = self._llm(
+                    params,
                     input_ids=tok[:, None],
                     attention_mask=cache_mask,
                     position_ids=pos_t,
                     cache=cache,
                     cache_index=jnp.int32(Lp) + t,
-                    method=lambda m, **kw: m.llm(**kw),
                 )
                 if use_rep:
                     token_seen = token_seen.at[jnp.arange(B), tok].add(

@@ -1,0 +1,177 @@
+"""LLaVA-1.5 diverse generation + yes/no autocheck reward scoring.
+
+Rebuild of the DDP inference engine (ref: muffin/llava15_gen_data.py:152-406)
+as batched decode over the jitted engine:
+
+- diverse gen: N samples/question (repeat_time, GenDataset), T=0.7, 512 new
+  tokens (llava15_diverse_gen.sh:25-36);
+- autocheck: 1-token greedy prefill, softmax mass on the {yes,Yes,no,No}
+  token ids (:266-313) — the reward signal of the whole feedback loop;
+- output jsonl rows keep the reference field names so the downstream
+  pair-construction stage interoperates (:314-353).
+
+Data parallelism: contiguous rank shards (shard_indices) + merged write,
+replacing torchrun/NCCL all_gather_object (:388-404).
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+from typing import Callable, List, Optional
+
+import numpy as np
+
+from rlaifv_tpu.constants import (
+    DEFAULT_IM_END_TOKEN,
+    DEFAULT_IM_START_TOKEN,
+    DEFAULT_IMAGE_TOKEN,
+)
+from rlaifv_tpu.data import conversation as conversation_lib
+from rlaifv_tpu.data.datasets import GenDataset, shard_indices
+from rlaifv_tpu.data.image_processing import ClipImageProcessor, decode_image
+from rlaifv_tpu.data.multimodal import expand_image_sentinels, tokenizer_image_token
+from rlaifv_tpu.genai.engine import DecodeEngine
+from rlaifv_tpu.genai.sampling import SamplingParams
+from rlaifv_tpu.utils.file_io import write_jsonlines
+
+
+def wrap_question_for_llava15(
+    question: str, tokenizer, mm_use_im_start_end: bool = False,
+    conv_mode: str = "llava_v1",
+) -> List[int]:
+    """Prompt build + image-token splice (ref :152-170)."""
+    qs = question.replace(DEFAULT_IMAGE_TOKEN, "")
+    if mm_use_im_start_end:
+        qs = (DEFAULT_IM_START_TOKEN + DEFAULT_IMAGE_TOKEN
+              + DEFAULT_IM_END_TOKEN + "\n" + qs)
+    else:
+        qs = DEFAULT_IMAGE_TOKEN + "\n" + qs
+    conv = conversation_lib.conv_templates[conv_mode].copy()
+    conv.append_message(conv.roles[0], qs)
+    conv.append_message(conv.roles[1], None)
+    return tokenizer_image_token(conv.get_prompt(), tokenizer)
+
+
+def yesno_token_ids(tokenizer) -> dict:
+    """Token ids for {yes,Yes,no,No} following '<s> ' (ref :266-269)."""
+    return {
+        word: tokenizer.encode(f"<s> {word}")[-1]
+        for word in ("yes", "Yes", "no", "No")
+    }
+
+
+class Llava15Generator:
+    """Batched generation over a converted LLaVA-1.5 checkpoint."""
+
+    def __init__(self, model, params, tokenizer, num_patches: int,
+                 image_size: int = 336, checkpoint_name: str = ""):
+        self.model = model
+        self.tokenizer = tokenizer
+        self.num_patches = num_patches
+        self.processor = ClipImageProcessor(image_size=image_size)
+        self.engine = DecodeEngine(
+            model, params,
+            eos_id=tokenizer.eos_token_id,
+            pad_id=tokenizer.pad_token_id or 0,
+        )
+        self.checkpoint_name = checkpoint_name
+
+    # ------------------------------------------------------------ helpers
+
+    def _prepare(self, items: List[dict]):
+        prompts, starts, images = [], [], []
+        for item in items:
+            ids = wrap_question_for_llava15(item["question"], self.tokenizer)
+            ex = expand_image_sentinels(ids, None, self.num_patches)
+            prompts.append(ex["input_ids"].tolist())
+            starts.append(int(ex["image_start"]))
+            images.append(self.processor(decode_image(
+                item.get("image_bytes") or item.get("image")
+            )))
+        return prompts, np.asarray(starts), np.stack(images)
+
+    def _meta_row(self, item: dict, **fields) -> dict:
+        meta = item.get("metainfos", item.get("metainfo", {}))
+        row = {"question_id": item.get("question_id")}
+        if isinstance(meta, dict) and "ds_question_id" in meta:
+            row["ds_question_id"] = meta["ds_question_id"]
+        elif "ds_question_id" in item:
+            row["ds_question_id"] = item["ds_question_id"]
+        row["raw_question"] = item["question"]
+        row.update(fields)
+        row["metainfos"] = meta
+        row["model_path"] = self.checkpoint_name
+        return row
+
+    # ------------------------------------------------------------ modes
+
+    def diverse_gen(self, items: List[dict], *, temperature: float = 0.7,
+                    max_new_tokens: int = 512, batch_size: int = 8,
+                    seed: int = 0) -> List[dict]:
+        out = []
+        sp = SamplingParams(temperature=temperature, do_sample=True)
+        for i in range(0, len(items), batch_size):
+            chunk = items[i : i + batch_size]
+            prompts, starts, images = self._prepare(chunk)
+            res = self.engine.generate(
+                prompts, images=images, image_starts=starts,
+                sampling=sp, max_new_tokens=max_new_tokens, seed=seed + i,
+            )
+            for b, item in enumerate(chunk):
+                text = self.tokenizer.decode(
+                    res.tokens[b][: res.lengths[b]], skip_special_tokens=True
+                ).strip()
+                out.append(self._meta_row(item, answer=text))
+        return out
+
+    def autocheck(self, items: List[dict], *, batch_size: int = 8) -> List[dict]:
+        """1-token reward scoring: p(yes/Yes/no/No) at the first position."""
+        ids = yesno_token_ids(self.tokenizer)
+        out = []
+        for i in range(0, len(items), batch_size):
+            chunk = items[i : i + batch_size]
+            prompts, starts, images = self._prepare(chunk)
+            res = self.engine.generate(
+                prompts, images=images, image_starts=starts,
+                sampling=SamplingParams.greedy(), max_new_tokens=1,
+            )
+            # softmax over the full vocab of the first generated position
+            logits = res.first_logits.astype(np.float64)
+            logits -= logits.max(axis=-1, keepdims=True)
+            probs = np.exp(logits)
+            probs /= probs.sum(axis=-1, keepdims=True)
+            for b, item in enumerate(chunk):
+                text = self.tokenizer.decode(
+                    res.tokens[b][: res.lengths[b]], skip_special_tokens=True
+                ).strip()
+                scores = {w: float(probs[b, t]) for w, t in ids.items()}
+                out.append(self._meta_row(item, answer=text, scores=scores))
+        return out
+
+
+def run(
+    generator: Llava15Generator,
+    ds: GenDataset,
+    answer_file: str,
+    *,
+    is_yesno: bool = False,
+    batch_size: int = 8,
+    temperature: float = 0.7,
+    max_tokens: int = 512,
+    rank: int = 0,
+    world_size: int = 1,
+) -> List[dict]:
+    """Shard -> generate -> write '{answer_file}.rank{r}' (merge with cat,
+    matching the reference chunk-file contract, P4 in SURVEY §2.6)."""
+    local = [ds[i] for i in shard_indices(len(ds), world_size, rank)]
+    if is_yesno:
+        rows = generator.autocheck(local, batch_size=batch_size)
+    else:
+        rows = generator.diverse_gen(
+            local, temperature=temperature, max_new_tokens=max_tokens,
+            batch_size=batch_size, seed=rank,
+        )
+    path = answer_file if world_size == 1 else f"{answer_file}.rank{rank}"
+    write_jsonlines(path, rows)
+    return rows

@@ -235,3 +235,37 @@ def make_dpo_train_step(
         )
 
     return train_step
+
+
+def make_lora_dpo_train_step(
+    model,
+    optimizer: optax.GradientTransformation,
+    hp: DPOHparams,
+    *,
+    lora_alpha: float = 16.0,
+) -> Callable:
+    """LoRA variant: state.params is the adapter tree; frozen base params are
+    a separate argument (ref: muffin/train/train_llava15_lora.py — peft
+    adapters trained, base frozen). Merge is functional: kernel + a@b."""
+    from rlaifv_tpu.train.lora import lora_merge
+
+    def train_step(
+        state: DPOTrainState, base_params, batch: Dict[str, jax.Array]
+    ):
+        def loss_fn(lora):
+            merged = lora_merge(
+                jax.lax.stop_gradient(base_params), lora, alpha=lora_alpha
+            )
+            return dpo_loss_from_batch(model, merged, batch, hp)
+
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        updates, new_opt_state = optimizer.update(
+            grads, state.opt_state, state.params
+        )
+        new_lora = optax.apply_updates(state.params, updates)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return DPOTrainState(state.step + 1, new_lora, new_opt_state), metrics
+
+    return train_step

@@ -1,0 +1,201 @@
+"""Training loop: epochs over the preference dataset, jitted step, orbax
+checkpoints, metric logging.
+
+Replaces HF Trainer + DeepSpeed (ref: muffin/train/train_llava15.py:293-334
+`train()`; checkpoint cadence llava15_train.sh:26-27; auto-resume
+train_llava15.py:326-331). The loop is host-side Python; everything per-step
+runs in one compiled program on the mesh.
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Callable, Dict, Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rlaifv_tpu.core.checkpoint import CheckpointManager, has_resumable_checkpoint
+from rlaifv_tpu.core.config import Config
+from rlaifv_tpu.parallel.sharding import create_mesh, shard_batch, shard_params
+from rlaifv_tpu.train.train_step import (
+    DPOHparams,
+    DPOTrainState,
+    LlavaDPOAdapter,
+    make_dpo_train_step,
+    make_lora_dpo_train_step,
+    make_optimizer,
+)
+from rlaifv_tpu.utils.prefetch import prefetch_iterator
+
+
+class MetricLogger:
+    """JSONL metrics sink (stdout + file); wandb-compatible dict shape."""
+
+    def __init__(self, output_dir: str, also_print: bool = True):
+        os.makedirs(output_dir, exist_ok=True)
+        self.path = os.path.join(output_dir, "metrics.jsonl")
+        self.also_print = also_print
+        self._f = open(self.path, "a")
+
+    def log(self, step: int, metrics: Dict):
+        rec = {"step": step}
+        for k, v in metrics.items():
+            try:
+                rec[k] = float(v)
+            except (TypeError, ValueError):
+                pass
+        self._f.write(json.dumps(rec) + "\n")
+        self._f.flush()
+        if self.also_print:
+            brief = {k: round(v, 4) for k, v in rec.items()
+                     if k in ("step", "loss", "rewards_train/accuracies",
+                              "grad_norm")}
+            print(f"[train] {brief}", flush=True)
+
+
+class DPOTrainer:
+    def __init__(
+        self,
+        config: Config,
+        model,  # LlavaForCausalLM-like module
+        params,  # OWNERSHIP TRANSFERS: buffers are donated into the step
+        dataset,  # indexable -> (rej_dict, win_dict)
+        collator,  # DPOCollator
+        *,
+        mesh=None,
+        base_params=None,  # set when LoRA: params is the adapter tree
+        lora_alpha: float = 16.0,
+    ):
+        t = config.training
+        self.config = config
+        self.dataset = dataset
+        self.collator = collator
+        self.adapter = LlavaDPOAdapter(model)
+        self.use_lora = base_params is not None
+
+        self.mesh = mesh or create_mesh(
+            dp=t.mesh_dp, fsdp=t.mesh_fsdp, tp=t.mesh_tp
+        )
+        hp = DPOHparams(
+            beta=t.dpo_beta,
+            dpo_use_average=t.dpo_use_average,
+            dpo_token_weighted=t.dpo_token_weighted,
+            sft_weight=t.sft_weight,
+            dpo_weight=t.dpo_weight,
+        )
+        self.optimizer = make_optimizer(
+            t.learning_rate,
+            total_steps=t.max_steps,
+            warmup_ratio=t.warmup_ratio,
+            weight_decay=t.weight_decay,
+            max_grad_norm=t.max_grad_norm,
+            schedule=t.lr_schedule,
+        )
+        with self.mesh:
+            if self.use_lora:
+                self.base_params = shard_params(base_params, self.mesh)
+                train_params = jax.device_put(params)
+            else:
+                self.base_params = None
+                train_params = shard_params(params, self.mesh)
+            self.state = DPOTrainState(
+                jnp.int32(0), train_params, self.optimizer.init(train_params)
+            )
+
+        if self.use_lora:
+            step = make_lora_dpo_train_step(
+                self.adapter, self.optimizer, hp, lora_alpha=lora_alpha
+            )
+            self._step = jax.jit(step, donate_argnums=0)
+        else:
+            step = make_dpo_train_step(self.adapter, self.optimizer, hp)
+            self._step = jax.jit(step, donate_argnums=0)
+
+        self.logger = MetricLogger(t.output_dir)
+        self.ckpt = CheckpointManager(
+            os.path.join(t.output_dir, "checkpoints"), t.save_total_limit
+        )
+        self.start_step = 0
+        if has_resumable_checkpoint(self.ckpt.directory):
+            template = self._state_tree()
+            restored = self.ckpt.restore(template)
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            rep = NamedSharding(self.mesh, PartitionSpec())
+
+            def place(t, r):
+                # pin every restored leaf to the template's mesh sharding;
+                # anything without one (host scalars) is mesh-replicated
+                sh = getattr(t, "sharding", None)
+                if not isinstance(sh, NamedSharding):
+                    sh = rep
+                return jax.device_put(jnp.asarray(r), sh)
+
+            restored = jax.tree.map(place, template, restored)
+            self.state = DPOTrainState(
+                restored["step"], restored["params"], restored["opt_state"]
+            )
+            self.start_step = int(self.state.step)
+            print(f"[train] resumed from step {self.start_step}", flush=True)
+
+    def _state_tree(self):
+        # orbax-friendly plain-dict view of the train state
+        return {
+            "step": self.state.step,
+            "params": self.state.params,
+            "opt_state": self.state.opt_state,
+        }
+
+    # ----------------------------------------------------------- data
+
+    def _batches(self, seed: int) -> Iterator:
+        t = self.config.training
+        n_pairs = t.per_device_batch_pairs * (
+            self.mesh.shape["dp"] * self.mesh.shape["fsdp"]
+        )
+        rng = np.random.default_rng(seed)
+        order = rng.permutation(len(self.dataset))
+        pos = 0
+        while True:
+            if pos + n_pairs > len(order):
+                order = rng.permutation(len(self.dataset))
+                pos = 0
+            idx = order[pos : pos + n_pairs]
+            pos += n_pairs
+            yield self.collator([self.dataset[int(i)] for i in idx])
+
+    # ----------------------------------------------------------- loop
+
+    def train(self) -> DPOTrainState:
+        t = self.config.training
+        batches = prefetch_iterator(self._batches(t.seed), depth=2)
+        step = self.start_step
+        t0 = time.time()
+        with self.mesh:
+            for batch in batches:
+                if step >= t.max_steps:
+                    break
+                sb = shard_batch(batch, self.mesh)
+                if self.use_lora:
+                    self.state, metrics = self._step(
+                        self.state, self.base_params, sb
+                    )
+                else:
+                    self.state, metrics = self._step(self.state, sb)
+                step += 1
+                if step % t.logging_steps == 0:
+                    m = jax.device_get(metrics)
+                    m["steps_per_sec"] = t.logging_steps / max(
+                        time.time() - t0, 1e-9
+                    )
+                    t0 = time.time()
+                    self.logger.log(step, m)
+                if step % t.save_steps == 0:
+                    self.ckpt.save(step, jax.device_get(self._state_tree()))
+        if self.ckpt.latest_step() != step:
+            self.ckpt.save(step, jax.device_get(self._state_tree()), force=True)
+        self.ckpt.wait()
+        return self.state

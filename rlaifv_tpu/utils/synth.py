@@ -38,7 +38,8 @@ def synth_preference_pairs(
             }
 
         win = side(answer_len)
-        rej = side(answer_len + rng.integers(-16, 16))
+        jitter = int(rng.integers(-16, 16))
+        rej = side(max(4, answer_len + jitter))
         win.update(ref_win_logp=float(rng.normal(-200, 20)),
                    ref_win_avg_logp=float(rng.normal(-2, 0.2)))
         rej.update(ref_rej_logp=float(rng.normal(-210, 20)),

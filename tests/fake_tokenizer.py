@@ -46,7 +46,10 @@ class FakeTokenizer:
             return _Enc([[self.bos_token_id] + self._char_ids(t) for t in text])
         return _Enc([self.bos_token_id] + self._char_ids(text))
 
-    def decode(self, ids) -> str:
+    def encode(self, text: str):
+        return self(text).input_ids
+
+    def decode(self, ids, skip_special_tokens: bool = False) -> str:
         out = []
         for i in ids:
             i = int(i)

@@ -1,0 +1,142 @@
+"""Trainer loop: runs steps, checkpoints, resumes; LoRA variant trains only
+adapters while the base stays frozen."""
+import os
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from rlaifv_tpu.core.config import Config
+from rlaifv_tpu.data.collator import DPOCollator
+from rlaifv_tpu.models.llava import LlavaConfig, LlavaForCausalLM
+from rlaifv_tpu.parallel.sharding import create_mesh
+from rlaifv_tpu.train.lora import (
+    lora_init,
+    lora_merge,
+    lora_target_paths,
+    load_lora,
+    save_lora,
+)
+from rlaifv_tpu.train.trainer import DPOTrainer
+from rlaifv_tpu.utils.synth import synth_preference_pairs
+
+
+class _ListDataset:
+    def __init__(self, pairs):
+        self.pairs = pairs
+
+    def __len__(self):
+        return len(self.pairs)
+
+    def __getitem__(self, i):
+        return self.pairs[i]
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = LlavaConfig.tiny()
+    model = LlavaForCausalLM(cfg)
+    P = cfg.num_image_tokens
+    pairs = synth_preference_pairs(cfg, 8, answer_len=12, question_len=8)
+    ds = _ListDataset(pairs)
+    coll = DPOCollator(pad_token_id=0, max_len=48, num_patches=P)
+    params = model.init(
+        jax.random.PRNGKey(0),
+        jnp.ones((2, P + 8), jnp.int32),
+        images=jnp.zeros((2, cfg.vision.image_size, cfg.vision.image_size, 3)),
+        image_starts=jnp.asarray([0, 0]),
+    )["params"]
+    return cfg, model, ds, coll, params
+
+
+def _config(tmp, steps=4, **kw):
+    c = Config()
+    c.training.output_dir = str(tmp)
+    c.training.max_steps = steps
+    c.training.learning_rate = 1e-3
+    c.training.save_steps = 2
+    c.training.mesh_dp = 1
+    c.training.mesh_fsdp = 2
+    c.training.mesh_tp = 1
+    for k, v in kw.items():
+        setattr(c.training, k, v)
+    return c
+
+
+def test_trainer_runs_and_checkpoints(setup, tmp_path):
+    cfg, model, ds, coll, params = setup
+    mesh = create_mesh(dp=1, fsdp=2, tp=1, devices=jax.devices()[:2])
+    import jax.numpy as _jnp
+    fresh = jax.tree.map(lambda x: _jnp.array(np.asarray(x)), params)
+    trainer = DPOTrainer(
+        _config(tmp_path), model, fresh, ds, coll, mesh=mesh
+    )
+    state = trainer.train()
+    assert int(state.step) == 4
+    assert os.path.exists(os.path.join(str(tmp_path), "metrics.jsonl"))
+
+    # resume: a fresh trainer picks up at step 4 and continues to 6
+    fresh2 = jax.tree.map(lambda x: _jnp.array(np.asarray(x)), params)
+    trainer2 = DPOTrainer(
+        _config(tmp_path, steps=6), model, fresh2, ds, coll, mesh=mesh
+    )
+    assert trainer2.start_step == 4
+    state2 = trainer2.train()
+    assert int(state2.step) == 6
+
+
+def test_lora_targets_exclude_tower_and_head(setup):
+    _, _, _, _, params = setup
+    paths = lora_target_paths(params)
+    assert paths, "no lora targets found"
+    assert all("vision_tower" not in p for p in paths)
+    assert all("lm_head" not in p for p in paths)
+    assert all("mm_projector" not in p for p in paths)
+    assert any("q_proj" in p for p in paths)
+
+
+def test_lora_merge_zero_b_is_identity(setup):
+    _, _, _, _, params = setup
+    lora = lora_init(jax.random.PRNGKey(1), params, r=4)
+    merged = lora_merge(params, lora, alpha=16.0)
+    # b=0 at init: merge must be exactly identity
+    k0 = params["llm"]["model"]["layer_0"]["attn"]["q_proj"]["kernel"]
+    k1 = merged["llm"]["model"]["layer_0"]["attn"]["q_proj"]["kernel"]
+    np.testing.assert_array_equal(np.asarray(k0), np.asarray(k1))
+
+
+def test_lora_trainer_base_frozen(setup, tmp_path):
+    cfg, model, ds, coll, params = setup
+    mesh = create_mesh(dp=1, fsdp=2, tp=1, devices=jax.devices()[:2])
+    import jax.numpy as _jnp
+    base = jax.tree.map(lambda x: _jnp.array(np.asarray(x)), params)
+    lora = lora_init(jax.random.PRNGKey(1), params, r=4)
+    trainer = DPOTrainer(
+        _config(tmp_path, steps=3, learning_rate=1e-2),
+        model, lora, ds, coll, mesh=mesh,
+        base_params=base, lora_alpha=16.0,
+    )
+    state = trainer.train()
+    # adapters moved
+    b = state.params["llm"]["model"]["layer_0"]["attn"]["q_proj"]["b"]
+    assert float(jnp.abs(b).sum()) > 0
+    # base untouched
+    np.testing.assert_array_equal(
+        np.asarray(trainer.base_params["llm"]["model"]["layer_0"]["attn"]
+                   ["q_proj"]["kernel"]),
+        np.asarray(params["llm"]["model"]["layer_0"]["attn"]["q_proj"]
+                   ["kernel"]),
+    )
+
+
+def test_lora_save_load_roundtrip(setup, tmp_path):
+    _, _, _, _, params = setup
+    lora = lora_init(jax.random.PRNGKey(2), params, r=4)
+    path = str(tmp_path / "adapters.npz")
+    save_lora(path, lora, alpha=16.0, r=4)
+    loaded, alpha, r = load_lora(path)
+    assert alpha == 16.0 and r == 4
+    a0 = lora["llm"]["model"]["layer_0"]["attn"]["q_proj"]["a"]
+    a1 = loaded["llm"]["model"]["layer_0"]["attn"]["q_proj"]["a"]
+    np.testing.assert_allclose(np.asarray(a0), np.asarray(a1))
