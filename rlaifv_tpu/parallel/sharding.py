@@ -37,8 +37,9 @@ def create_mesh(
     if fsdp is None:
         assert n % (dp * tp) == 0, f"{n} devices not divisible by dp*tp={dp*tp}"
         fsdp = n // (dp * tp)
-    assert dp * fsdp * tp == n, f"dp*fsdp*tp={dp*fsdp*tp} != {n} devices"
-    arr = np.asarray(devices).reshape(dp, fsdp, tp)
+    need = dp * fsdp * tp
+    assert need <= n, f"mesh dp*fsdp*tp={need} exceeds {n} devices"
+    arr = np.asarray(devices[:need]).reshape(dp, fsdp, tp)
     return Mesh(arr, MESH_AXES)
 
 
