@@ -100,7 +100,7 @@ class RLAIFVChat:
 
     def __init__(self, model_path: str):
         if "12B" in model_path:
-            from rlaifv_tpu.models.omnilmm import OmniLMMChat  # noqa: F401
+            from rlaifv_tpu.genai.omni_gen import OmniLMMChat  # noqa: F401
 
             self.model = OmniLMMChat(model_path)
         else:

@@ -159,6 +159,79 @@ def preprocess_legacy(
     return dict(input_ids=input_ids, labels=targets)
 
 
+OMNI_SYSTEM = (
+    "You are an artificial intelligence assistant, which gives helpful, "
+    "detailed, and polite answers to the human's questions."
+)
+
+
+def omni_preprocess(
+    sources: Sequence[Sequence[dict]],
+    tokenizer,
+    generation: bool = False,
+) -> Dict[str, List[np.ndarray]]:
+    """Zephyr chat-template tokenization with response-only label masking
+    (ref: omnilmm/train/train_utils.py:50-150 — masks everything between
+    '\\n<|user|>\\n' starts and '\\n<|assistant|>\\n' ends via template-token
+    search; a missing template match masks the whole sample).
+    """
+    response_ids = tokenizer.encode("\n<|assistant|>\n", add_special_tokens=False)
+    instruction_ids = tokenizer.encode("\n<|user|>\n", add_special_tokens=False)
+
+    batch_input_ids, batch_labels = [], []
+    for source in sources:
+        turns = []
+        prev_role = None
+        for turn in source:
+            role = turn.get("from", turn.get("role"))
+            content = turn.get("value", turn.get("content"))
+            role = {"human": "user", "gpt": "assistant"}.get(role, role)
+            assert role in ("user", "assistant")
+            assert role != prev_role, "roles must alternate"
+            prev_role = role
+            turns.append({"role": role, "content": content})
+        if turns[0]["role"] != "system":
+            turns.insert(0, {"role": "system", "content": OMNI_SYSTEM})
+
+        text = tokenizer.apply_chat_template(
+            turns, tokenize=False, add_generation_prompt=generation
+        )
+        if not generation:
+            text = text.strip()
+
+        ids = np.asarray(
+            tokenizer(text).input_ids[: tokenizer.model_max_length],
+            dtype=np.int64,
+        )
+        labels = ids.copy()
+
+        def find_spans(needle):
+            hits = []
+            n = len(needle)
+            for start in np.where(labels == needle[0])[0]:
+                if labels[start : start + n].tolist() == needle:
+                    hits.append(int(start))
+            return hits
+
+        response_starts = [h + len(response_ids) for h in find_spans(response_ids)]
+        human_starts = find_spans(instruction_ids)
+
+        if not response_starts or not human_starts:
+            labels[:] = IGNORE_INDEX
+        else:
+            for idx, (h, r) in enumerate(zip(human_starts, response_starts)):
+                if idx == 0:
+                    labels[:r] = IGNORE_INDEX
+                else:
+                    labels[h:r] = IGNORE_INDEX
+            if len(response_starts) < len(human_starts):
+                labels[human_starts[-1]:] = IGNORE_INDEX
+
+        batch_input_ids.append(ids)
+        batch_labels.append(labels)
+    return dict(input_ids=batch_input_ids, labels=batch_labels)
+
+
 def encode_preference_sample(
     source: dict,
     tokenizer,

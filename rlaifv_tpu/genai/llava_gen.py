@@ -125,6 +125,25 @@ class Llava15Generator:
                 out.append(self._meta_row(item, answer=text))
         return out
 
+    def greedy_gen(self, items: List[dict], *, max_new_tokens: int = 1024,
+                   batch_size: int = 8) -> List[dict]:
+        """Deterministic benchmark decoding (ref muffin_vqa.py T=0)."""
+        out = []
+        for i in range(0, len(items), batch_size):
+            chunk = items[i : i + batch_size]
+            prompts, starts, images = self._prepare(chunk)
+            res = self.engine.generate(
+                prompts, images=images, image_starts=starts,
+                sampling=SamplingParams.greedy(),
+                max_new_tokens=max_new_tokens,
+            )
+            for b, item in enumerate(chunk):
+                text = self.tokenizer.decode(
+                    res.tokens[b][: res.lengths[b]], skip_special_tokens=True
+                ).strip()
+                out.append(self._meta_row(item, answer=text))
+        return out
+
     def autocheck(self, items: List[dict], *, batch_size: int = 8) -> List[dict]:
         """1-token reward scoring: p(yes/Yes/no/No) at the first position."""
         ids = yesno_token_ids(self.tokenizer)

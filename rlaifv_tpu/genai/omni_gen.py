@@ -1,0 +1,168 @@
+"""OmniLMM-12B generation / autocheck engine + chat wrapper.
+
+Rebuild of the OmniLMM paths (ref: omnilmm/omnilmm_gen_data.py:182-369;
+chat.py:23-137 RLAIFV12B). Prompt building: the <image> marker (or a
+prepended one) expands to literal <im_start><im_patch>*N<im_end> tokens
+(chat.py:62-70), the zephyr chat template renders via omni_preprocess
+with generation=True, and decode runs through the shared engine.
+
+Yes/no ids come from tokenizing '\\n<|assistant|>\\nyes' etc. and taking the
+final token (ref omnilmm_gen_data.py:236-239).
+"""
+from __future__ import annotations
+
+from typing import List, Optional
+
+import numpy as np
+
+from rlaifv_tpu.constants import (
+    DEFAULT_IM_END_TOKEN,
+    DEFAULT_IM_START_TOKEN,
+    DEFAULT_IMAGE_PATCH_TOKEN,
+    DEFAULT_IMAGE_TOKEN,
+)
+from rlaifv_tpu.data.image_processing import ClipImageProcessor, decode_image
+from rlaifv_tpu.data.preprocess import omni_preprocess
+from rlaifv_tpu.genai.engine import DecodeEngine
+from rlaifv_tpu.genai.sampling import SamplingParams
+from rlaifv_tpu.models.omnilmm import find_image_start
+
+
+def expand_question_multimodal(turns: List[dict], image_token_len: int) -> List[dict]:
+    """Place the literal image-token span into the first turn
+    (ref chat.py:62-70)."""
+    span = (DEFAULT_IM_START_TOKEN
+            + DEFAULT_IMAGE_PATCH_TOKEN * image_token_len
+            + DEFAULT_IM_END_TOKEN)
+    turns = [dict(t) for t in turns]
+    if DEFAULT_IMAGE_TOKEN in turns[0]["content"]:
+        turns[0]["content"] = turns[0]["content"].replace(
+            DEFAULT_IMAGE_TOKEN, span
+        )
+    else:
+        turns[0]["content"] = span + "\n" + turns[0]["content"]
+    return turns
+
+
+def wrap_question_for_omni_lmm(question, image_token_len: int, tokenizer):
+    """question (str or chat turns) -> dict(input_ids, labels)
+    (ref chat.py:72-86)."""
+    if isinstance(question, str):
+        question = [{"role": "user", "content": question}]
+    turns = expand_question_multimodal(question, image_token_len)
+    out = omni_preprocess([turns], tokenizer, generation=True)
+    return {"input_ids": out["input_ids"][0], "labels": out["labels"][0]}
+
+
+def omni_yesno_ids(tokenizer) -> dict:
+    """(ref omnilmm_gen_data.py:236-239)."""
+    return {
+        w: tokenizer.encode(f"\n<|assistant|>\n{w}")[-1]
+        for w in ("yes", "Yes", "no", "No")
+    }
+
+
+class OmniLMMGenerator:
+    """Batched generation over a converted OmniLMM-12B checkpoint."""
+
+    def __init__(self, model, params, tokenizer, *, image_size: int = 448,
+                 checkpoint_name: str = ""):
+        self.model = model
+        self.tokenizer = tokenizer
+        self.num_query = model.cfg.num_query
+        self.im_patch_id = tokenizer.convert_tokens_to_ids(
+            DEFAULT_IMAGE_PATCH_TOKEN
+        )
+        # eval transform: plain bicubic resize + CLIP norm, no pad
+        # (ref build_transform is_train=False, omnilmm/model/utils.py:455-460)
+        self.processor = ClipImageProcessor(
+            image_size=image_size, aspect_ratio="square"
+        )
+        self.engine = DecodeEngine(
+            model, params,
+            eos_id=tokenizer.eos_token_id,
+            pad_id=tokenizer.pad_token_id or 0,
+        )
+        self.checkpoint_name = checkpoint_name
+
+    def _prepare(self, items: List[dict]):
+        prompts, starts, images = [], [], []
+        for item in items:
+            wrapped = wrap_question_for_omni_lmm(
+                item["question"], self.num_query, self.tokenizer
+            )
+            ids = wrapped["input_ids"].tolist()
+            prompts.append(ids)
+            starts.append(find_image_start(ids, self.im_patch_id))
+            images.append(self.processor(decode_image(
+                item.get("image_bytes") or item.get("image")
+            )))
+        return prompts, np.asarray(starts, np.int32), np.stack(images)
+
+    def generate(self, items: List[dict], *, sampling: SamplingParams,
+                 max_new_tokens: int, batch_size: int = 8, seed: int = 0):
+        rows = []
+        for i in range(0, len(items), batch_size):
+            chunk = items[i : i + batch_size]
+            prompts, starts, images = self._prepare(chunk)
+            res = self.engine.generate(
+                prompts, images=images, image_starts=starts,
+                sampling=sampling, max_new_tokens=max_new_tokens,
+                seed=seed + i,
+            )
+            for b, item in enumerate(chunk):
+                text = self.tokenizer.decode(
+                    res.tokens[b][: res.lengths[b]], skip_special_tokens=True
+                ).strip()
+                rows.append((item, text, res.first_logits[b]))
+        return rows
+
+    def diverse_gen(self, items, *, temperature=0.7, max_new_tokens=512,
+                    batch_size=8, seed=0) -> List[dict]:
+        sp = SamplingParams(temperature=temperature, do_sample=True)
+        out = []
+        for item, text, _ in self.generate(
+            items, sampling=sp, max_new_tokens=max_new_tokens,
+            batch_size=batch_size, seed=seed,
+        ):
+            out.append(self._row(item, answer=text))
+        return out
+
+    def autocheck(self, items, *, batch_size=8) -> List[dict]:
+        ids = omni_yesno_ids(self.tokenizer)
+        out = []
+        for item, text, logits in self.generate(
+            items, sampling=SamplingParams.greedy(), max_new_tokens=1,
+            batch_size=batch_size,
+        ):
+            logits = np.asarray(logits, np.float64)
+            logits -= logits.max()
+            probs = np.exp(logits)
+            probs /= probs.sum()
+            scores = {w: float(probs[t]) for w, t in ids.items()}
+            out.append(self._row(item, answer=text, scores=scores))
+        return out
+
+    def _row(self, item: dict, **fields) -> dict:
+        meta = item.get("metainfos", item.get("metainfo", {}))
+        row = {"question_id": item.get("question_id")}
+        if isinstance(meta, dict) and "ds_question_id" in meta:
+            row["ds_question_id"] = meta["ds_question_id"]
+        row["raw_question"] = item["question"]
+        row.update(fields)
+        row["metainfos"] = meta
+        row["model_path"] = self.checkpoint_name
+        return row
+
+
+class OmniLMMChat:
+    """RLAIFV12B equivalent (ref chat.py:88-137): sample decode with beam-ish
+    params T 0.6 / top-k 30 / top-p 0.9 / repetition 1.1, max 1024."""
+
+    def __init__(self, model_path: str):
+        raise NotImplementedError(
+            "OmniLMM-12B chat requires a converted checkpoint; the flax "
+            "model (rlaifv_tpu.models.omnilmm) and generator "
+            "(OmniLMMGenerator) are ready — wire load_omnilmm_checkpoint "
+            "once weights are available on disk."
+        )

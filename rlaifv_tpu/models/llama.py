@@ -73,6 +73,24 @@ class LlamaConfig:
         return LlamaConfig(**base)
 
     @staticmethod
+    def mistral_7b(**kw) -> "LlamaConfig":
+        """Mistral-7B / Zephyr-beta: the OmniLMM-12B language backbone
+        (ref omnilmm/model/omnilmm.py:55 extends MistralModel)."""
+        base = dict(
+            vocab_size=32000,
+            hidden_size=4096,
+            intermediate_size=14336,
+            num_layers=32,
+            num_heads=32,
+            num_kv_heads=8,
+            max_position_embeddings=32768,
+            rope_theta=10000.0,
+            rms_norm_eps=1e-5,
+        )
+        base.update(kw)
+        return LlamaConfig(**base)
+
+    @staticmethod
     def tiny(**kw) -> "LlamaConfig":
         base = dict(
             vocab_size=256,

@@ -46,8 +46,28 @@ class FakeTokenizer:
             return _Enc([[self.bos_token_id] + self._char_ids(t) for t in text])
         return _Enc([self.bos_token_id] + self._char_ids(text))
 
-    def encode(self, text: str):
-        return self(text).input_ids
+    def encode(self, text: str, add_special_tokens: bool = True):
+        ids = self._char_ids(text)
+        if add_special_tokens:
+            ids = [self.bos_token_id] + ids
+        return ids
+
+    def convert_tokens_to_ids(self, token: str) -> int:
+        # single-char tokens map to char ids; multi-char specials get
+        # stable ids above the char range
+        if len(token) == 1:
+            return self.PRINTABLE_OFFSET + (ord(token) % 256)
+        return 300 + (hash(token) % 100)
+
+    def apply_chat_template(self, turns, tokenize=False,
+                            add_generation_prompt=False) -> str:
+        # zephyr-style template
+        out = ""
+        for t in turns:
+            out += f"<|{t['role']}|>\n{t['content']}</s>\n"
+        if add_generation_prompt:
+            out += "<|assistant|>\n"
+        return out
 
     def decode(self, ids, skip_special_tokens: bool = False) -> str:
         out = []
