@@ -128,6 +128,48 @@ def main():
     peak = 197e12 if on_tpu else 1e12  # v5e bf16 peak
     mfu = achieved_flops / peak
 
+    # secondary metric: fused on-device image preprocess (BASELINE metric 3)
+    preprocess_ms = None
+    try:
+        import functools as _ft
+
+        from rlaifv_tpu.ops.image_kernels import (
+            _resize_normalize,
+            pil_resize_weights,
+        )
+
+        Bi, S, D = 64, 640, 336
+        rngn = np.random.default_rng(0)
+        imgs = jnp.asarray(
+            rngn.integers(0, 255, size=(Bi, S, S, 3), dtype=np.uint8)
+        )
+        Wr = jnp.asarray(pil_resize_weights(S, D))
+        mean = jnp.asarray([0.48145466, 0.4578275, 0.40821073])
+        std = jnp.asarray([0.26862954, 0.26130258, 0.27577711])
+
+        @_ft.partial(jax.jit, static_argnames=("k",))
+        def chain(imgs, k):
+            def body(i, acc):
+                x = imgs + i.astype(jnp.uint8)
+                out = _resize_normalize(x, Wr, Wr, mean, std, True)
+                return acc + out.mean()
+
+            return jax.lax.fori_loop(0, k, body, 0.0)
+
+        float(chain(imgs, 1))
+        float(chain(imgs, 11))
+
+        def t(k):
+            t0 = time.perf_counter()
+            float(chain(imgs, k))
+            return time.perf_counter() - t0
+
+        t1 = min(t(1) for _ in range(3))
+        t11 = min(t(11) for _ in range(3))
+        preprocess_ms = round((t11 - t1) / 10 / Bi * 1000, 4)
+    except Exception:
+        pass
+
     ref_a100 = 0.45 * 312e12 / fpp  # analytic reference estimate (see docstring)
     print(json.dumps({
         "metric": "dpo_pairs_per_sec_per_chip",
@@ -140,6 +182,7 @@ def main():
             "pairs_per_batch": n_pairs,
             "step_ms": round(dt * 1000, 1),
             "mfu": round(mfu, 3),
+            "preprocess_ms_per_image_640_to_336": preprocess_ms,
             "platform": dev.platform,
             "device": str(dev),
         },

@@ -64,7 +64,7 @@ class DecodeEngine:
         self.params = params
         self.eos_id = eos_id
         self.pad_id = pad_id
-        self._multimodal = hasattr(model, "encode_images")
+        self._multimodal = hasattr(model.cfg, "llm")  # wrapped LM vs bare LM
         llm_cfg = model.cfg.llm if self._multimodal else model.cfg
         self.vocab_size = vocab_size or llm_cfg.vocab_size
         self._gen_fns = {}
@@ -89,7 +89,8 @@ class DecodeEngine:
         use_rep = sp.repetition_penalty != 1.0
 
         @partial(jax.jit, static_argnames=("max_len",))
-        def run(params, ids, mask, images, image_starts, rng, max_len):
+        def run(params, ids, mask, images, image_starts, span_features,
+                span_starts, rng, max_len):
             B, Lp = ids.shape
             cache = model.init_cache(B, max_len)
 
@@ -99,18 +100,28 @@ class DecodeEngine:
             cache_mask = jnp.zeros((B, max_len), jnp.int32)
             cache_mask = cache_mask.at[:, :Lp].set(mask)
 
-            if images is not None:
-                feats = model.apply(
-                    {"params": params}, images, method=model.encode_images
-                )
+            if images is not None or span_features is not None:
                 embeds = model.apply(
                     {"params": params},
                     jnp.maximum(ids, 0),
                     method=lambda m, i: m.llm.embed(i),
                 )
-                from rlaifv_tpu.models.llava import splice_image_features
+                if span_features is not None:
+                    from rlaifv_tpu.models.minicpmv import splice_multi_span
 
-                embeds = splice_image_features(embeds, feats, image_starts)
+                    embeds = splice_multi_span(
+                        embeds, span_features, span_starts
+                    )
+                else:
+                    from rlaifv_tpu.models.llava import splice_image_features
+
+                    feats = model.apply(
+                        {"params": params}, images,
+                        method=model.encode_images,
+                    )
+                    embeds = splice_image_features(
+                        embeds, feats, image_starts
+                    )
                 logits, cache = self._llm(
                     params,
                     inputs_embeds=embeds,
@@ -187,6 +198,8 @@ class DecodeEngine:
         *,
         images: Optional[np.ndarray] = None,  # (B, H, W, 3)
         image_starts: Optional[np.ndarray] = None,  # relative to each prompt
+        span_features=None,  # (B, S, Q, D) pre-encoded multi-span features
+        span_starts=None,  # (B, S) relative to each prompt, -1 inactive
         sampling: SamplingParams = SamplingParams.greedy(),
         max_new_tokens: int = 512,
         seed: int = 0,
@@ -196,13 +209,20 @@ class DecodeEngine:
         Lp = max(len(p) for p in prompts)
         Lp = ((Lp + prompt_bucket - 1) // prompt_bucket) * prompt_bucket
         ids, mask = left_pad_batch(prompts, self.pad_id, Lp)
+        offs = Lp - np.asarray([len(p) for p in prompts])
 
         starts = None
         if images is not None:
             # shift image starts by each row's left-pad offset
-            offs = Lp - np.asarray([len(p) for p in prompts])
             starts = np.asarray(image_starts, np.int32) + offs.astype(np.int32)
             starts = np.where(np.asarray(image_starts) < 0, -1, starts)
+
+        sstarts = None
+        if span_features is not None:
+            sstarts = np.asarray(span_starts, np.int32) + offs[:, None].astype(
+                np.int32
+            )
+            sstarts = np.where(np.asarray(span_starts) < 0, -1, sstarts)
 
         max_len = Lp + max_new_tokens
         run = self._build(sampling, max_new_tokens)
@@ -212,6 +232,8 @@ class DecodeEngine:
             jnp.asarray(mask),
             jnp.asarray(images) if images is not None else None,
             jnp.asarray(starts) if starts is not None else None,
+            jnp.asarray(span_features) if span_features is not None else None,
+            jnp.asarray(sstarts) if sstarts is not None else None,
             jax.random.PRNGKey(seed),
             max_len=max_len,
         )

@@ -1,0 +1,175 @@
+"""MiniCPM-Llama3-V 2.5 diverse generation + autocheck reward scoring.
+
+Rebuild of the reference drivers (ref: minicpm-llama3-v-25/
+minicpmv_diverse_gen.py:27-196 and minicpmv_autocheck.py:85-195):
+slice-mode prompt assembly, per-slice encode via the fused device image
+kernel, llama3 chat template, sampling decode / 1-token yes/no scoring
+(ids taken from '{bos}yes' etc., autocheck.py:169-177). Chunked fan-out is
+handled by GenDataset(chunk_num/chunk_idx) + the jsonl merge contract.
+"""
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+from rlaifv_tpu.constants import OPENAI_CLIP_MEAN, OPENAI_CLIP_STD
+from rlaifv_tpu.data.image_processing import decode_image
+from rlaifv_tpu.data.minicpmv_slicing import (
+    get_image_placeholder,
+    slice_image,
+)
+from rlaifv_tpu.genai.engine import DecodeEngine
+from rlaifv_tpu.genai.sampling import SamplingParams
+from rlaifv_tpu.models.minicpmv import find_unk_spans
+from rlaifv_tpu.ops.image_kernels import DeviceImagePipeline
+
+
+class MiniCPMVGenerator:
+    def __init__(self, model, params, tokenizer, *, checkpoint_name: str = ""):
+        self.model = model
+        self.cfg = model.cfg
+        self.params = params
+        self.tokenizer = tokenizer
+        self.unk_id = tokenizer.convert_tokens_to_ids("<unk>")
+        self._mean = np.asarray(OPENAI_CLIP_MEAN, np.float32)
+        self._std = np.asarray(OPENAI_CLIP_STD, np.float32)
+        self.engine = DecodeEngine(
+            model, params,
+            eos_id=tokenizer.eos_token_id,
+            pad_id=tokenizer.pad_token_id or 0,
+        )
+        self.checkpoint_name = checkpoint_name
+        import jax
+
+        self._encode = jax.jit(
+            lambda p, imgs: model.apply(
+                {"params": p}, imgs, method=model.encode_slices
+            )
+        )
+
+    # ---------------------------------------------------------- prompts
+
+    def _build_prompt(self, item: dict):
+        """-> (ids, span_starts list, slice images list)."""
+        image = decode_image(item.get("image_bytes") or item.get("image"))
+        if self.cfg.slice_mode:
+            source, patches, grid = slice_image(
+                image,
+                self.cfg.max_slice_nums,
+                self.cfg.scale_resolution,
+                self.cfg.patch_size,
+            )
+            slices = [source] + patches
+            placeholder = get_image_placeholder(grid, self.cfg.query_num)
+        else:
+            slices = [image]
+            placeholder = get_image_placeholder(None, self.cfg.query_num)
+
+        content = placeholder + "\n" + item["question"]
+        msgs = [{"role": "user", "content": content}]
+        ids = self.tokenizer.apply_chat_template(
+            msgs, tokenize=True, add_generation_prompt=True
+        )
+        starts = find_unk_spans(ids, self.unk_id, self.cfg.query_num)
+        return ids, starts, slices
+
+    def _normalize(self, arr: np.ndarray) -> np.ndarray:
+        """ToTensor+Normalize only — slices are already target-sized by the
+        plan (ref: model.transform on slice images, autocheck.py:124)."""
+        return ((arr.astype(np.float32) / 255.0) - self._mean) / self._std
+
+    def _prepare(self, items: List[dict]):
+        prompts, all_starts, slice_arrays, slice_counts = [], [], [], []
+        for item in items:
+            ids, starts, slices = self._build_prompt(item)
+            prompts.append(ids)
+            all_starts.append(starts)
+            slice_counts.append(len(slices))
+            slice_arrays.extend(np.asarray(s, np.uint8) for s in slices)
+
+        # encode slices grouped by (H, W): one compiled program per bucket
+        total = len(slice_arrays)
+        feats = [None] * total
+        groups = {}
+        for i, arr in enumerate(slice_arrays):
+            groups.setdefault(arr.shape[:2], []).append(i)
+        for shape, idxs in groups.items():
+            batch = np.stack([self._normalize(slice_arrays[i]) for i in idxs])
+            enc = np.asarray(self._encode(self.params, batch))
+            for pos, i in enumerate(idxs):
+                feats[i] = enc[pos]
+        feats = np.stack(feats)  # (total_slices, Q, D)
+
+        S = max(len(s) for s in all_starts)
+        B = len(items)
+        D = feats.shape[-1]
+        span_features = np.zeros((B, S, self.cfg.query_num, D), feats.dtype)
+        span_starts = np.full((B, S), -1, np.int32)
+        cursor = 0
+        for b in range(B):
+            n = slice_counts[b]
+            for si, st in enumerate(all_starts[b][:n]):
+                span_features[b, si] = feats[cursor + si]
+                span_starts[b, si] = st
+            cursor += n
+        return prompts, span_features, span_starts
+
+    # ---------------------------------------------------------- modes
+
+    def diverse_gen(self, items, *, temperature=0.7, max_new_tokens=512,
+                    batch_size=4, seed=0) -> List[dict]:
+        sp = SamplingParams(temperature=temperature, do_sample=True,
+                            repetition_penalty=1.05)
+        out = []
+        for i in range(0, len(items), batch_size):
+            chunk = items[i : i + batch_size]
+            prompts, feats, starts = self._prepare(chunk)
+            res = self.engine.generate(
+                prompts, span_features=feats, span_starts=starts,
+                sampling=sp, max_new_tokens=max_new_tokens, seed=seed + i,
+            )
+            for b, item in enumerate(chunk):
+                text = self.tokenizer.decode(
+                    res.tokens[b][: res.lengths[b]], skip_special_tokens=True
+                ).strip()
+                out.append(self._row(item, answer=text))
+        return out
+
+    def autocheck(self, items, *, batch_size=1) -> List[dict]:
+        ids = {
+            w: self.tokenizer.encode(f"{self.tokenizer.bos_token}{w}")[-1]
+            for w in ("yes", "Yes", "no", "No")
+        }
+        out = []
+        for i in range(0, len(items), batch_size):
+            chunk = items[i : i + batch_size]
+            prompts, feats, starts = self._prepare(chunk)
+            res = self.engine.generate(
+                prompts, span_features=feats, span_starts=starts,
+                sampling=SamplingParams.greedy(), max_new_tokens=1,
+            )
+            logits = res.first_logits.astype(np.float64)
+            logits -= logits.max(axis=-1, keepdims=True)
+            probs = np.exp(logits)
+            probs /= probs.sum(axis=-1, keepdims=True)
+            for b, item in enumerate(chunk):
+                text = self.tokenizer.decode(
+                    res.tokens[b][: res.lengths[b]], skip_special_tokens=True
+                ).strip()
+                scores = {w: float(probs[b, t]) for w, t in ids.items()}
+                out.append(self._row(item, answer=text, scores=scores))
+        return out
+
+    def _row(self, item, **fields):
+        meta = item.get("metainfos", item.get("metainfo", {}))
+        row = {"question_id": item.get("question_id")}
+        if isinstance(meta, dict) and "ds_question_id" in meta:
+            row["ds_question_id"] = meta["ds_question_id"]
+        elif "ds_question_id" in item:
+            row["ds_question_id"] = item["ds_question_id"]
+        row["raw_question"] = item["question"]
+        row.update(fields)
+        row["metainfos"] = meta
+        row["model_path"] = self.checkpoint_name
+        return row

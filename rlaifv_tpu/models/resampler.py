@@ -28,15 +28,20 @@ def sincos_1d(embed_dim: int, pos: np.ndarray) -> np.ndarray:
     return np.concatenate([np.sin(out), np.cos(out)], axis=1)
 
 
-def sincos_2d(embed_dim: int, grid_size: int) -> np.ndarray:
-    """(grid², D): height-half ++ width-half (ref :43-72)."""
-    gh = np.arange(grid_size, dtype=np.float32)
-    gw = np.arange(grid_size, dtype=np.float32)
+def sincos_2d_rect(embed_dim: int, grid_h: int, grid_w: int) -> np.ndarray:
+    """(grid_h*grid_w, D): height-half ++ width-half (ref :43-72; the
+    MiniCPM-V 2.5 resampler generates these per slice tgt_size)."""
+    gh = np.arange(grid_h, dtype=np.float32)
+    gw = np.arange(grid_w, dtype=np.float32)
     grid = np.meshgrid(gw, gh)  # w first
-    grid = np.stack(grid, axis=0).reshape(2, 1, grid_size, grid_size)
+    grid = np.stack(grid, axis=0).reshape(2, 1, grid_h, grid_w)
     emb_h = sincos_1d(embed_dim // 2, grid[0])
     emb_w = sincos_1d(embed_dim // 2, grid[1])
     return np.concatenate([emb_h, emb_w], axis=1)
+
+
+def sincos_2d(embed_dim: int, grid_size: int) -> np.ndarray:
+    return sincos_2d_rect(embed_dim, grid_size, grid_size)
 
 
 def interp_abs_pos(abs_pos: Array, tgt_len: int) -> Array:
@@ -71,8 +76,11 @@ class Resampler(nn.Module):
     cfg: ResamplerConfig
 
     @nn.compact
-    def __call__(self, x: Array) -> Array:
-        """x: (B, N, kv_dim) ViT tokens -> (B, grid², embed_dim)."""
+    def __call__(self, x: Array, tgt_hw: Optional[tuple] = None) -> Array:
+        """x: (B, N, kv_dim) ViT tokens -> (B, grid², embed_dim).
+
+        tgt_hw: (grid_h, grid_w) of the token grid when non-square
+        (MiniCPM-V slices); default assumes a square N grid."""
         cfg = self.cfg
         B, N, _ = x.shape
         D, H = cfg.embed_dim, cfg.num_heads
@@ -100,7 +108,12 @@ class Resampler(nn.Module):
         kv = ln("ln_kv")(x)  # (B, N, D)
         q = ln("ln_q")(query.astype(cfg.dtype))  # (Q, D)
 
-        kv_pos = interp_abs_pos(pos_embed.astype(cfg.dtype), N)  # (N, D)
+        if tgt_hw is not None:
+            kv_pos = jnp.asarray(
+                sincos_2d_rect(D, tgt_hw[0], tgt_hw[1]), cfg.dtype
+            )
+        else:
+            kv_pos = interp_abs_pos(pos_embed.astype(cfg.dtype), N)  # (N, D)
 
         # torch nn.MultiheadAttention packed projections
         def proj(name, inp):
