@@ -4,8 +4,8 @@ TPU rebuild of the reference chat entry (ref: chat.py:143-241 —
 `RLAIFV7B.chat` builds an llava_v1 prompt, splices the image sentinel,
 pads/normalizes the image and decodes with beam 3 / T 0 / max 1024).
 Model selection by path substring is preserved (chat.py:221-228). Decode
-runs through the jitted KV-cache engine (greedy; beam search lands with the
-decode-engine beam milestone — greedy matches beam-3/T=0 on most prompts).
+runs through the jitted KV-cache engine with beam-3 search (reference
+decode config).
 """
 from __future__ import annotations
 
@@ -84,11 +84,12 @@ class RLAIFV7B:
         ex = expand_image_sentinels(ids, None, self.cfg.num_image_tokens)
         image = self.image_processor(decode_image(input["image"]))
 
-        result = self.engine.generate(
+        # ref chat.py:169-178: do_sample=False, num_beams=3
+        result = self.engine.generate_beam(
             [ex["input_ids"].tolist()],
             images=image[None],
             image_starts=[int(ex["image_start"])],
-            sampling=SamplingParams.greedy(),
+            num_beams=3,
             max_new_tokens=self.max_new_tokens,
         )
         out = result.tokens[0][: result.lengths[0]]

@@ -190,6 +190,112 @@ class DecodeEngine:
         self._gen_fns[key] = run
         return run
 
+    def _build_beam(self, num_beams: int, max_new: int, length_penalty: float):
+        key = ("beam", num_beams, max_new, length_penalty)
+        if key in self._gen_fns:
+            return self._gen_fns[key]
+
+        model = self.model
+        eos_id, pad_id = self.eos_id, self.pad_id
+
+        @partial(jax.jit, static_argnames=("max_len",))
+        def run(params, ids, mask, images, image_starts, span_features,
+                span_starts, max_len):
+            from rlaifv_tpu.genai.beam import beam_search
+
+            B, Lp = ids.shape
+            cache = model.init_cache(B, max_len)
+            pos = jnp.maximum(jnp.cumsum(mask, axis=1) - 1, 0)
+            cache_mask = jnp.zeros((B, max_len), jnp.int32)
+            cache_mask = cache_mask.at[:, :Lp].set(mask)
+
+            if images is not None or span_features is not None:
+                embeds = model.apply(
+                    {"params": params}, jnp.maximum(ids, 0),
+                    method=lambda m, i: m.llm.embed(i),
+                )
+                if span_features is not None:
+                    from rlaifv_tpu.models.minicpmv import splice_multi_span
+
+                    embeds = splice_multi_span(embeds, span_features, span_starts)
+                else:
+                    from rlaifv_tpu.models.llava import splice_image_features
+
+                    feats = model.apply(
+                        {"params": params}, images, method=model.encode_images
+                    )
+                    embeds = splice_image_features(embeds, feats, image_starts)
+                logits, cache = self._llm(
+                    params, inputs_embeds=embeds, attention_mask=cache_mask,
+                    position_ids=pos, cache=cache, cache_index=jnp.int32(0),
+                )
+            else:
+                logits, cache = self._llm(
+                    params, input_ids=jnp.maximum(ids, 0),
+                    attention_mask=cache_mask, position_ids=pos,
+                    cache=cache, cache_index=jnp.int32(0),
+                )
+
+            return beam_search(
+                self._llm, params, logits[:, -1, :], cache, cache_mask,
+                mask.sum(axis=1), Lp,
+                num_beams=num_beams, max_new_tokens=max_new,
+                eos_id=eos_id, pad_id=pad_id, length_penalty=length_penalty,
+            )
+
+        self._gen_fns[key] = run
+        return run
+
+    def generate_beam(
+        self,
+        prompts,
+        *,
+        images=None,
+        image_starts=None,
+        span_features=None,
+        span_starts=None,
+        num_beams: int = 3,
+        max_new_tokens: int = 512,
+        length_penalty: float = 1.0,
+        prompt_bucket: int = 64,
+    ) -> GenerateResult:
+        """Deterministic beam decode (chat parity, ref chat.py:169-178)."""
+        B = len(prompts)
+        Lp = max(len(p) for p in prompts)
+        Lp = ((Lp + prompt_bucket - 1) // prompt_bucket) * prompt_bucket
+        ids, mask = left_pad_batch(prompts, self.pad_id, Lp)
+        offs = Lp - np.asarray([len(p) for p in prompts])
+
+        starts = None
+        if images is not None:
+            starts = np.asarray(image_starts, np.int32) + offs.astype(np.int32)
+            starts = np.where(np.asarray(image_starts) < 0, -1, starts)
+        sstarts = None
+        if span_features is not None:
+            sstarts = np.asarray(span_starts, np.int32) + offs[:, None].astype(
+                np.int32
+            )
+            sstarts = np.where(np.asarray(span_starts) < 0, -1, sstarts)
+
+        run = self._build_beam(num_beams, max_new_tokens, length_penalty)
+        seqs, scores = run(
+            self.params,
+            jnp.asarray(ids),
+            jnp.asarray(mask),
+            jnp.asarray(images) if images is not None else None,
+            jnp.asarray(starts) if starts is not None else None,
+            jnp.asarray(span_features) if span_features is not None else None,
+            jnp.asarray(sstarts) if sstarts is not None else None,
+            max_len=Lp + max_new_tokens,
+        )
+        tokens = np.array(seqs)
+        lengths = np.zeros(B, np.int64)
+        for i in range(B):
+            eos = np.where(tokens[i] == self.eos_id)[0]
+            lengths[i] = (eos[0] + 1) if len(eos) else tokens.shape[1]
+            tokens[i, lengths[i]:] = self.pad_id
+        return GenerateResult(tokens, lengths, np.asarray(scores))
+
     # -------------------------------------------------- public API
 
     def generate(
