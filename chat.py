@@ -30,7 +30,7 @@ from rlaifv_tpu.genai.sampling import SamplingParams
 class RLAIFV7B:
     """LLaVA-1.5-7B (CLIP-L/14-336 + Vicuna-7B) chat."""
 
-    def __init__(self, model_path: str, lora_path: Optional[str] = None,
+    def __init__(self, model_path: str, model_base: Optional[str] = None,
                  max_new_tokens: int = 1024):
         import jax
         import numpy as np
@@ -40,7 +40,7 @@ class RLAIFV7B:
         from rlaifv_tpu.models.clip_vit import CLIPVisionConfig
         from rlaifv_tpu.models.llama import LlamaConfig
         from rlaifv_tpu.models.llava import LlavaConfig, LlavaForCausalLM
-        from rlaifv_tpu.models.convert import load_llava_checkpoint
+        from rlaifv_tpu.models.convert import load_pretrained_llava
 
         cfg = LlavaConfig(
             llm=LlamaConfig.vicuna_7b(),
@@ -48,14 +48,12 @@ class RLAIFV7B:
         )
         self.cfg = cfg
         self.model = LlavaForCausalLM(cfg)
-        params = load_llava_checkpoint(
-            model_path, vision_layers_to_run=cfg.vision.layers_to_run
+        # handles full / LoRA-over-base / projector-delta checkpoints
+        # (ref llava/model/builder.py:26-167)
+        params = load_pretrained_llava(
+            model_path, model_base=model_base,
+            vision_layers_to_run=cfg.vision.layers_to_run,
         )
-        if lora_path:
-            from rlaifv_tpu.train.lora import load_lora, lora_merge
-
-            lora, alpha, _ = load_lora(lora_path)
-            params = lora_merge(params, lora, alpha=alpha)
 
         self.tokenizer = AutoTokenizer.from_pretrained(model_path, use_fast=False)
         self.image_processor = ClipImageProcessor(image_size=cfg.vision.image_size)
@@ -105,12 +103,13 @@ class RLAIFVChat:
 
             self.model = OmniLMMChat(model_path)
         else:
-            lora = None
+            base = None
             if "lora" in model_path.lower():
-                lora = os.path.join(model_path, "adapters.npz")
-                if not os.path.exists(lora):
-                    lora = None
-            self.model = RLAIFV7B(model_path, lora_path=lora)
+                # ref chat.py:228: LoRA checkpoints load over the llava base
+                base = os.environ.get(
+                    "RLAIFV_MODEL_BASE", "liuhaotian/llava-v1.5-7b"
+                )
+            self.model = RLAIFV7B(model_path, model_base=base)
 
     def chat(self, input: dict) -> str:
         return self.model.chat(input)

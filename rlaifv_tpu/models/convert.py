@@ -186,3 +186,110 @@ def load_llava_checkpoint(model_dir: str, dtype=np.float32,
                           vision_layers_to_run: Optional[int] = None) -> Tree:
     return convert_llava(load_state_dict_dir(model_dir), dtype=dtype,
                          vision_layers_to_run=vision_layers_to_run)
+
+
+def _merge_tree(base: Tree, overlay: Tree) -> Tree:
+    out = dict(base)
+    for k, v in overlay.items():
+        if isinstance(v, dict) and isinstance(out.get(k), dict):
+            out[k] = _merge_tree(out[k], v)
+        else:
+            out[k] = v
+    return out
+
+
+def convert_peft_lora(sd: Mapping[str, Any], dtype=np.float32) -> Tree:
+    """peft adapter state dict -> our LoRA tree ({module: {a, b}}).
+
+    peft keys look like 'base_model.model.model.layers.N.self_attn.q_proj.
+    lora_A.weight' with lora_A (r, in), lora_B (out, r) — transposed into
+    our a (in, r) / b (r, out) layout (ref builder.py:52-86 merge path).
+    """
+    lora: Tree = {}
+    hf2fx = {"self_attn": "attn", "mlp": "mlp"}
+    pat = re.compile(
+        r"(?:base_model\.)?(?:model\.)*layers\.(\d+)\.(self_attn|mlp)\."
+        r"(\w+_proj)\.lora_(A|B)\.weight"
+    )
+    for key, val in sd.items():
+        m = pat.search(key)
+        if not m:
+            continue
+        layer, block, proj, ab = m.groups()
+        path = f"llm/model/layer_{layer}/{hf2fx[block]}/{proj}"
+        node = lora
+        for part in path.split("/"):
+            node = node.setdefault(part, {})
+        w = _np(val).astype(dtype)
+        node["a" if ab == "A" else "b"] = w.T
+    return lora
+
+
+def load_pretrained_llava(
+    model_path: str,
+    model_base: Optional[str] = None,
+    dtype=np.float32,
+    vision_layers_to_run: Optional[int] = None,
+    lora_alpha: float = 16.0,
+) -> Tree:
+    """Reference load_pretrained_model semantics (ref llava/model/
+    builder.py:26-167) for the three layouts:
+
+    - full checkpoint:                load_pretrained_llava(path)
+    - LoRA adapters over a base:      load_pretrained_llava(lora_dir, base)
+      (adapter_model safetensors/bin + optional non_lora_trainables.bin)
+    - delta/projector-only over base: base weights overlaid with whatever
+      tensors the delta dir provides (mm_projector-only checkpoints).
+    """
+    if model_base is None:
+        return load_llava_checkpoint(
+            model_path, dtype=dtype, vision_layers_to_run=vision_layers_to_run
+        )
+
+    params = load_llava_checkpoint(
+        model_base, dtype=dtype, vision_layers_to_run=vision_layers_to_run
+    )
+
+    # non-LoRA trainables (projector etc.) saved beside adapters
+    non_lora_path = os.path.join(model_path, "non_lora_trainables.bin")
+    if os.path.exists(non_lora_path):
+        import torch
+
+        sd = torch.load(non_lora_path, map_location="cpu", weights_only=True)
+        sd = {
+            k[len("base_model."):] if k.startswith("base_model.") else k: v
+            for k, v in sd.items()
+        }
+        sd = {
+            k[len("model."):] if k.startswith("model.model.") else k: v
+            for k, v in sd.items()
+        }
+        overlay = convert_llava(
+            sd, dtype=dtype, vision_layers_to_run=vision_layers_to_run
+        ) if any(k.startswith("model.layers") for k in sd) else {}
+        if not overlay and any("mm_projector" in k for k in sd):
+            proj: Tree = {}
+            for k, v in sd.items():
+                m = re.match(r".*mm_projector\.(\d+)\.(weight|bias)", k)
+                if not m:
+                    continue
+                seq_i, kind = int(m.group(1)), m.group(2)
+                fc = proj.setdefault(f"fc{seq_i // 2}", {})
+                arr = _np(v).astype(dtype)
+                fc["kernel" if kind == "weight" else "bias"] = (
+                    arr.T if kind == "weight" else arr
+                )
+            overlay = {"mm_projector": proj}
+        params = _merge_tree(params, overlay)
+
+    # adapters: merge a@b * alpha/r into the kernels
+    try:
+        adapter_sd = load_state_dict_dir(model_path)
+    except FileNotFoundError:
+        adapter_sd = {}
+    lora = convert_peft_lora(adapter_sd, dtype=dtype)
+    if lora:
+        from rlaifv_tpu.train.lora import lora_merge
+
+        params = lora_merge(params, lora, alpha=lora_alpha)
+    return params
