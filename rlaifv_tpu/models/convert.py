@@ -188,6 +188,136 @@ def load_llava_checkpoint(model_dir: str, dtype=np.float32,
                          vision_layers_to_run=vision_layers_to_run)
 
 
+def convert_siglip(
+    sd: Mapping[str, Any], prefix: str = "vpm.", dtype=np.float32
+) -> Tree:
+    """HF SiglipVisionModel / MiniCPM-V `vpm.` tower -> SiglipVisionTower.
+
+    Key layout (HF siglip + MiniCPM-V 2.5 remote code): embeddings.
+    patch_embedding.{weight,bias}, embeddings.position_embedding.weight,
+    encoder.layers.N.{self_attn.{q,k,v,out}_proj, layer_norm1/2, mlp.fc1/2},
+    post_layernorm.
+    """
+    # tolerate an extra 'vision_model.' nesting
+    if not any(k.startswith(prefix + "encoder") for k in sd):
+        if any(k.startswith(prefix + "vision_model.encoder") for k in sd):
+            prefix = prefix + "vision_model."
+    g = lambda k: _np(sd[prefix + k]).astype(dtype)
+    tree: Tree = {}
+    _set(tree, "patch_embed/kernel",
+         g("embeddings.patch_embedding.weight").transpose(2, 3, 1, 0))
+    _set(tree, "patch_embed/bias", g("embeddings.patch_embedding.bias"))
+    _set(tree, "pos_embed", g("embeddings.position_embedding.weight"))
+    layer_pat = re.compile(re.escape(prefix) + r"encoder\.layers\.(\d+)\.")
+    n_layers = 1 + max(int(m.group(1)) for k in sd if (m := layer_pat.match(k)))
+    for i in range(n_layers):
+        hf = f"encoder.layers.{i}."
+        fx = f"layer_{i}/"
+        for name in ("q_proj", "k_proj", "v_proj", "out_proj"):
+            _set(tree, fx + f"{name}/kernel", g(hf + f"self_attn.{name}.weight").T)
+            _set(tree, fx + f"{name}/bias", g(hf + f"self_attn.{name}.bias"))
+        _set(tree, fx + "ln1/scale", g(hf + "layer_norm1.weight"))
+        _set(tree, fx + "ln1/bias", g(hf + "layer_norm1.bias"))
+        _set(tree, fx + "ln2/scale", g(hf + "layer_norm2.weight"))
+        _set(tree, fx + "ln2/bias", g(hf + "layer_norm2.bias"))
+        _set(tree, fx + "fc1/kernel", g(hf + "mlp.fc1.weight").T)
+        _set(tree, fx + "fc1/bias", g(hf + "mlp.fc1.bias"))
+        _set(tree, fx + "fc2/kernel", g(hf + "mlp.fc2.weight").T)
+        _set(tree, fx + "fc2/bias", g(hf + "mlp.fc2.bias"))
+    _set(tree, "post_ln/scale", g("post_layernorm.weight"))
+    _set(tree, "post_ln/bias", g("post_layernorm.bias"))
+    return tree
+
+
+def convert_eva02(
+    sd: Mapping[str, Any], prefix: str = "", dtype=np.float32,
+    layers_to_run: Optional[int] = None,
+) -> Tree:
+    """timm Eva (fused-qkv plain variant) -> EvaVisionTower.
+
+    timm layout: patch_embed.proj.{weight,bias}, cls_token, pos_embed,
+    blocks.N.{norm1, attn.{qkv,proj}, norm2, mlp.fc1/fc2}, norm.
+    The last block is dead (omnilmm.py:43) and skipped.
+    """
+    g = lambda k: _np(sd[prefix + k]).astype(dtype)
+    tree: Tree = {}
+    _set(tree, "patch_embed/kernel",
+         g("patch_embed.proj.weight").transpose(2, 3, 1, 0))
+    _set(tree, "patch_embed/bias", g("patch_embed.proj.bias"))
+    _set(tree, "cls_token", g("cls_token").reshape(-1))
+    _set(tree, "pos_embed", g("pos_embed").reshape(
+        -1, g("pos_embed").shape[-1]))
+    layer_pat = re.compile(re.escape(prefix) + r"blocks\.(\d+)\.")
+    n_layers = 1 + max(int(m.group(1)) for k in sd if (m := layer_pat.match(k)))
+    run = layers_to_run if layers_to_run is not None else n_layers - 1
+    for i in range(run):
+        hf = f"blocks.{i}."
+        fx = f"block_{i}/"
+        _set(tree, fx + "norm1/scale", g(hf + "norm1.weight"))
+        _set(tree, fx + "norm1/bias", g(hf + "norm1.bias"))
+        _set(tree, fx + "norm2/scale", g(hf + "norm2.weight"))
+        _set(tree, fx + "norm2/bias", g(hf + "norm2.bias"))
+        _set(tree, fx + "attn/qkv/kernel", g(hf + "attn.qkv.weight").T)
+        if prefix + hf + "attn.qkv.bias" in sd:
+            _set(tree, fx + "attn/qkv/bias", g(hf + "attn.qkv.bias"))
+        else:
+            # EVA q/v-bias-only convention: k bias is fixed zero
+            q_b = g(hf + "attn.q_bias")
+            v_b = g(hf + "attn.v_bias")
+            _set(tree, fx + "attn/qkv/bias",
+                 np.concatenate([q_b, np.zeros_like(q_b), v_b]))
+        _set(tree, fx + "attn/proj/kernel", g(hf + "attn.proj.weight").T)
+        _set(tree, fx + "attn/proj/bias", g(hf + "attn.proj.bias"))
+        _set(tree, fx + "mlp/fc1/kernel", g(hf + "mlp.fc1.weight").T)
+        _set(tree, fx + "mlp/fc1/bias", g(hf + "mlp.fc1.bias"))
+        _set(tree, fx + "mlp/fc2/kernel", g(hf + "mlp.fc2.weight").T)
+        _set(tree, fx + "mlp/fc2/bias", g(hf + "mlp.fc2.bias"))
+    _set(tree, "norm/scale", g("norm.weight"))
+    _set(tree, "norm/bias", g("norm.bias"))
+    return tree
+
+
+def convert_omnilmm(sd: Mapping[str, Any], dtype=np.float32,
+                    vision_layers_to_run: Optional[int] = None) -> Tree:
+    """OmniLMM-12B checkpoint -> OmniLMMForCausalLM params.
+
+    Layout: Mistral LM under model.* / lm_head.*, timm Eva tower under
+    model.vision_tower.*, resampler under model.resampler.*
+    (ref omnilmm/model/omnilmm.py:55-106).
+    """
+    from rlaifv_tpu.models.resampler import convert_resampler
+
+    llm_sd = {
+        k: v for k, v in sd.items()
+        if not k.startswith(("model.vision_tower", "model.resampler"))
+    }
+    tree: Tree = {"llm": convert_llama(llm_sd, dtype=dtype)}
+    tree["vision_tower"] = convert_eva02(
+        sd, prefix="model.vision_tower.", dtype=dtype,
+        layers_to_run=vision_layers_to_run,
+    )
+    tree["resampler"] = convert_resampler(sd, prefix="model.resampler.",
+                                          dtype=dtype)
+    return tree
+
+
+def convert_minicpmv(sd: Mapping[str, Any], dtype=np.float32) -> Tree:
+    """MiniCPM-Llama3-V 2.5 checkpoint -> MiniCPMVForCausalLM params.
+
+    Layout: llm.* (Llama3), vpm.* (SigLIP), resampler.*
+    (MiniCPM-V remote-code module names).
+    """
+    from rlaifv_tpu.models.resampler import convert_resampler
+
+    llm_sd = {
+        k[len("llm."):]: v for k, v in sd.items() if k.startswith("llm.")
+    }
+    tree: Tree = {"llm": convert_llama(llm_sd, dtype=dtype)}
+    tree["vpm"] = convert_siglip(sd, prefix="vpm.", dtype=dtype)
+    tree["resampler"] = convert_resampler(sd, prefix="resampler.", dtype=dtype)
+    return tree
+
+
 def _merge_tree(base: Tree, overlay: Tree) -> Tree:
     out = dict(base)
     for k, v in overlay.items():

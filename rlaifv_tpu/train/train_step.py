@@ -103,7 +103,19 @@ def dpo_forward_logps(
     B = twoB // 2
 
     images = batch.get("images")
-    if images is not None:
+    if "win_images" in batch:
+        # KTO task: win/rej rows carry different images
+        # (ref trainers.py:193-196 torch.cat([win_images, rej_images]))
+        both = jnp.concatenate([batch["win_images"], batch["rej_images"]], 0)
+        feats2 = model.encode_images_fn(params, both)
+        logits = model.forward_with_features(
+            params,
+            input_ids,
+            feats2,
+            batch["image_starts"],
+            batch["attention_mask"],
+        )
+    elif images is not None:
         feats = model.encode_images_fn(params, images)  # (B, P, D)
         feats2 = jnp.concatenate([feats, feats], axis=0)
         logits = model.forward_with_features(

@@ -1,0 +1,65 @@
+"""RandomAugment ops + KTO-task train path."""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from rlaifv_tpu.data.augment import AUG_OPS, RandomAugment
+from rlaifv_tpu.data.collator import DPOCollator
+from rlaifv_tpu.models.llava import LlavaConfig, LlavaForCausalLM
+from rlaifv_tpu.train.train_step import (
+    DPOHparams,
+    LlavaDPOAdapter,
+    dpo_loss_from_batch,
+)
+from rlaifv_tpu.utils.synth import synth_preference_pairs
+
+
+def test_random_augment_all_ops_run():
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 255, size=(32, 48, 3), dtype=np.uint8)
+    for name, op in AUG_OPS.items():
+        out = np.asarray(op(img, 7))
+        assert out.dtype == np.uint8 or out.size, name
+
+
+def test_random_augment_deterministic_seed():
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 255, size=(32, 32, 3), dtype=np.uint8)
+    a = RandomAugment(seed=7)(img)
+    b = RandomAugment(seed=7)(img)
+    np.testing.assert_array_equal(a, b)
+    assert a.shape == img.shape
+
+
+def test_kto_path_uses_per_side_images():
+    cfg = LlavaConfig.tiny()
+    model = LlavaForCausalLM(cfg)
+    adapter = LlavaDPOAdapter(model)
+    P = cfg.num_image_tokens
+    coll = DPOCollator(pad_token_id=0, max_len=48, num_patches=P)
+    pairs = synth_preference_pairs(cfg, 2, answer_len=8, question_len=6)
+    batch = coll(pairs)
+
+    params = model.init(
+        jax.random.PRNGKey(0),
+        jnp.asarray(batch["input_ids"][:2]),
+        images=jnp.asarray(batch["images"][:2]),
+        image_starts=jnp.asarray(batch["image_starts"][:2]),
+    )["params"]
+
+    rng = np.random.default_rng(3)
+    jb = {k: jnp.asarray(v) for k, v in batch.items()}
+    size = cfg.vision.image_size
+    kto = dict(jb)
+    del kto["images"]
+    kto["win_images"] = jnp.asarray(batch["images"])
+    kto["rej_images"] = jnp.asarray(
+        rng.normal(size=(2, size, size, 3)).astype(np.float32)
+    )
+
+    loss_dpo, _ = dpo_loss_from_batch(adapter, params, jb, DPOHparams())
+    loss_kto, _ = dpo_loss_from_batch(adapter, params, kto, DPOHparams())
+    assert np.isfinite(float(loss_kto))
+    # different rejected-side images must change the objective
+    assert abs(float(loss_kto) - float(loss_dpo)) > 1e-6
