@@ -16,10 +16,9 @@ All converters are pure functions: dict[str, np.ndarray] -> nested dict.
 """
 from __future__ import annotations
 
-import json
 import os
 import re
-from typing import Any, Callable, Dict, Mapping, Optional
+from typing import Any, Dict, Mapping, Optional
 
 import numpy as np
 

@@ -14,7 +14,7 @@ so one compiled program serves every batch.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Optional
+from typing import Optional
 
 import flax.linen as nn
 import jax

@@ -14,7 +14,7 @@ static shapes throughout.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, List, Optional
+from typing import List, Optional
 
 import flax.linen as nn
 import jax

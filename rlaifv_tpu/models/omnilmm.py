@@ -12,7 +12,7 @@ with resampled vision features, which is exactly our static
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Optional
+from typing import Optional
 
 import flax.linen as nn
 import jax

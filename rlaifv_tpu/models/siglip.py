@@ -10,7 +10,7 @@ of the position table to each (gh, gw) bucket.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Optional, Tuple
+from typing import Any
 
 import flax.linen as nn
 import jax
@@ -90,8 +90,6 @@ class SiglipVisionTower(nn.Module):
 
     @nn.compact
     def __call__(self, images: Array) -> Array:
-        from rlaifv_tpu.models.resampler import interp_abs_pos
-
         cfg = self.cfg
         B, Himg, Wimg, _ = images.shape
         gh, gw = Himg // cfg.patch_size, Wimg // cfg.patch_size

@@ -13,7 +13,6 @@ the MXU matmuls on TPU).
 """
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax

@@ -22,7 +22,7 @@ slices (MiniCPM-V) — only mean/std/size differ.
 from __future__ import annotations
 
 import functools
-from typing import Dict, Optional, Sequence, Tuple
+from typing import Dict, Sequence
 
 import jax
 import jax.numpy as jnp

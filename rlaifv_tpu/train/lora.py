@@ -11,7 +11,7 @@ inference with merged weights (llava/model/builder.py:52-86 merge-on-load).
 from __future__ import annotations
 
 import re
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Any, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -18,7 +18,6 @@ from typing import Callable, List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from rlaifv_tpu.constants import IGNORE_INDEX
 from rlaifv_tpu.data.collator import DPOCollator
