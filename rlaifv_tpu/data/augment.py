@@ -9,7 +9,7 @@ explicit config flag instead of an environment variable.
 from __future__ import annotations
 
 import random
-from typing import List, Optional, Sequence
+from typing import Optional, Sequence
 
 import numpy as np
 
@@ -22,29 +22,29 @@ def _pil(img):
     return img
 
 
-def identity(img, level):
+def identity(img, level, rng=random):
     return img
 
 
-def autocontrast(img, level):
+def autocontrast(img, level, rng=random):
     from PIL import ImageOps
 
     return ImageOps.autocontrast(_pil(img))
 
 
-def equalize(img, level):
+def equalize(img, level, rng=random):
     from PIL import ImageOps
 
     return ImageOps.equalize(_pil(img))
 
 
-def brightness(img, level):
+def brightness(img, level, rng=random):
     from PIL import ImageEnhance
 
     return ImageEnhance.Brightness(_pil(img)).enhance(1 + level / 10 * 0.9)
 
 
-def sharpness(img, level):
+def sharpness(img, level, rng=random):
     from PIL import ImageEnhance
 
     return ImageEnhance.Sharpness(_pil(img)).enhance(1 + level / 10 * 0.9)
@@ -58,30 +58,30 @@ def _affine(img, matrix):
                          resample=Image.Resampling.BILINEAR)
 
 
-def shear_x(img, level):
-    v = level / 10 * 0.3 * random.choice([-1, 1])
+def shear_x(img, level, rng=random):
+    v = level / 10 * 0.3 * rng.choice([-1, 1])
     return _affine(img, (1, v, 0, 0, 1, 0))
 
 
-def shear_y(img, level):
-    v = level / 10 * 0.3 * random.choice([-1, 1])
+def shear_y(img, level, rng=random):
+    v = level / 10 * 0.3 * rng.choice([-1, 1])
     return _affine(img, (1, 0, 0, v, 1, 0))
 
 
-def translate_x(img, level):
+def translate_x(img, level, rng=random):
     img_p = _pil(img)
-    v = level / 10 * 0.3 * img_p.size[0] * random.choice([-1, 1])
+    v = level / 10 * 0.3 * img_p.size[0] * rng.choice([-1, 1])
     return _affine(img_p, (1, 0, v, 0, 1, 0))
 
 
-def translate_y(img, level):
+def translate_y(img, level, rng=random):
     img_p = _pil(img)
-    v = level / 10 * 0.3 * img_p.size[1] * random.choice([-1, 1])
+    v = level / 10 * 0.3 * img_p.size[1] * rng.choice([-1, 1])
     return _affine(img_p, (1, 0, 0, 0, 1, v))
 
 
-def rotate(img, level):
-    deg = level / 10 * 30 * random.choice([-1, 1])
+def rotate(img, level, rng=random):
+    deg = level / 10 * 30 * rng.choice([-1, 1])
     return _pil(img).rotate(deg)
 
 
@@ -117,5 +117,5 @@ class RandomAugment:
         ops = [self._rng.choice(self.augs) for _ in range(self.n)]
         out = img
         for name in ops:
-            out = AUG_OPS[name](out, self.m)
+            out = AUG_OPS[name](out, self.m, self._rng)
         return np.asarray(_pil(out), np.uint8)

@@ -19,7 +19,7 @@ def test_random_augment_all_ops_run():
     rng = np.random.default_rng(0)
     img = rng.integers(0, 255, size=(32, 48, 3), dtype=np.uint8)
     for name, op in AUG_OPS.items():
-        out = np.asarray(op(img, 7))
+        out = np.asarray(op(img, 7))  # module-default rng path
         assert out.dtype == np.uint8 or out.size, name
 
 
