@@ -37,15 +37,13 @@ class RLAIFV7B:
 
         from transformers import AutoTokenizer
 
-        from rlaifv_tpu.models.clip_vit import CLIPVisionConfig
-        from rlaifv_tpu.models.llama import LlamaConfig
-        from rlaifv_tpu.models.llava import LlavaConfig, LlavaForCausalLM
-        from rlaifv_tpu.models.convert import load_pretrained_llava
-
-        cfg = LlavaConfig(
-            llm=LlamaConfig.vicuna_7b(),
-            vision=CLIPVisionConfig.clip_l_336(),
+        from rlaifv_tpu.models.llava import LlavaForCausalLM
+        from rlaifv_tpu.models.convert import (
+            llava_config_from_hf,
+            load_pretrained_llava,
         )
+
+        cfg = llava_config_from_hf(model_base or model_path)
         self.cfg = cfg
         self.model = LlavaForCausalLM(cfg)
         # handles full / LoRA-over-base / projector-delta checkpoints
@@ -55,7 +53,13 @@ class RLAIFV7B:
             vision_layers_to_run=cfg.vision.layers_to_run,
         )
 
-        self.tokenizer = AutoTokenizer.from_pretrained(model_path, use_fast=False)
+        try:
+            # slow tokenizer preferred for llama tokenization parity
+            self.tokenizer = AutoTokenizer.from_pretrained(
+                model_path, use_fast=False
+            )
+        except (ValueError, OSError):
+            self.tokenizer = AutoTokenizer.from_pretrained(model_path)
         self.image_processor = ClipImageProcessor(image_size=cfg.vision.image_size)
         self.engine = DecodeEngine(
             self.model, params,

@@ -71,13 +71,13 @@ def main(argv=None):
 
     from transformers import AutoTokenizer
 
-    from rlaifv_tpu.models.clip_vit import CLIPVisionConfig
-    from rlaifv_tpu.models.convert import load_llava_checkpoint
-    from rlaifv_tpu.models.llama import LlamaConfig
-    from rlaifv_tpu.models.llava import LlavaConfig, LlavaForCausalLM
+    from rlaifv_tpu.models.convert import (
+        llava_config_from_hf,
+        load_llava_checkpoint,
+    )
+    from rlaifv_tpu.models.llava import LlavaForCausalLM
 
-    cfg = LlavaConfig(llm=LlamaConfig.vicuna_7b(),
-                      vision=CLIPVisionConfig.clip_l_336())
+    cfg = llava_config_from_hf(args.model_path)
     model = LlavaForCausalLM(cfg)
     params = load_llava_checkpoint(
         args.model_path, vision_layers_to_run=cfg.vision.layers_to_run

@@ -181,6 +181,56 @@ def convert_llava(
     return tree
 
 
+def llava_config_from_hf(model_dir: str, **overrides):
+    """Build LlavaConfig from the checkpoint's config.json (HF LlavaConfig /
+    reference LlavaLlamaForCausalLM layout). Falls back to 7B defaults for
+    missing fields (ref builder.py relies on from_pretrained for this)."""
+    import json as _json
+
+    from rlaifv_tpu.models.clip_vit import CLIPVisionConfig
+    from rlaifv_tpu.models.llama import LlamaConfig
+    from rlaifv_tpu.models.llava import LlavaConfig
+
+    cfg_path = os.path.join(model_dir, "config.json")
+    raw = {}
+    if os.path.exists(cfg_path):
+        with open(cfg_path) as f:
+            raw = _json.load(f)
+
+    llm = LlamaConfig(
+        vocab_size=raw.get("vocab_size", 32000),
+        hidden_size=raw.get("hidden_size", 4096),
+        intermediate_size=raw.get("intermediate_size", 11008),
+        num_layers=raw.get("num_hidden_layers", 32),
+        num_heads=raw.get("num_attention_heads", 32),
+        num_kv_heads=raw.get(
+            "num_key_value_heads", raw.get("num_attention_heads", 32)
+        ),
+        max_position_embeddings=raw.get("max_position_embeddings", 4096),
+        rope_theta=raw.get("rope_theta", 10000.0),
+        rms_norm_eps=raw.get("rms_norm_eps", 1e-6),
+        **overrides.get("llm", {}),
+    )
+    vis_raw = raw.get("vision_config", {})
+    mm_tower = raw.get("mm_vision_tower", "")
+    image_size = vis_raw.get("image_size", 336 if "336" in str(mm_tower) else 336)
+    vision = CLIPVisionConfig(
+        image_size=image_size,
+        patch_size=vis_raw.get("patch_size", 14),
+        hidden_size=vis_raw.get("hidden_size", raw.get("mm_hidden_size", 1024)),
+        intermediate_size=vis_raw.get("intermediate_size", 4096),
+        num_layers=vis_raw.get("num_hidden_layers", 24),
+        num_heads=vis_raw.get("num_attention_heads", 16),
+        select_layer=raw.get("mm_vision_select_layer", -2),
+        **overrides.get("vision", {}),
+    )
+    return LlavaConfig(
+        llm=llm,
+        vision=vision,
+        projector_type=raw.get("mm_projector_type", "mlp2x_gelu"),
+    )
+
+
 def load_llava_checkpoint(model_dir: str, dtype=np.float32,
                           vision_layers_to_run: Optional[int] = None) -> Tree:
     return convert_llava(load_state_dict_dir(model_dir), dtype=dtype,

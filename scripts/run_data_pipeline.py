@@ -168,13 +168,13 @@ def main():
 
     from rlaifv_tpu.genai.divide_conquer import make_llama3_backend
     from rlaifv_tpu.genai.llava_gen import Llava15Generator
-    from rlaifv_tpu.models.clip_vit import CLIPVisionConfig
-    from rlaifv_tpu.models.convert import load_llava_checkpoint
-    from rlaifv_tpu.models.llama import LlamaConfig
-    from rlaifv_tpu.models.llava import LlavaConfig, LlavaForCausalLM
+    from rlaifv_tpu.models.convert import (
+        llava_config_from_hf,
+        load_llava_checkpoint,
+    )
+    from rlaifv_tpu.models.llava import LlavaForCausalLM
 
-    cfg = LlavaConfig(llm=LlamaConfig.vicuna_7b(),
-                      vision=CLIPVisionConfig.clip_l_336())
+    cfg = llava_config_from_hf(args.policy_model)
     model = LlavaForCausalLM(cfg)
     params = load_llava_checkpoint(
         args.policy_model, vision_layers_to_run=cfg.vision.layers_to_run
