@@ -41,35 +41,55 @@ class DPOCollator:
     beta: float = 0.1
     mod_token_weight: float = 1.0  # train default (llava15_train.sh passes 1.0)
     expand_images: bool = True  # False when ids are already text-expanded
+    # Bucketed padding: pad to the batch max rounded up to a multiple of
+    # `bucket` (capped at max_len) instead of always max_len. Typical
+    # RLAIF-V rows are ~700-900 tokens after image expansion, so this cuts
+    # most of the 2048-pad compute; XLA compiles one program per bucket
+    # (a handful in practice). None = fixed max_len (one program).
+    bucket: Optional[int] = 256
 
-    def _encode_side(self, inst: dict) -> Dict[str, np.ndarray]:
+    def _encode_side(self, inst: dict, L: int) -> Dict[str, np.ndarray]:
         ids = np.asarray(inst["input_ids"])
         labels = np.asarray(inst["labels"])
         if self.expand_images:
-            ex = expand_image_sentinels(ids, labels, self.num_patches, self.max_len)
+            ex = expand_image_sentinels(ids, labels, self.num_patches, L)
         else:
             ex = {
-                "input_ids": ids[: self.max_len].astype(np.int32),
-                "labels": labels[: self.max_len].astype(np.int32),
+                "input_ids": ids[:L].astype(np.int32),
+                "labels": labels[:L].astype(np.int32),
                 "image_start": np.int32(-1),
             }
         length = len(ex["input_ids"])
         return {
-            "input_ids": _pad_to(ex["input_ids"], self.max_len, self.pad_token_id),
-            "labels": _pad_to(ex["labels"], self.max_len, IGNORE_INDEX),
-            "attention_mask": _pad_to(
-                np.ones(length, dtype=np.int32), self.max_len, 0
-            ),
+            "input_ids": _pad_to(ex["input_ids"], L, self.pad_token_id),
+            "labels": _pad_to(ex["labels"], L, IGNORE_INDEX),
+            "attention_mask": _pad_to(np.ones(length, dtype=np.int32), L, 0),
             "image_start": ex["image_start"],
         }
+
+    def _expanded_len(self, inst: dict) -> int:
+        ids = np.asarray(inst["input_ids"])
+        if not self.expand_images:
+            return len(ids)
+        n_images = int((ids == IMAGE_TOKEN_INDEX).sum())
+        return len(ids) + n_images * (self.num_patches - 1)
+
+    def _batch_len(self, instances) -> int:
+        if self.bucket is None:
+            return self.max_len
+        longest = max(
+            self._expanded_len(x) for pair in instances for x in pair
+        )
+        b = self.bucket
+        return min(self.max_len, max(b, ((longest + b - 1) // b) * b))
 
     def __call__(self, instances: Sequence[Tuple[dict, dict]]) -> Dict[str, np.ndarray]:
         rej_instances, win_instances = zip(*instances)
         B = len(instances)
-        L = self.max_len
+        L = self._batch_len(instances)
 
-        win = [self._encode_side(x) for x in win_instances]
-        rej = [self._encode_side(x) for x in rej_instances]
+        win = [self._encode_side(x, L) for x in win_instances]
+        rej = [self._encode_side(x, L) for x in rej_instances]
 
         def stack(side, key):
             return np.stack([s[key] for s in side])

@@ -62,6 +62,7 @@ def synth_dpo_batch(
         max_len=max_len,
         num_patches=cfg.num_image_tokens,
         beta=beta,
+        bucket=None,  # fixed shape: benches/dry-runs want one program
     )
     return coll(synth_preference_pairs(cfg, n_pairs, answer_len=answer_len, seed=seed))
 
