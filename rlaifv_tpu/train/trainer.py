@@ -188,6 +188,13 @@ class DPOTrainer:
                 step += 1
                 if step % t.logging_steps == 0:
                     m = jax.device_get(metrics)
+                    # NaN tripwire (ref trainers.py:263-271 prints + exits;
+                    # here: stop cleanly with the offending metrics logged)
+                    if not np.isfinite(m.get("loss", 0.0)):
+                        self.logger.log(step, m)
+                        raise FloatingPointError(
+                            f"non-finite loss at step {step}: {m.get('loss')}"
+                        )
                     m["steps_per_sec"] = t.logging_steps / max(
                         time.time() - t0, 1e-9
                     )
