@@ -143,10 +143,13 @@ class DecodeEngine:
 
             token_seen = jnp.zeros((B, V), jnp.int32)
             if use_rep:
-                onehot = jax.nn.one_hot(
-                    jnp.maximum(ids, 0), V, dtype=jnp.int32
-                ) * mask[..., None]
-                token_seen = onehot.sum(axis=1).astype(jnp.int32)
+                # scatter-add, NOT a (B, Lp, V) one-hot (650MB at 7B vocab)
+                rows = jnp.broadcast_to(
+                    jnp.arange(B, dtype=jnp.int32)[:, None], ids.shape
+                )
+                token_seen = token_seen.at[rows, jnp.maximum(ids, 0)].add(
+                    mask.astype(jnp.int32)
+                )
 
             prompt_len = mask.sum(axis=1)  # (B,)
 
