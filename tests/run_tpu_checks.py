@@ -1,0 +1,70 @@
+"""Run the TPU-only kernel checks on the real chip.
+
+tests/conftest.py pins pytest to the 8-device virtual CPU mesh, so Pallas
+kernel tests skip there. This standalone runner executes the same checks
+compiled on hardware:
+
+    python tests/run_tpu_checks.py
+"""
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+    assert jax.default_backend() == "tpu", (
+        f"needs a TPU backend, got {jax.default_backend()}"
+    )
+    import jax.numpy as jnp
+
+    from rlaifv_tpu.ops.attention import _build_bias, dense_attention, repeat_kv
+    from rlaifv_tpu.ops.flash_attention import flash_attention
+
+    def ref(q, k, v, mask, causal=True):
+        n_rep = q.shape[2] // k.shape[2]
+        bias = _build_bias(q.shape[1], k.shape[1], mask, causal, None, q.shape[0])
+        return dense_attention(q, repeat_kv(k, n_rep), repeat_kv(v, n_rep), bias)
+
+    rng = np.random.default_rng(0)
+    failures = 0
+    for kvh in (8, 2):
+        B, L, H, D = 2, 256, 8, 128
+        q = jnp.asarray(rng.normal(size=(B, L, H, D)), jnp.float32)
+        k = jnp.asarray(rng.normal(size=(B, L, kvh, D)), jnp.float32)
+        v = jnp.asarray(rng.normal(size=(B, L, kvh, D)), jnp.float32)
+        mask = np.ones((B, L), np.int32)
+        mask[1, 200:] = 0
+        mask = jnp.asarray(mask)
+
+        out = flash_attention(q, k, v, attention_mask=mask)
+        want = ref(q, k, v, mask)
+        fwd = float(jnp.abs(out - want).max())
+        ok_fwd = fwd < 2e-3
+
+        g = jnp.asarray(rng.normal(size=(B, L, H, D)), jnp.float32)
+        gf = jax.grad(
+            lambda q, k, v: (flash_attention(q, k, v, attention_mask=mask) * g).sum(),
+            argnums=(0, 1, 2),
+        )(q, k, v)
+        gd = jax.grad(
+            lambda q, k, v: (ref(q, k, v, mask) * g).sum(), argnums=(0, 1, 2)
+        )(q, k, v)
+        grad_diffs = [float(jnp.abs(a - b).max()) for a, b in zip(gf, gd)]
+        ok_grad = all(d < 4e-2 for d in grad_diffs)
+
+        status = "OK" if (ok_fwd and ok_grad) else "FAIL"
+        failures += not (ok_fwd and ok_grad)
+        print(f"flash kvh={kvh}: fwd={fwd:.2e} grads={grad_diffs} [{status}]")
+
+    print("TPU kernel checks:", "PASS" if failures == 0 else f"{failures} FAILURES")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
