@@ -69,6 +69,15 @@ class DecodeEngine:
         self.vocab_size = vocab_size or llm_cfg.vocab_size
         self._gen_fns = {}
 
+    def _device_images(self, images):
+        """Ship images in the model's compute dtype — halves host->device
+        transfer vs fp32 (the dominant fixed cost of a generate call on
+        slow links; the tower casts to its dtype anyway)."""
+        if images is None:
+            return None
+        cfg = self.model.cfg.llm if self._multimodal else self.model.cfg
+        return jnp.asarray(np.asarray(images), dtype=cfg.dtype)
+
     def _llm(self, params, **kw):
         """Apply the language model (multimodal wrapper or bare LM)."""
         if self._multimodal:
@@ -285,7 +294,7 @@ class DecodeEngine:
             self.params,
             jnp.asarray(ids),
             jnp.asarray(mask),
-            jnp.asarray(images) if images is not None else None,
+            self._device_images(images),
             jnp.asarray(starts) if starts is not None else None,
             jnp.asarray(span_features) if span_features is not None else None,
             jnp.asarray(sstarts) if sstarts is not None else None,
@@ -339,7 +348,7 @@ class DecodeEngine:
             self.params,
             jnp.asarray(ids),
             jnp.asarray(mask),
-            jnp.asarray(images) if images is not None else None,
+            self._device_images(images),
             jnp.asarray(starts) if starts is not None else None,
             jnp.asarray(span_features) if span_features is not None else None,
             jnp.asarray(sstarts) if sstarts is not None else None,
