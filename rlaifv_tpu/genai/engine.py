@@ -162,16 +162,31 @@ class DecodeEngine:
 
             prompt_len = mask.sum(axis=1)  # (B,)
 
-            def step(carry, t):
-                cache, cache_mask, last_logits, token_seen, done, rng = carry
+            # while_loop (not scan): stop as soon as every row emitted EOS —
+            # typical answers are far shorter than max_new, so this saves
+            # most decode steps on real workloads.
+            tokens_buf = jnp.full((max_new, B), pad_id, jnp.int32)
+
+            def cond(state):
+                t, done = state[0], state[6]
+                return (t < max_new) & jnp.logical_not(jnp.all(done))
+
+            def body(state):
+                (t, cache, cache_mask, last_logits, token_seen, rng, done,
+                 tokens_buf) = state
                 rng, sub = jax.random.split(rng)
                 tok = sample_token(sub, last_logits, sp,
                                    token_seen if use_rep else None)
                 tok = jnp.where(done, pad_id, tok)
                 new_done = done | (tok == eos_id)
+                tokens_buf = jax.lax.dynamic_update_index_in_dim(
+                    tokens_buf, tok, t, axis=0
+                )
 
-                cache_mask = cache_mask.at[:, Lp + t].set(
-                    (~done).astype(jnp.int32)
+                cache_mask = jax.lax.dynamic_update_slice(
+                    cache_mask,
+                    (~done).astype(jnp.int32)[:, None],
+                    (0, Lp + t),
                 )
                 pos_t = (prompt_len + t)[:, None]
                 step_logits, cache = self._llm(
@@ -186,17 +201,13 @@ class DecodeEngine:
                     token_seen = token_seen.at[jnp.arange(B), tok].add(
                         (~done).astype(jnp.int32)
                     )
-                return (
-                    (cache, cache_mask, step_logits[:, 0], token_seen,
-                     new_done, rng),
-                    tok,
-                )
+                return (t + 1, cache, cache_mask, step_logits[:, 0],
+                        token_seen, rng, new_done, tokens_buf)
 
-            done0 = jnp.zeros((B,), bool)
-            carry0 = (cache, cache_mask, first_logits, token_seen, done0, rng)
-            _, tokens = jax.lax.scan(
-                step, carry0, jnp.arange(max_new, dtype=jnp.int32)
-            )
+            state = (jnp.int32(0), cache, cache_mask, first_logits,
+                     token_seen, rng, jnp.zeros((B,), bool), tokens_buf)
+            state = jax.lax.while_loop(cond, body, state)
+            tokens = state[-1]
             return tokens.T, first_logits  # (B, max_new)
 
         self._gen_fns[key] = run
