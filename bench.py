@@ -53,7 +53,9 @@ def main():
             num_heads=12,
             num_kv_heads=12,
             max_position_embeddings=2048,
-            remat=True,
+            # no remat: the 470M proxy's activations fit HBM, and full
+            # rematerialization costs ~1/3 extra FLOPs per step
+            remat=False,
             dtype=dtype,
             param_dtype=dtype,
         ),
