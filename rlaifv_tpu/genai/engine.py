@@ -269,6 +269,52 @@ class DecodeEngine:
         self._gen_fns[key] = run
         return run
 
+    def generate_many(
+        self,
+        prompts,
+        *,
+        images=None,
+        image_starts=None,
+        batch_size: int = 8,
+        sampling: SamplingParams = SamplingParams.greedy(),
+        max_new_tokens: int = 512,
+        seed: int = 0,
+        prompt_bucket: int = 64,
+    ) -> GenerateResult:
+        """Queue-mode generation: sort by prompt length so each batch shares
+        a tight padding bucket and the all-done early exit fires together
+        (poor-man's continuous batching; the per-batch exit is bounded by
+        the slowest row, so homogeneous batches matter)."""
+        order = sorted(range(len(prompts)), key=lambda i: len(prompts[i]))
+        tokens = [None] * len(prompts)
+        lengths = np.zeros(len(prompts), np.int64)
+        first_logits = [None] * len(prompts)
+
+        for start in range(0, len(order), batch_size):
+            idx = order[start : start + batch_size]
+            res = self.generate(
+                [prompts[i] for i in idx],
+                images=images[idx] if images is not None else None,
+                image_starts=(
+                    [image_starts[i] for i in idx]
+                    if image_starts is not None else None
+                ),
+                sampling=sampling,
+                max_new_tokens=max_new_tokens,
+                seed=seed + start,
+                prompt_bucket=prompt_bucket,
+            )
+            for row, i in enumerate(idx):
+                tokens[i] = res.tokens[row]
+                lengths[i] = res.lengths[row]
+                first_logits[i] = res.first_logits[row]
+
+        width = max(t.shape[0] for t in tokens)
+        out = np.full((len(prompts), width), self.pad_id, np.int32)
+        for i, t in enumerate(tokens):
+            out[i, : t.shape[0]] = t
+        return GenerateResult(out, lengths, np.stack(first_logits))
+
     def generate_beam(
         self,
         prompts,
