@@ -24,6 +24,7 @@ def main():
     import jax.numpy as jnp
 
     from rlaifv_tpu.ops.attention import _build_bias, dense_attention, repeat_kv
+    from rlaifv_tpu.ops.decode_attention import decode_attention
     from rlaifv_tpu.ops.flash_attention import flash_attention
 
     def ref(q, k, v, mask, causal=True):
@@ -61,6 +62,26 @@ def main():
         status = "OK" if (ok_fwd and ok_grad) else "FAIL"
         failures += not (ok_fwd and ok_grad)
         print(f"flash kvh={kvh}: fwd={fwd:.2e} grads={grad_diffs} [{status}]")
+
+    for kvh in (8, 4):
+        B, L, H, D = 4, 896, 8, 128
+        q = jnp.asarray(rng.normal(size=(B, H, D)), jnp.float32)
+        k = jnp.asarray(rng.normal(size=(B, L, kvh, D)), jnp.float32)
+        v = jnp.asarray(rng.normal(size=(B, L, kvh, D)), jnp.float32)
+        mask = np.ones((B, L), np.int32)
+        mask[0, 700:] = 0
+        mask[2, 13:] = 0
+        mask = jnp.asarray(mask)
+
+        got = decode_attention(q, k, v, mask)
+        bias = _build_bias(1, L, mask, False, None, B)
+        want = dense_attention(
+            q[:, None], repeat_kv(k, H // kvh), repeat_kv(v, H // kvh), bias
+        )[:, 0]
+        diff = float(jnp.abs(got - want).max())
+        ok = diff < 2e-3
+        failures += not ok
+        print(f"decode kvh={kvh}: fwd={diff:.2e} [{'OK' if ok else 'FAIL'}]")
 
     print("TPU kernel checks:", "PASS" if failures == 0 else f"{failures} FAILURES")
     return 1 if failures else 0

@@ -1,0 +1,25 @@
+"""Decode-attention kernel parity (interpret mode on CPU; compiled parity
+runs in tests/run_tpu_checks.py)."""
+import numpy as np
+import jax.numpy as jnp
+
+from rlaifv_tpu.ops.attention import _build_bias, dense_attention, repeat_kv
+from rlaifv_tpu.ops.decode_attention import decode_attention
+
+
+def test_decode_attention_interpret_parity():
+    rng = np.random.default_rng(0)
+    B, L, H, KVH, D = 2, 32, 4, 2, 16
+    q = jnp.asarray(rng.normal(size=(B, H, D)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(B, L, KVH, D)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(B, L, KVH, D)), jnp.float32)
+    mask = np.ones((B, L), np.int32)
+    mask[0, 20:] = 0
+    mask = jnp.asarray(mask)
+
+    got = decode_attention(q, k, v, mask, interpret=True)
+    bias = _build_bias(1, L, mask, False, None, B)
+    want = dense_attention(
+        q[:, None], repeat_kv(k, H // KVH), repeat_kv(v, H // KVH), bias
+    )[:, 0]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
