@@ -60,6 +60,9 @@ class TrainingArguments:
     dpo_token_weighted: bool = False
     sft_weight: float = 0.0
     dpo_weight: float = 1.0
+    # "xla" | "fused" | "auto": fused = Pallas fused LM-head (no (2B,L,V)
+    # logits); auto picks fused for hidden_size >= 2048 (7B+), xla below.
+    lm_head_impl: str = "auto"
     # LoRA (ref train_llava15_lora.py:112-117)
     use_lora: bool = False
     lora_r: int = 64

@@ -149,6 +149,33 @@ class LlavaForCausalLM(nn.Module):
         )
         return logits
 
+    def hidden_with_features(
+        self,
+        input_ids: Array,
+        image_features: Array,
+        image_starts: Array,
+        attention_mask: Optional[Array] = None,
+    ) -> Array:
+        """forward_with_features stopping before the lm_head: (B, L, H).
+        Feeds the fused-head logp path (ops/fused_head.py), which applies
+        the head matmul inside the kernel."""
+        ids = jnp.maximum(input_ids, 0)
+        embeds = splice_image_features(
+            self.llm.embed(ids), image_features, image_starts
+        )
+        hidden, _ = self.llm.model(
+            inputs_embeds=embeds, attention_mask=attention_mask
+        )
+        return hidden
+
+    def hidden_text(
+        self, input_ids: Array, attention_mask: Optional[Array] = None
+    ) -> Array:
+        hidden, _ = self.llm.model(
+            input_ids=jnp.maximum(input_ids, 0), attention_mask=attention_mask
+        )
+        return hidden
+
     def decode_step(
         self,
         token_ids: Array,

@@ -16,7 +16,7 @@ Design notes (TPU):
 """
 from __future__ import annotations
 
-from typing import NamedTuple, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -60,6 +60,43 @@ def get_batch_logps(
     lse = jax.scipy.special.logsumexp(lgt.astype(jnp.float32), axis=-1)
     tgt_logit = jnp.take_along_axis(lgt, safe_tgt[..., None], axis=-1)[..., 0]
     per_token = (tgt_logit.astype(jnp.float32) - lse) * mask
+
+    total = per_token.sum(axis=-1)
+    count = mask.sum(axis=-1)
+    mean = total / count
+    return BatchLogps(per_token=per_token, sum=total, mean=mean)
+
+
+def get_batch_logps_from_hidden(
+    hidden: jax.Array,
+    lm_head_kernel: jax.Array,
+    labels: jax.Array,
+    *,
+    shift: bool = True,
+    interpret: Optional[bool] = None,
+) -> BatchLogps:
+    """get_batch_logps from pre-head hidden states via the fused Pallas head
+    (ops/fused_head.py): the (B, L, V) logits are never materialized. Same
+    contract/outputs as get_batch_logps(logits, labels).
+
+    interpret=None auto-selects Pallas interpret mode off-TPU (CPU tests and
+    the virtual-device mesh run the same code path).
+    """
+    from rlaifv_tpu.ops.fused_head import fused_target_logp
+
+    if shift:
+        tgt = labels[:, 1:]
+    else:
+        tgt = labels[:, :-1]
+    hid = hidden[:, :-1, :]
+
+    mask = tgt != IGNORE_INDEX
+    safe_tgt = jnp.where(mask, tgt, 0)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    per_token = fused_target_logp(
+        hid, lm_head_kernel, safe_tgt, interpret=interpret
+    ) * mask
 
     total = per_token.sum(axis=-1)
     count = mask.sum(axis=-1)

@@ -29,6 +29,7 @@ from rlaifv_tpu.train.dpo import (
     dpo_loss,
     dpo_metrics,
     get_batch_logps,
+    get_batch_logps_from_hidden,
 )
 
 Tree = Any
@@ -57,6 +58,25 @@ class LlavaDPOAdapter:
             method=self.module.forward_text,
         )
 
+    def hidden_with_features(self, params, input_ids, feats, starts, mask):
+        return self.module.apply(
+            {"params": params}, input_ids, feats, starts, mask,
+            method=self.module.hidden_with_features,
+        )
+
+    def hidden_text(self, params, input_ids, mask):
+        return self.module.apply(
+            {"params": params}, input_ids, mask,
+            method=self.module.hidden_text,
+        )
+
+    def lm_head_kernel(self, params):
+        """(H, V) head weight for the fused-head logp path."""
+        llm = params["llm"]
+        if "lm_head" in llm:
+            return llm["lm_head"]["kernel"]
+        return llm["model"]["tok_embed"]["embedding"].T  # tied embeddings
+
 
 @dataclasses.dataclass(frozen=True)
 class DPOHparams:
@@ -66,6 +86,11 @@ class DPOHparams:
     sft_weight: float = 0.0  # ref env SFT_weight (trainers.py:299)
     dpo_weight: float = 1.0  # ref env DPO_weight (trainers.py:300)
     logp_shift: bool = True  # False for the MiniCPM label alignment
+    # "xla": model returns logits, logp math in jnp (fastest when the head is
+    # a large FLOP fraction — small models). "fused": pre-head hiddens + the
+    # Pallas fused head (ops/fused_head.py) — the (2B, L, V) logits never
+    # exist; ~2% extra FLOPs at 7B for a multi-GB activation saving.
+    lm_head_impl: str = "xla"
 
 
 @jax.tree_util.register_pytree_node_class
@@ -101,13 +126,19 @@ def dpo_forward_logps(
     twoB = input_ids.shape[0]
     B = twoB // 2
 
+    fused = hp.lm_head_impl == "fused"
+    fwd_feats = (
+        model.hidden_with_features if fused else model.forward_with_features
+    )
+    fwd_text = model.hidden_text if fused else model.forward_text
+
     images = batch.get("images")
     if "win_images" in batch:
         # KTO task: win/rej rows carry different images
         # (ref trainers.py:193-196 torch.cat([win_images, rej_images]))
         both = jnp.concatenate([batch["win_images"], batch["rej_images"]], 0)
         feats2 = model.encode_images_fn(params, both)
-        logits = model.forward_with_features(
+        out = fwd_feats(
             params,
             input_ids,
             feats2,
@@ -117,7 +148,7 @@ def dpo_forward_logps(
     elif images is not None:
         feats = model.encode_images_fn(params, images)  # (B, P, D)
         feats2 = jnp.concatenate([feats, feats], axis=0)
-        logits = model.forward_with_features(
+        out = fwd_feats(
             params,
             input_ids,
             feats2,
@@ -125,9 +156,14 @@ def dpo_forward_logps(
             batch["attention_mask"],
         )
     else:
-        logits = model.forward_text(params, input_ids, batch["attention_mask"])
+        out = fwd_text(params, input_ids, batch["attention_mask"])
 
-    lp = get_batch_logps(logits, labels, shift=hp.logp_shift)
+    if fused:
+        lp = get_batch_logps_from_hidden(
+            out, model.lm_head_kernel(params), labels, shift=hp.logp_shift
+        )
+    else:
+        lp = get_batch_logps(out, labels, shift=hp.logp_shift)
 
     if hp.dpo_token_weighted:
         token_weight = jnp.concatenate(

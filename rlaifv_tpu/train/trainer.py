@@ -79,12 +79,20 @@ class DPOTrainer:
         self.mesh = mesh or create_mesh(
             dp=t.mesh_dp, fsdp=t.mesh_fsdp, tp=t.mesh_tp
         )
+        head = getattr(t, "lm_head_impl", "auto")
+        if head == "auto":
+            # fused head trades ~2 extra head matmuls for never materializing
+            # the (2B, L, V) logits — a win once the head is a small FLOP
+            # fraction (7B+); measured slower at sub-1B proxy scale (PARITY).
+            hidden = model.cfg.llm.hidden_size
+            head = "fused" if hidden >= 2048 else "xla"
         hp = DPOHparams(
             beta=t.dpo_beta,
             dpo_use_average=t.dpo_use_average,
             dpo_token_weighted=t.dpo_token_weighted,
             sft_weight=t.sft_weight,
             dpo_weight=t.dpo_weight,
+            lm_head_impl=head,
         )
         self.optimizer = make_optimizer(
             t.learning_rate,

@@ -26,6 +26,7 @@ def main():
     from rlaifv_tpu.ops.attention import _build_bias, dense_attention, repeat_kv
     from rlaifv_tpu.ops.decode_attention import decode_attention
     from rlaifv_tpu.ops.flash_attention import flash_attention
+    from rlaifv_tpu.ops.fused_head import fused_target_logp, target_logp_xla
 
     def ref(q, k, v, mask, causal=True):
         n_rep = q.shape[2] // k.shape[2]
@@ -82,6 +83,40 @@ def main():
         ok = diff < 2e-3
         failures += not ok
         print(f"decode kvh={kvh}: fwd={diff:.2e} [{'OK' if ok else 'FAIL'}]")
+
+    for dtype, tol_f, tol_g in ((jnp.float32, 3e-4, 2e-3), (jnp.bfloat16, 6e-2, 8e-2)):
+        M, H, V = 2048, 1024, 32000
+        x = jnp.asarray(rng.normal(size=(M, H)) * 0.3, dtype)
+        w = jnp.asarray(rng.normal(size=(H, V)) * 0.02, dtype)
+        y = jnp.asarray(rng.integers(0, V, size=(M,)), jnp.int32)
+        g = jnp.asarray(rng.normal(size=(M,)), jnp.float32)
+
+        # f32 oracle at HIGHEST matmul precision (XLA's default f32 matmul is
+        # bf16 passes on TPU — less accurate than the kernel, which pins
+        # HIGHEST for f32 inputs)
+        xf, wf = x.astype(jnp.float32), w.astype(jnp.float32)
+        with jax.default_matmul_precision("highest"):
+            want = target_logp_xla(xf, wf, y)
+            dxx, dwx = jax.grad(
+                lambda x, w: (target_logp_xla(x, w, y) * g).sum(),
+                argnums=(0, 1),
+            )(xf, wf)
+        got = fused_target_logp(x, w, y)
+        fwd = float(jnp.abs(got - want).max())
+        ok_fwd = fwd < tol_f
+
+        dxf, dwf = jax.grad(
+            lambda x, w: (fused_target_logp(x, w, y) * g).sum(), argnums=(0, 1)
+        )(x, w)
+        gdiffs = [
+            float(jnp.abs(a.astype(jnp.float32) - b).max())
+            for a, b in zip((dxf, dwf), (dxx, dwx))
+        ]
+        ok_grad = all(d < tol_g for d in gdiffs)
+        status = "OK" if (ok_fwd and ok_grad) else "FAIL"
+        failures += not (ok_fwd and ok_grad)
+        print(f"fused_head {jnp.dtype(dtype).name}: fwd={fwd:.2e} "
+              f"grads={gdiffs} [{status}]")
 
     print("TPU kernel checks:", "PASS" if failures == 0 else f"{failures} FAILURES")
     return 1 if failures else 0

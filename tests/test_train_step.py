@@ -95,11 +95,38 @@ def test_loss_runs_unsharded(setup):
     assert "rewards_train/accuracies" in metrics
 
 
+def test_fused_head_impl_matches_xla(setup):
+    """lm_head_impl='fused' (Pallas fused head, interpret on CPU) must match
+    the logits path in loss and in parameter gradients."""
+    _, _, adapter, _, batch, params = setup
+    jb = {k: jnp.asarray(v) for k, v in batch.items()}
+
+    def loss_with(impl):
+        hp = DPOHparams(beta=0.1, lm_head_impl=impl)
+
+        def f(p):
+            return dpo_loss_from_batch(adapter, p, jb, hp)[0]
+
+        return jax.value_and_grad(f)(params)
+
+    loss_x, grad_x = loss_with("xla")
+    loss_f, grad_f = loss_with("fused")
+    np.testing.assert_allclose(float(loss_f), float(loss_x), rtol=1e-5)
+    flat_x = jax.tree_util.tree_leaves_with_path(grad_x)
+    flat_f = jax.tree_util.tree_leaves(grad_f)
+    for (path, gx), gf in zip(flat_x, flat_f):
+        np.testing.assert_allclose(
+            np.asarray(gf), np.asarray(gx), rtol=2e-4, atol=2e-5,
+            err_msg=jax.tree_util.keystr(path),
+        )
+
+
 @pytest.mark.parametrize("hp", [
     DPOHparams(beta=0.1),
     DPOHparams(beta=0.5, dpo_use_average=True),
     DPOHparams(beta=0.1, dpo_token_weighted=True),
     DPOHparams(beta=0.1, sft_weight=0.5),
+    DPOHparams(beta=0.1, lm_head_impl="fused"),
 ])
 def test_train_step_sharded(setup, hp):
     _, _, adapter, _, batch, params = setup
