@@ -1,0 +1,416 @@
+"""Continuous batching for the decode engine: slot-refill generation.
+
+The reference generates with fixed batches (muffin/llava15_gen_data.py:273:
+every row waits for the slowest row of its batch). The queue-mode
+`generate_many` bounds that waste by length-sorting; this module removes it:
+B cache slots decode together, and whenever a slot finishes its sequence a
+pending prompt is prefilled into that slot while the others keep decoding.
+
+TPU-native shape discipline — everything is static-shape:
+
+- one global KV cache (B, max_len, KVH, D) with a single shared write column
+  `gt` that advances once per decode step (all rows write the same column).
+- a refilled prompt is placed so it *ends* at the current `gt`: prefill runs
+  in its own (R, Lp_r) window, and the window K/V is scattered into columns
+  [gt - Lp_r, gt) of the finished slots. RoPE positions are content-relative
+  (per-row cumsum of the validity mask), so cache columns only ever carry
+  masking, never positions — which is what makes the shared column work.
+- every row's valid window is therefore contiguous and ends at `gt`, so
+  cache *compaction* (reclaiming the dead prefix when `gt` nears max_len) is
+  a uniform roll-left by `gt - max(cur_pos)` — one fused op, no per-row math.
+- decode runs in jitted chunks of T steps with an all-done early exit; the
+  host inspects `done` between chunks, harvests finished rows, and refills.
+
+Sampling state (repetition-penalty token counts), per-row position counters
+and max-new accounting all reset per-slot at refill. Greedy outputs are
+bit-identical to `DecodeEngine.generate` (tests/test_continuous.py).
+"""
+from __future__ import annotations
+
+from collections import deque
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rlaifv_tpu.genai.sampling import SamplingParams, sample_token
+
+Array = jax.Array
+
+
+def _bucket(n: int, b: int) -> int:
+    return ((n + b - 1) // b) * b
+
+
+def _pow2_at_least(n: int, cap: int) -> int:
+    r = 1
+    while r < n:
+        r *= 2
+    return min(r, cap)
+
+
+class ContinuousGenerator:
+    """Drives a DecodeEngine's model with slot-refill continuous batching."""
+
+    def __init__(
+        self,
+        engine,
+        *,
+        slots: int = 8,
+        chunk: int = 32,
+        max_new_tokens: int = 512,
+        sampling: SamplingParams = SamplingParams.greedy(),
+        prompt_bucket: int = 64,
+        headroom: Optional[int] = None,
+    ):
+        self.engine = engine
+        self.model = engine.model
+        self.B = slots
+        self.T = chunk
+        self.max_new = max_new_tokens
+        self.sp = sampling
+        self.prompt_bucket = prompt_bucket
+        self.headroom = headroom or max(2 * chunk, 128)
+        self.use_rep = sampling.repetition_penalty != 1.0
+        self._fns = engine._gen_fns  # share the engine's compile cache
+
+    # ------------------------------------------------------------- jitted
+
+    def _logits_dtype(self):
+        cfg = self.model.cfg.llm if self.engine._multimodal else self.model.cfg
+        return cfg.dtype
+
+    def _build_refill(self, R: int, Lp: int, has_images: bool):
+        key = ("cont_refill", R, Lp, has_images, self.use_rep)
+        if key in self._fns:
+            return self._fns[key]
+
+        engine, model, use_rep = self.engine, self.model, self.use_rep
+
+        @partial(jax.jit, donate_argnums=(1, 2, 3, 4, 5, 6, 7))
+        def refill(params, cache, cache_mask, token_seen, last_logits,
+                   cur_pos, emitted, done, ids, mask, slot_ids, gt,
+                   images, starts):
+            B = cache_mask.shape[0]
+            pos = jnp.maximum(jnp.cumsum(mask, axis=1) - 1, 0)
+            sub_cache = model.init_cache(R, Lp)
+
+            if has_images:
+                embeds = model.apply(
+                    {"params": params}, jnp.maximum(ids, 0),
+                    method=lambda m, i: m.llm.embed(i),
+                )
+                from rlaifv_tpu.models.llava import splice_image_features
+
+                feats = model.apply(
+                    {"params": params}, images, method=model.encode_images
+                )
+                embeds = splice_image_features(embeds, feats, starts)
+                logits, sub_cache = engine._llm(
+                    params, inputs_embeds=embeds, attention_mask=mask,
+                    position_ids=pos, cache=sub_cache,
+                    cache_index=jnp.int32(0),
+                )
+            else:
+                logits, sub_cache = engine._llm(
+                    params, input_ids=jnp.maximum(ids, 0),
+                    attention_mask=mask, position_ids=pos, cache=sub_cache,
+                    cache_index=jnp.int32(0),
+                )
+
+            start = gt - Lp
+
+            def put(glob, sub):
+                win = jax.lax.dynamic_slice(
+                    glob, (0, start, 0, 0), (B, Lp) + glob.shape[2:]
+                )
+                win = win.at[slot_ids].set(sub.astype(glob.dtype),
+                                           mode="drop")
+                return jax.lax.dynamic_update_slice(glob, win, (0, start, 0, 0))
+
+            cache = [
+                {"k": put(c["k"], s["k"]), "v": put(c["v"], s["v"])}
+                for c, s in zip(cache, sub_cache)
+            ]
+
+            cm = cache_mask.at[slot_ids].set(0, mode="drop")
+            win = jax.lax.dynamic_slice(cm, (0, start), (B, Lp))
+            win = win.at[slot_ids].set(mask, mode="drop")
+            cache_mask = jax.lax.dynamic_update_slice(cm, win, (0, start))
+
+            if use_rep:
+                V = token_seen.shape[1]
+                rows = jnp.broadcast_to(
+                    jnp.arange(R, dtype=jnp.int32)[:, None], ids.shape
+                )
+                sub_seen = jnp.zeros((R, V), jnp.int32).at[
+                    rows, jnp.maximum(ids, 0)
+                ].add(mask.astype(jnp.int32))
+                token_seen = token_seen.at[slot_ids].set(0, mode="drop")
+                token_seen = token_seen.at[slot_ids].set(sub_seen, mode="drop")
+
+            first = logits[:, -1, :]
+            last_logits = last_logits.at[slot_ids].set(
+                first.astype(last_logits.dtype), mode="drop"
+            )
+            cur_pos = cur_pos.at[slot_ids].set(
+                mask.sum(axis=1).astype(cur_pos.dtype), mode="drop"
+            )
+            emitted = emitted.at[slot_ids].set(0, mode="drop")
+            done = done.at[slot_ids].set(False, mode="drop")
+            return (cache, cache_mask, token_seen, last_logits, cur_pos,
+                    emitted, done, first)
+
+        self._fns[key] = refill
+        return refill
+
+    def _build_chunk(self):
+        key = ("cont_chunk", self.sp, self.T, self.max_new, self.use_rep)
+        if key in self._fns:
+            return self._fns[key]
+
+        engine, sp, T, max_new = self.engine, self.sp, self.T, self.max_new
+        use_rep = self.use_rep
+        eos_id, pad_id = engine.eos_id, engine.pad_id
+
+        @partial(jax.jit, donate_argnums=(1, 2, 3, 4, 5, 6, 7))
+        def chunk(params, cache, cache_mask, token_seen, last_logits,
+                  cur_pos, emitted, done, gt, rng):
+            B = cache_mask.shape[0]
+            buf = jnp.full((T, B), pad_id, jnp.int32)
+
+            def cond(s):
+                return (s[0] < T) & jnp.logical_not(jnp.all(s[7]))
+
+            def body(s):
+                (t, cache, cache_mask, token_seen, last_logits, cur_pos,
+                 emitted, done, gt, rng, buf) = s
+                rng, sub = jax.random.split(rng)
+                tok = sample_token(sub, last_logits.astype(jnp.float32), sp,
+                                   token_seen if use_rep else None)
+                tok = jnp.where(done, pad_id, tok)
+                emitted = emitted + jnp.logical_not(done)
+                new_done = done | (tok == eos_id) | (emitted >= max_new)
+                buf = jax.lax.dynamic_update_index_in_dim(buf, tok, t, axis=0)
+
+                cache_mask = jax.lax.dynamic_update_slice(
+                    cache_mask,
+                    jnp.logical_not(done).astype(jnp.int32)[:, None],
+                    (0, gt),
+                )
+                step_logits, cache = engine._llm(
+                    params, input_ids=tok[:, None],
+                    attention_mask=cache_mask,
+                    position_ids=cur_pos[:, None], cache=cache,
+                    cache_index=gt,
+                )
+                if use_rep:
+                    token_seen = token_seen.at[
+                        jnp.arange(B, dtype=jnp.int32), tok
+                    ].add(jnp.logical_not(done).astype(jnp.int32))
+                cur_pos = cur_pos + jnp.logical_not(done)
+                return (t + 1, cache, cache_mask, token_seen,
+                        step_logits[:, 0], cur_pos, emitted, new_done,
+                        gt + 1, rng, buf)
+
+            state = (jnp.int32(0), cache, cache_mask, token_seen,
+                     last_logits, cur_pos, emitted, done, gt, rng, buf)
+            state = jax.lax.while_loop(cond, body, state)
+            (_, cache, cache_mask, token_seen, last_logits, cur_pos,
+             emitted, done, gt, rng, buf) = state
+            return (cache, cache_mask, token_seen, last_logits, cur_pos,
+                    emitted, done, gt, rng, buf)
+
+        self._fns[key] = chunk
+        return chunk
+
+    def _build_compact(self):
+        key = ("cont_compact",)
+        if key in self._fns:
+            return self._fns[key]
+
+        @partial(jax.jit, donate_argnums=(0, 1))
+        def compact(cache, cache_mask, gt, shift):
+            def roll(a):
+                return jnp.roll(a, -shift, axis=1)
+
+            cache = [
+                {"k": roll(c["k"]), "v": roll(c["v"])} for c in cache
+            ]
+            cm = roll(cache_mask)
+            cols = jnp.arange(cm.shape[1], dtype=jnp.int32)[None, :]
+            cm = jnp.where(cols < gt - shift, cm, 0)
+            return cache, cm, gt - shift
+
+        self._fns[key] = compact
+        return compact
+
+    # --------------------------------------------------------------- host
+
+    def run(
+        self,
+        prompts,
+        *,
+        images: Optional[np.ndarray] = None,
+        image_starts=None,
+        seed: int = 0,
+        collect_first_logits: bool = False,
+    ):
+        """Generate for every prompt; returns a GenerateResult (tokens padded
+        to the longest generation, lengths incl. EOS, first_logits only when
+        collect_first_logits)."""
+        from rlaifv_tpu.genai.engine import GenerateResult, left_pad_batch
+
+        engine, B, T = self.engine, self.B, self.T
+        N = len(prompts)
+        if N == 0:
+            return GenerateResult(
+                np.zeros((0, 0), np.int32), np.zeros(0, np.int64),
+                np.zeros((0, engine.vocab_size), np.float32),
+            )
+
+        # longest-first: guarantees every refill prompt fits left of gt and
+        # is the classic makespan heuristic.
+        queue = deque(sorted(range(N), key=lambda i: -len(prompts[i])))
+        Lp0 = _bucket(len(prompts[queue[0]]), self.prompt_bucket)
+        max_len = Lp0 + self.max_new + self.headroom
+
+        cache = self.model.init_cache(B, max_len)
+        cache_mask = jnp.zeros((B, max_len), jnp.int32)
+        token_seen = jnp.zeros((B, engine.vocab_size), jnp.int32)
+        last_logits = jnp.zeros((B, engine.vocab_size), self._logits_dtype())
+        cur_pos = jnp.zeros((B,), jnp.int32)
+        emitted = jnp.zeros((B,), jnp.int32)
+        done = jnp.ones((B,), bool)
+        rng = jax.random.PRNGKey(seed)
+
+        owner = [-1] * B
+        chunks_per_slot = [[] for _ in range(B)]
+        out_tokens = [None] * N
+        first_logits = [None] * N
+        host_done = np.ones(B, bool)
+        gt_host = Lp0
+
+        def harvest(s):
+            p = owner[s]
+            if p < 0:
+                return
+            toks = (np.concatenate(chunks_per_slot[s])
+                    if chunks_per_slot[s] else np.zeros(0, np.int32))
+            out_tokens[p] = toks
+            owner[s] = -1
+            chunks_per_slot[s] = []
+
+        def refill():
+            nonlocal cache, cache_mask, token_seen, last_logits
+            nonlocal cur_pos, emitted, done, gt_host
+            free = [s for s in range(B) if host_done[s]]
+            take = min(len(free), len(queue))
+            if take == 0:
+                return
+            group = [queue.popleft() for _ in range(take)]
+            for s in free[:take]:
+                harvest(s)
+            Lp_r = _bucket(max(len(prompts[p]) for p in group),
+                           self.prompt_bucket)
+            if Lp_r > gt_host:
+                # advance the shared write column so the prompt fits left of
+                # it — the skipped columns are mask-0, and longest-first
+                # ordering bounds Lp_r <= Lp0 <= max_len - max_new - headroom.
+                gt_host = Lp_r
+            R = _pow2_at_least(take, B)
+
+            ids, mask = left_pad_batch(
+                [prompts[p] for p in group], engine.pad_id, Lp_r
+            )
+            if take < R:
+                ids = np.concatenate(
+                    [ids, np.full((R - take, Lp_r), engine.pad_id, np.int32)]
+                )
+                mask = np.concatenate(
+                    [mask, np.zeros((R - take, Lp_r), np.int32)]
+                )
+            slot_ids = np.full(R, B, np.int32)  # B = dropped (dummy rows)
+            slot_ids[:take] = free[:take]
+
+            imgs = starts = None
+            if images is not None:
+                imgs = np.zeros((R,) + images.shape[1:], images.dtype)
+                imgs[:take] = images[group]
+                offs = Lp_r - np.asarray(
+                    [len(prompts[p]) for p in group], np.int32
+                )
+                st = np.asarray([image_starts[p] for p in group], np.int32)
+                starts = np.zeros(R, np.int32)
+                starts[:take] = np.where(st < 0, -1, st + offs)
+
+            fn = self._build_refill(R, Lp_r, images is not None)
+            (cache, cache_mask, token_seen, last_logits, cur_pos, emitted,
+             done, first) = fn(
+                engine.params, cache, cache_mask, token_seen, last_logits,
+                cur_pos, emitted, done, jnp.asarray(ids), jnp.asarray(mask),
+                jnp.asarray(slot_ids), jnp.int32(gt_host),
+                engine._device_images(imgs) if imgs is not None else None,
+                jnp.asarray(starts) if starts is not None else None,
+            )
+            for s, p in zip(free[:take], group):
+                owner[s] = p
+                host_done[s] = False
+            if collect_first_logits:
+                fl = np.asarray(first, np.float32)
+                for r, p in enumerate(group):
+                    first_logits[p] = fl[r]
+
+        chunk_fn = self._build_chunk()
+        compact_fn = self._build_compact()
+
+        refill()
+        while queue or not host_done.all():
+            if gt_host + T > max_len:
+                # reclaim the dead prefix: every ACTIVE row's window is the
+                # trailing cur_pos columns before gt (finished rows' windows
+                # are dead — their tokens live in host buffers).
+                cur_host = np.asarray(cur_pos)
+                active = cur_host[~host_done]
+                base = int(active.max()) if active.size else 0
+                shift = gt_host - base
+                cache, cache_mask, _ = compact_fn(
+                    cache, cache_mask, jnp.int32(gt_host), jnp.int32(shift)
+                )
+                gt_host -= shift
+
+            rng, sub = jax.random.split(rng)
+            (cache, cache_mask, token_seen, last_logits, cur_pos, emitted,
+             done, gt, _, buf) = chunk_fn(
+                engine.params, cache, cache_mask, token_seen, last_logits,
+                cur_pos, emitted, done, jnp.int32(gt_host), sub,
+            )
+            buf_h = np.asarray(buf)  # (T, B)
+            host_done = np.array(done)  # writable copy
+            gt_host = int(np.asarray(gt))
+            for s in range(B):
+                if owner[s] >= 0:
+                    chunks_per_slot[s].append(buf_h[:, s])
+            refill()
+
+        for s in range(B):
+            harvest(s)
+
+        lengths = np.zeros(N, np.int64)
+        trimmed = []
+        for p in range(N):
+            row = out_tokens[p]
+            eos = np.where(row == engine.eos_id)[0]
+            n = int(eos[0]) + 1 if len(eos) else min(len(row), self.max_new)
+            n = min(n, self.max_new)
+            lengths[p] = n
+            trimmed.append(row[:n])
+        width = max(self.max_new, 1)
+        out = np.full((N, width), engine.pad_id, np.int32)
+        for p, t in enumerate(trimmed):
+            out[p, : len(t)] = t
+        fl = (np.stack([f for f in first_logits])
+              if collect_first_logits else None)
+        return GenerateResult(out, lengths, fl)

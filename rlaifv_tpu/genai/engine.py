@@ -315,6 +315,37 @@ class DecodeEngine:
             out[i, : t.shape[0]] = t
         return GenerateResult(out, lengths, np.stack(first_logits))
 
+    def generate_continuous(
+        self,
+        prompts,
+        *,
+        images=None,
+        image_starts=None,
+        slots: int = 8,
+        sampling: SamplingParams = SamplingParams.greedy(),
+        max_new_tokens: int = 512,
+        seed: int = 0,
+        chunk: int = 32,
+        prompt_bucket: int = 64,
+        collect_first_logits: bool = False,
+    ) -> GenerateResult:
+        """Slot-refill continuous batching (genai/continuous.py): finished
+        rows are immediately replaced from the queue instead of waiting for
+        the batch's slowest row. Greedy outputs match generate() exactly."""
+        from rlaifv_tpu.genai.continuous import ContinuousGenerator
+
+        gen = ContinuousGenerator(
+            self, slots=slots, chunk=chunk, max_new_tokens=max_new_tokens,
+            sampling=sampling, prompt_bucket=prompt_bucket,
+        )
+        return gen.run(
+            prompts,
+            images=np.asarray(images) if images is not None else None,
+            image_starts=image_starts,
+            seed=seed,
+            collect_first_logits=collect_first_logits,
+        )
+
     def generate_beam(
         self,
         prompts,

@@ -108,9 +108,25 @@ class Llava15Generator:
 
     def diverse_gen(self, items: List[dict], *, temperature: float = 0.7,
                     max_new_tokens: int = 512, batch_size: int = 8,
-                    seed: int = 0) -> List[dict]:
-        out = []
+                    seed: int = 0, continuous: bool = False) -> List[dict]:
+        """continuous=True uses slot-refill continuous batching: each
+        finished row is immediately replaced from the item queue instead of
+        waiting for its batch's slowest row (genai/continuous.py)."""
         sp = SamplingParams(temperature=temperature, do_sample=True)
+        if continuous:
+            prompts, starts, images = self._prepare(items)
+            res = self.engine.generate_continuous(
+                prompts, images=images, image_starts=starts,
+                slots=batch_size, sampling=sp,
+                max_new_tokens=max_new_tokens, seed=seed,
+            )
+            return [
+                self._meta_row(item, answer=self.tokenizer.decode(
+                    res.tokens[b][: res.lengths[b]], skip_special_tokens=True
+                ).strip())
+                for b, item in enumerate(items)
+            ]
+        out = []
         for i in range(0, len(items), batch_size):
             chunk = items[i : i + batch_size]
             prompts, starts, images = self._prepare(chunk)

@@ -132,9 +132,14 @@ def test_wrap_question(tiny_gen):
     assert ids[0] == tok.bos_token_id
 
 
-def test_diverse_gen_rows(tiny_gen):
+import pytest
+
+
+@pytest.mark.parametrize("continuous", [False, True])
+def test_diverse_gen_rows(tiny_gen, continuous):
     cfg, gen, tok = tiny_gen
-    rows = gen.diverse_gen(_items(cfg, 3), max_new_tokens=4, batch_size=2)
+    rows = gen.diverse_gen(_items(cfg, 3), max_new_tokens=4, batch_size=2,
+                           continuous=continuous)
     assert len(rows) == 3
     for r in rows:
         assert set(r) >= {"question_id", "ds_question_id", "raw_question",
