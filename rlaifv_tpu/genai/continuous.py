@@ -82,32 +82,39 @@ class ContinuousGenerator:
         cfg = self.model.cfg.llm if self.engine._multimodal else self.model.cfg
         return cfg.dtype
 
-    def _build_refill(self, R: int, Lp: int, has_images: bool):
-        key = ("cont_refill", R, Lp, has_images, self.use_rep)
+    def _build_refill(self, R: int, Lp: int, mode: str):
+        """mode: 'text' | 'images' (encode+single-span splice, LLaVA/OmniLMM)
+        | 'spans' (pre-encoded multi-span features, MiniCPM-V slices)."""
+        key = ("cont_refill", R, Lp, mode, self.use_rep)
         if key in self._fns:
             return self._fns[key]
 
         engine, model, use_rep = self.engine, self.model, self.use_rep
 
-        @partial(jax.jit, donate_argnums=(1, 2, 3, 4, 5, 6, 7))
+        @partial(jax.jit, donate_argnums=(1, 2, 3, 4, 5, 6, 7, 8))
         def refill(params, cache, cache_mask, token_seen, last_logits,
-                   cur_pos, emitted, done, ids, mask, slot_ids, gt,
-                   images, starts):
+                   cur_pos, emitted, done, budget, ids, mask, slot_ids, gt,
+                   media, starts, budgets_r):
             B = cache_mask.shape[0]
             pos = jnp.maximum(jnp.cumsum(mask, axis=1) - 1, 0)
             sub_cache = model.init_cache(R, Lp)
 
-            if has_images:
+            if mode != "text":
                 embeds = model.apply(
                     {"params": params}, jnp.maximum(ids, 0),
                     method=lambda m, i: m.llm.embed(i),
                 )
-                from rlaifv_tpu.models.llava import splice_image_features
+                if mode == "spans":
+                    from rlaifv_tpu.models.minicpmv import splice_multi_span
 
-                feats = model.apply(
-                    {"params": params}, images, method=model.encode_images
-                )
-                embeds = splice_image_features(embeds, feats, starts)
+                    embeds = splice_multi_span(embeds, media, starts)
+                else:
+                    from rlaifv_tpu.models.llava import splice_image_features
+
+                    feats = model.apply(
+                        {"params": params}, media, method=model.encode_images
+                    )
+                    embeds = splice_image_features(embeds, feats, starts)
                 logits, sub_cache = engine._llm(
                     params, inputs_embeds=embeds, attention_mask=mask,
                     position_ids=pos, cache=sub_cache,
@@ -160,8 +167,9 @@ class ContinuousGenerator:
             )
             emitted = emitted.at[slot_ids].set(0, mode="drop")
             done = done.at[slot_ids].set(False, mode="drop")
+            budget = budget.at[slot_ids].set(budgets_r, mode="drop")
             return (cache, cache_mask, token_seen, last_logits, cur_pos,
-                    emitted, done, first)
+                    emitted, done, budget, first)
 
         self._fns[key] = refill
         return refill
@@ -171,13 +179,13 @@ class ContinuousGenerator:
         if key in self._fns:
             return self._fns[key]
 
-        engine, sp, T, max_new = self.engine, self.sp, self.T, self.max_new
+        engine, sp, T = self.engine, self.sp, self.T
         use_rep = self.use_rep
         eos_id, pad_id = engine.eos_id, engine.pad_id
 
         @partial(jax.jit, donate_argnums=(1, 2, 3, 4, 5, 6, 7))
         def chunk(params, cache, cache_mask, token_seen, last_logits,
-                  cur_pos, emitted, done, gt, rng):
+                  cur_pos, emitted, done, budget, gt, rng):
             B = cache_mask.shape[0]
             buf = jnp.full((T, B), pad_id, jnp.int32)
 
@@ -192,7 +200,7 @@ class ContinuousGenerator:
                                    token_seen if use_rep else None)
                 tok = jnp.where(done, pad_id, tok)
                 emitted = emitted + jnp.logical_not(done)
-                new_done = done | (tok == eos_id) | (emitted >= max_new)
+                new_done = done | (tok == eos_id) | (emitted >= budget)
                 buf = jax.lax.dynamic_update_index_in_dim(buf, tok, t, axis=0)
 
                 cache_mask = jax.lax.dynamic_update_slice(
@@ -220,8 +228,19 @@ class ContinuousGenerator:
             state = jax.lax.while_loop(cond, body, state)
             (_, cache, cache_mask, token_seen, last_logits, cur_pos,
              emitted, done, gt, rng, buf) = state
+            # pack everything the host reads into ONE array: each host fetch
+            # is a full RPC round-trip on remote-device links, so buf / done /
+            # gt / cur_pos ride one transfer (rows: 0..T-1 tokens, T done,
+            # T+1 gt, T+2 cur_pos).
+            packed = jnp.concatenate(
+                [buf,
+                 done.astype(jnp.int32)[None, :],
+                 jnp.full((1, B), gt, jnp.int32),
+                 cur_pos[None, :].astype(jnp.int32)],
+                axis=0,
+            )
             return (cache, cache_mask, token_seen, last_logits, cur_pos,
-                    emitted, done, gt, rng, buf)
+                    emitted, done, packed)
 
         self._fns[key] = chunk
         return chunk
@@ -255,8 +274,11 @@ class ContinuousGenerator:
         *,
         images: Optional[np.ndarray] = None,
         image_starts=None,
+        span_features: Optional[np.ndarray] = None,  # (N, S, Q, D)
+        span_starts=None,  # (N, S), -1 inactive
         seed: int = 0,
         collect_first_logits: bool = False,
+        max_new_per_prompt=None,  # (N,) per-prompt token budgets
     ):
         """Generate for every prompt; returns a GenerateResult (tokens padded
         to the longest generation, lengths incl. EOS, first_logits only when
@@ -284,6 +306,11 @@ class ContinuousGenerator:
         cur_pos = jnp.zeros((B,), jnp.int32)
         emitted = jnp.zeros((B,), jnp.int32)
         done = jnp.ones((B,), bool)
+        budget = jnp.full((B,), self.max_new, jnp.int32)
+        budgets = (np.minimum(np.asarray(max_new_per_prompt, np.int32),
+                              self.max_new)
+                   if max_new_per_prompt is not None
+                   else np.full(N, self.max_new, np.int32))
         rng = jax.random.PRNGKey(seed)
 
         owner = [-1] * B
@@ -305,7 +332,7 @@ class ContinuousGenerator:
 
         def refill():
             nonlocal cache, cache_mask, token_seen, last_logits
-            nonlocal cur_pos, emitted, done, gt_host
+            nonlocal cur_pos, emitted, done, budget, gt_host
             free = [s for s in range(B) if host_done[s]]
             take = min(len(free), len(queue))
             if take == 0:
@@ -335,25 +362,39 @@ class ContinuousGenerator:
             slot_ids = np.full(R, B, np.int32)  # B = dropped (dummy rows)
             slot_ids[:take] = free[:take]
 
-            imgs = starts = None
+            media = starts = None
+            offs = Lp_r - np.asarray(
+                [len(prompts[p]) for p in group], np.int32
+            )
             if images is not None:
-                imgs = np.zeros((R,) + images.shape[1:], images.dtype)
-                imgs[:take] = images[group]
-                offs = Lp_r - np.asarray(
-                    [len(prompts[p]) for p in group], np.int32
-                )
+                media = np.zeros((R,) + images.shape[1:], images.dtype)
+                media[:take] = images[group]
                 st = np.asarray([image_starts[p] for p in group], np.int32)
                 starts = np.zeros(R, np.int32)
                 starts[:take] = np.where(st < 0, -1, st + offs)
+            elif span_features is not None:
+                media = np.zeros((R,) + span_features.shape[1:],
+                                 span_features.dtype)
+                media[:take] = span_features[group]
+                st = np.asarray([span_starts[p] for p in group], np.int32)
+                starts = np.full((R,) + st.shape[1:], -1, np.int32)
+                starts[:take] = np.where(st < 0, -1, st + offs[:, None])
 
-            fn = self._build_refill(R, Lp_r, images is not None)
+            budgets_r = np.full(R, self.max_new, np.int32)
+            budgets_r[:take] = budgets[group]
+
+            mode = ("images" if images is not None
+                    else "spans" if span_features is not None else "text")
+            fn = self._build_refill(R, Lp_r, mode)
             (cache, cache_mask, token_seen, last_logits, cur_pos, emitted,
-             done, first) = fn(
+             done, budget, first) = fn(
                 engine.params, cache, cache_mask, token_seen, last_logits,
-                cur_pos, emitted, done, jnp.asarray(ids), jnp.asarray(mask),
-                jnp.asarray(slot_ids), jnp.int32(gt_host),
-                engine._device_images(imgs) if imgs is not None else None,
+                cur_pos, emitted, done, budget, jnp.asarray(ids),
+                jnp.asarray(mask), jnp.asarray(slot_ids), jnp.int32(gt_host),
+                (engine._device_images(media) if mode == "images"
+                 else jnp.asarray(media) if mode == "spans" else None),
                 jnp.asarray(starts) if starts is not None else None,
+                jnp.asarray(budgets_r),
             )
             for s, p in zip(free[:take], group):
                 owner[s] = p
@@ -367,12 +408,12 @@ class ContinuousGenerator:
         compact_fn = self._build_compact()
 
         refill()
+        cur_host = np.zeros(B, np.int64)
         while queue or not host_done.all():
             if gt_host + T > max_len:
                 # reclaim the dead prefix: every ACTIVE row's window is the
                 # trailing cur_pos columns before gt (finished rows' windows
                 # are dead — their tokens live in host buffers).
-                cur_host = np.asarray(cur_pos)
                 active = cur_host[~host_done]
                 base = int(active.max()) if active.size else 0
                 shift = gt_host - base
@@ -383,13 +424,15 @@ class ContinuousGenerator:
 
             rng, sub = jax.random.split(rng)
             (cache, cache_mask, token_seen, last_logits, cur_pos, emitted,
-             done, gt, _, buf) = chunk_fn(
+             done, packed) = chunk_fn(
                 engine.params, cache, cache_mask, token_seen, last_logits,
-                cur_pos, emitted, done, jnp.int32(gt_host), sub,
+                cur_pos, emitted, done, budget, jnp.int32(gt_host), sub,
             )
-            buf_h = np.asarray(buf)  # (T, B)
-            host_done = np.array(done)  # writable copy
-            gt_host = int(np.asarray(gt))
+            packed_h = np.asarray(packed)  # single fetch: one RPC
+            buf_h = packed_h[:T]
+            host_done = packed_h[T].astype(bool)
+            gt_host = int(packed_h[T + 1, 0])
+            cur_host = packed_h[T + 2]
             for s in range(B):
                 if owner[s] >= 0:
                     chunks_per_slot[s].append(buf_h[:, s])
@@ -403,8 +446,8 @@ class ContinuousGenerator:
         for p in range(N):
             row = out_tokens[p]
             eos = np.where(row == engine.eos_id)[0]
-            n = int(eos[0]) + 1 if len(eos) else min(len(row), self.max_new)
-            n = min(n, self.max_new)
+            n = int(eos[0]) + 1 if len(eos) else min(len(row), int(budgets[p]))
+            n = min(n, int(budgets[p]))
             lengths[p] = n
             trimmed.append(row[:n])
         width = max(self.max_new, 1)

@@ -321,6 +321,8 @@ class DecodeEngine:
         *,
         images=None,
         image_starts=None,
+        span_features=None,
+        span_starts=None,
         slots: int = 8,
         sampling: SamplingParams = SamplingParams.greedy(),
         max_new_tokens: int = 512,
@@ -328,6 +330,7 @@ class DecodeEngine:
         chunk: int = 32,
         prompt_bucket: int = 64,
         collect_first_logits: bool = False,
+        max_new_per_prompt=None,
     ) -> GenerateResult:
         """Slot-refill continuous batching (genai/continuous.py): finished
         rows are immediately replaced from the queue instead of waiting for
@@ -342,8 +345,12 @@ class DecodeEngine:
             prompts,
             images=np.asarray(images) if images is not None else None,
             image_starts=image_starts,
+            span_features=(np.asarray(span_features)
+                           if span_features is not None else None),
+            span_starts=span_starts,
             seed=seed,
             collect_first_logits=collect_first_logits,
+            max_new_per_prompt=max_new_per_prompt,
         )
 
     def generate_beam(

@@ -118,9 +118,22 @@ class MiniCPMVGenerator:
     # ---------------------------------------------------------- modes
 
     def diverse_gen(self, items, *, temperature=0.7, max_new_tokens=512,
-                    batch_size=4, seed=0) -> List[dict]:
+                    batch_size=4, seed=0, continuous=False) -> List[dict]:
         sp = SamplingParams(temperature=temperature, do_sample=True,
                             repetition_penalty=1.05)
+        if continuous:
+            prompts, feats, starts = self._prepare(items)
+            res = self.engine.generate_continuous(
+                prompts, span_features=feats, span_starts=starts,
+                slots=batch_size, sampling=sp,
+                max_new_tokens=max_new_tokens, seed=seed,
+            )
+            return [
+                self._row(item, answer=self.tokenizer.decode(
+                    res.tokens[b][: res.lengths[b]], skip_special_tokens=True
+                ).strip())
+                for b, item in enumerate(items)
+            ]
         out = []
         for i in range(0, len(items), batch_size):
             chunk = items[i : i + batch_size]

@@ -148,6 +148,63 @@ def test_continuous_repetition_penalty(tiny_lm):
     _check(res, ref_toks, ref_lens, max_new)
 
 
+def test_continuous_per_prompt_budgets(tiny_lm):
+    """max_new_per_prompt stops each row at its own budget and the emitted
+    tokens still match the reference rollout prefix."""
+    _, model, params = tiny_lm
+    engine = DecodeEngine(model, params, eos_id=-1, pad_id=0)
+    rng = np.random.default_rng(5)
+    prompts = [list(rng.integers(3, 200, size=n)) for n in (9, 5, 14, 7)]
+    budgets = [3, 7, 1, 5]
+    sp = SamplingParams.greedy()
+    gen = ContinuousGenerator(
+        engine, slots=2, chunk=4, max_new_tokens=8,
+        sampling=sp, prompt_bucket=8,
+    )
+    res = gen.run(prompts, max_new_per_prompt=budgets)
+    ref_toks, _ = _reference(engine, prompts, sp, 8)
+    for i, b in enumerate(budgets):
+        assert int(res.lengths[i]) == b
+        np.testing.assert_array_equal(res.tokens[i, :b], ref_toks[i][:b])
+
+
+def test_continuous_spans(tiny_llava):
+    """Pre-encoded multi-span features (MiniCPM-V slice path) through the
+    continuous engine match per-prompt generate."""
+    cfg, model, params = tiny_llava
+    engine = DecodeEngine(model, params, eos_id=-1, pad_id=0)
+    D = cfg.llm.hidden_size
+    Q = 4  # span length in tokens
+    rng = np.random.default_rng(6)
+    N, S = 3, 2
+    span_features = rng.normal(size=(N, S, Q, D)).astype(np.float32) * 0.1
+    prompts, span_starts = [], np.full((N, S), -1, np.int32)
+    for i, extra in enumerate((6, 3, 9)):
+        body = list(rng.integers(3, 200, size=extra))
+        prompts.append([1] + [-2] * Q + body + [-2] * Q + [5])
+        span_starts[i, 0] = 1
+        span_starts[i, 1] = 1 + Q + extra
+
+    sp = SamplingParams.greedy()
+    max_new = 5
+    gen = ContinuousGenerator(
+        engine, slots=2, chunk=4, max_new_tokens=max_new,
+        sampling=sp, prompt_bucket=8,
+    )
+    res = gen.run(prompts, span_features=span_features,
+                  span_starts=span_starts)
+
+    for i in range(N):
+        ref = engine.generate(
+            [prompts[i]], span_features=span_features[i : i + 1],
+            span_starts=span_starts[i : i + 1], sampling=sp,
+            max_new_tokens=max_new, prompt_bucket=8,
+        )
+        n = int(res.lengths[i])
+        assert n == int(ref.lengths[0])
+        np.testing.assert_array_equal(res.tokens[i, :n], ref.tokens[0][:n])
+
+
 def test_continuous_multimodal(tiny_llava):
     cfg, model, params = tiny_llava
     engine = DecodeEngine(model, params, eos_id=-1, pad_id=0)
