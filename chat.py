@@ -68,6 +68,16 @@ class RLAIFV7B:
         )
         self.max_new_tokens = max_new_tokens
         self.mm_use_im_start_end = False
+        self.image_newline = None
+        if cfg.image_aspect_ratio == "anyres":
+            from rlaifv_tpu.models.convert import load_image_newline
+
+            self.image_newline = load_image_newline(model_path)
+            self._encode_views = jax.jit(
+                lambda p, v: self.model.apply(
+                    {"params": p}, v, method=self.model.encode_images
+                )
+            )
 
     def chat(self, input: dict) -> str:
         question = input["question"]
@@ -83,17 +93,39 @@ class RLAIFV7B:
         prompt = conv.get_prompt()
 
         ids = tokenizer_image_token(prompt, self.tokenizer)
-        ex = expand_image_sentinels(ids, None, self.cfg.num_image_tokens)
-        image = self.image_processor(decode_image(input["image"]))
 
-        # ref chat.py:169-178: do_sample=False, num_beams=3
-        result = self.engine.generate_beam(
-            [ex["input_ids"].tolist()],
-            images=image[None],
-            image_starts=[int(ex["image_start"])],
-            num_beams=3,
-            max_new_tokens=self.max_new_tokens,
-        )
+        if self.cfg.image_aspect_ratio == "anyres":
+            # LLaVA-1.6 path: ragged merged features ride the span splice
+            # (ref llava_arch.py:158-205); B=1 keeps shapes static per call.
+            from rlaifv_tpu.models.anyres import encode_anyres
+
+            merged = encode_anyres(
+                self.model, self.engine.params, self.image_processor,
+                self.cfg, input["image"],
+                image_newline=self.image_newline,
+                encode_fn=self._encode_views,
+            )
+            T = merged.shape[0]
+            ex = expand_image_sentinels(ids, None, T)
+            result = self.engine.generate_beam(
+                [ex["input_ids"].tolist()],
+                span_features=merged[None, None],
+                span_starts=[[int(ex["image_start"])]],
+                num_beams=3,
+                max_new_tokens=self.max_new_tokens,
+            )
+        else:
+            ex = expand_image_sentinels(ids, None, self.cfg.num_image_tokens)
+            image = self.image_processor(decode_image(input["image"]))
+
+            # ref chat.py:169-178: do_sample=False, num_beams=3
+            result = self.engine.generate_beam(
+                [ex["input_ids"].tolist()],
+                images=image[None],
+                image_starts=[int(ex["image_start"])],
+                num_beams=3,
+                max_new_tokens=self.max_new_tokens,
+            )
         out = result.tokens[0][: result.lengths[0]]
         return self.tokenizer.decode(out, skip_special_tokens=True).strip()
 

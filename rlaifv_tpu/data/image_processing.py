@@ -131,6 +131,15 @@ def resize_and_pad(img, target: Tuple[int, int]):
 
 def process_anyres_image(image, processor: ClipImageProcessor, grid_pinpoints):
     """anyres: base resize + grid patches (ref mm_utils.py:119-145)."""
+    return process_anyres_image_full(image, processor, grid_pinpoints)[0]
+
+
+def process_anyres_image_full(
+    image, processor: ClipImageProcessor, grid_pinpoints
+):
+    """anyres views plus the geometry the feature merge needs:
+    -> (views (1+nw*nh, S, S, 3), grid_shape (nw, nh), original_size (w, h)).
+    """
     import ast
 
     res = grid_pinpoints if isinstance(grid_pinpoints, list) else ast.literal_eval(
@@ -142,4 +151,7 @@ def process_anyres_image(image, processor: ClipImageProcessor, grid_pinpoints):
     patches = divide_to_patches(padded, processor.image_size)
     base = img.resize((processor.image_size, processor.image_size))
     plain = dataclasses.replace(processor, aspect_ratio="square")
-    return np.stack([plain(p) for p in [base] + patches])
+    views = np.stack([plain(p) for p in [base] + patches])
+    grid_shape = (best[0] // processor.image_size,
+                  best[1] // processor.image_size)
+    return views, grid_shape, img.size

@@ -87,3 +87,39 @@ def merge_anyres_features(
         return np.concatenate([base, grid.reshape(-1, D)], axis=0)
 
     raise ValueError(f"Unexpected mm_patch_merge_type: {merge_type}")
+
+
+def encode_anyres(
+    model,
+    params,
+    processor,
+    cfg,
+    image,
+    *,
+    image_newline: Optional[np.ndarray] = None,
+    encode_fn=None,  # optional jitted (params, views) -> (V, P^2, D)
+) -> np.ndarray:
+    """Full anyres encode for inference: host geometry -> batched view
+    encode on device -> host merge. -> (T, D) merged features to feed the
+    engine's span splice (T varies per image; B=1 chat is the consumer).
+
+    cfg: LlavaConfig with image_grid_pinpoints / mm_patch_merge_type set
+    (ref llava_arch.py:150-205 anyres branch, done TPU-style: the views
+    batch rides one encode call; the ragged merge stays on host).
+    """
+    from rlaifv_tpu.data.image_processing import process_anyres_image_full
+
+    views, grid_shape, original_size = process_anyres_image_full(
+        image, processor, cfg.image_grid_pinpoints
+    )
+    if encode_fn is None:
+        def encode_fn(p, v):
+            return model.apply({"params": p}, v, method=model.encode_images)
+    feats = np.asarray(encode_fn(params, views), np.float32)
+    return merge_anyres_features(
+        feats,
+        grid_shape,
+        merge_type=cfg.mm_patch_merge_type,
+        original_size=original_size,
+        image_newline=image_newline,
+    )

@@ -228,7 +228,31 @@ def llava_config_from_hf(model_dir: str, **overrides):
         llm=llm,
         vision=vision,
         projector_type=raw.get("mm_projector_type", "mlp2x_gelu"),
+        image_aspect_ratio=raw.get("image_aspect_ratio", "pad"),
+        image_grid_pinpoints=raw.get("image_grid_pinpoints"),
+        mm_patch_merge_type=raw.get("mm_patch_merge_type", "flat"),
     )
+
+
+def load_image_newline(model_dir: str) -> Optional[np.ndarray]:
+    """LLaVA-1.6 checkpoints carry a learnable `model.image_newline` (D,)
+    used by the spatial_unpad anyres merge. Lazy single-tensor read."""
+    key = "model.image_newline"
+    for fname in sorted(os.listdir(model_dir)):
+        path = os.path.join(model_dir, fname)
+        if fname.endswith(".safetensors"):
+            from safetensors import safe_open
+
+            with safe_open(path, framework="np") as f:
+                if key in f.keys():
+                    return np.asarray(f.get_tensor(key))
+        elif fname.endswith(".bin"):
+            import torch
+
+            sd = torch.load(path, map_location="cpu", weights_only=True)
+            if key in sd:
+                return sd[key].float().numpy()
+    return None
 
 
 def load_llava_checkpoint(model_dir: str, dtype=np.float32,

@@ -32,6 +32,11 @@ class LlavaConfig:
     llm: LlamaConfig = dataclasses.field(default_factory=LlamaConfig)
     vision: CLIPVisionConfig = dataclasses.field(default_factory=CLIPVisionConfig)
     projector_type: str = "mlp2x_gelu"
+    # LLaVA-1.6 anyres surface (ref llava_arch.py:158-205; RLAIF-V trains
+    # with 'pad'): grid pinpoints + merge type drive the inference path.
+    image_aspect_ratio: str = "pad"
+    image_grid_pinpoints: Optional[list] = None
+    mm_patch_merge_type: str = "flat"
 
     @property
     def num_image_tokens(self) -> int:

@@ -79,3 +79,59 @@ def test_chat_end_to_end(tiny_checkpoint, tmp_path):
     m.model.max_new_tokens = 8
     out2 = m.model.chat({"image": img_path, "question": "why did the car stop"})
     assert len(out2) > 0
+
+
+@pytest.fixture(scope="module")
+def tiny_anyres_checkpoint(tmp_path_factory, tiny_checkpoint):
+    """Same tiny weights, LLaVA-1.6-style config: anyres + spatial_unpad."""
+    import shutil
+    import torch
+    from safetensors.torch import save_file
+
+    d = str(tmp_path_factory.mktemp("tiny_llava_anyres"))
+    for f in os.listdir(tiny_checkpoint):
+        shutil.copy(os.path.join(tiny_checkpoint, f), d)
+    torch.manual_seed(7)
+    save_file({"model.image_newline": torch.randn(16)},
+              os.path.join(d, "model-extra.safetensors"))
+    with open(os.path.join(d, "config.json")) as f:
+        cfg = json.load(f)
+    cfg.update(
+        image_aspect_ratio="anyres",
+        image_grid_pinpoints=[[14, 14], [14, 28], [28, 14], [28, 28]],
+        mm_patch_merge_type="spatial_unpad",
+    )
+    with open(os.path.join(d, "config.json"), "w") as f:
+        json.dump(cfg, f)
+    return d
+
+
+def test_chat_anyres_end_to_end(tiny_anyres_checkpoint, tmp_path):
+    from PIL import Image
+
+    img_path = str(tmp_path / "img.jpeg")
+    rng = np.random.default_rng(1)
+    Image.fromarray(
+        rng.integers(0, 255, size=(60, 80, 3), dtype=np.uint8)
+    ).save(img_path, quality=90)
+
+    from chat import RLAIFV7B
+    from rlaifv_tpu.models.anyres import encode_anyres
+
+    m = RLAIFV7B(tiny_anyres_checkpoint)
+    assert m.cfg.image_aspect_ratio == "anyres"
+    assert m.image_newline is not None and m.image_newline.shape == (16,)
+
+    merged = encode_anyres(
+        m.model, m.engine.params, m.image_processor, m.cfg, img_path,
+        image_newline=m.image_newline, encode_fn=m._encode_views,
+    )
+    # 80x60 image -> best grid (28, 28) -> 2x2 patch views; spatial_unpad =
+    # base (4) + 4x4 grid with a newline column (4x5) = 24 ragged tokens
+    assert merged.shape == (24, 16)
+    assert np.isfinite(merged).all()
+
+    m.engine.eos_id = -1  # force a full decode with random weights
+    m.max_new_tokens = 6
+    out = m.chat({"image": img_path, "question": "why did the car stop"})
+    assert isinstance(out, str) and len(out) > 0
