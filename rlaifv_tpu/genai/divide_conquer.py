@@ -149,7 +149,8 @@ def construct_question_yesno(path: str, save_path: str) -> List[dict]:
 
 
 def make_llama3_backend(model_path: str, *, temperature: float = 0.2,
-                        top_p: float = 0.9, max_new_tokens: int = 256):
+                        top_p: float = 0.9, max_new_tokens: int = 256,
+                        continuous: bool = False, slots: int = 8):
     """Converted Llama3-8B + jitted decode engine as the generate_fn."""
     from transformers import AutoTokenizer
 
@@ -175,9 +176,17 @@ def make_llama3_backend(model_path: str, *, temperature: float = 0.2,
 
     def generate_fn(prompts: List[str]) -> List[str]:
         token_prompts = [tokenizer(p).input_ids for p in prompts]
-        res = engine.generate(
-            token_prompts, sampling=sp, max_new_tokens=max_new_tokens
-        )
+        if continuous:
+            # fact lists vary a lot in length — slot-refill keeps every
+            # cache slot busy instead of waiting on the batch max.
+            res = engine.generate_continuous(
+                token_prompts, sampling=sp, max_new_tokens=max_new_tokens,
+                slots=slots,
+            )
+        else:
+            res = engine.generate(
+                token_prompts, sampling=sp, max_new_tokens=max_new_tokens
+            )
         return [
             tokenizer.decode(res.tokens[i][: res.lengths[i]],
                              skip_special_tokens=True)

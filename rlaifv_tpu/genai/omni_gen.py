@@ -118,8 +118,21 @@ class OmniLMMGenerator:
         return rows
 
     def diverse_gen(self, items, *, temperature=0.7, max_new_tokens=512,
-                    batch_size=8, seed=0) -> List[dict]:
+                    batch_size=8, seed=0, continuous=False) -> List[dict]:
         sp = SamplingParams(temperature=temperature, do_sample=True)
+        if continuous:
+            prompts, starts, images = self._prepare(items)
+            res = self.engine.generate_continuous(
+                prompts, images=images, image_starts=starts,
+                slots=batch_size, sampling=sp,
+                max_new_tokens=max_new_tokens, seed=seed,
+            )
+            return [
+                self._row(item, answer=self.tokenizer.decode(
+                    res.tokens[b][: res.lengths[b]], skip_special_tokens=True
+                ).strip())
+                for b, item in enumerate(items)
+            ]
         out = []
         for item, text, _ in self.generate(
             items, sampling=sp, max_new_tokens=max_new_tokens,
