@@ -14,6 +14,7 @@ from __future__ import annotations
 import dataclasses
 import io
 import math
+import os
 from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -29,7 +30,13 @@ def decode_image(data) -> "PIL.Image.Image":
     if isinstance(data, (bytes, bytearray)):
         return Image.open(io.BytesIO(data)).convert("RGB")
     if isinstance(data, str):
-        return Image.open(data).convert("RGB")
+        # eval/gen jsonl rows carry either a path or a b64 payload in the
+        # same field (ref muffin/eval/muffin_vqa.py:31-114 handles both)
+        if os.path.exists(data):
+            return Image.open(data).convert("RGB")
+        import base64
+
+        return Image.open(io.BytesIO(base64.b64decode(data))).convert("RGB")
     if isinstance(data, np.ndarray):
         return Image.fromarray(data.astype(np.uint8)).convert("RGB")
     if isinstance(data, dict) and "bytes" in data:

@@ -28,6 +28,7 @@ def generate_answers(
     num_chunks: int = 1,
     chunk_idx: int = 0,
     model_id: str = "",
+    num_beams: int = 1,  # eval scripts use 3 (ref eval_rlaifv_objhal.sh)
 ) -> List[dict]:
     idx = chunk_indices(len(rows), num_chunks, chunk_idx)
     rows = [rows[i] for i in idx]
@@ -46,7 +47,8 @@ def generate_answers(
             for r in chunk
         ]
         answers = generator.greedy_gen(
-            items, max_new_tokens=max_new_tokens, batch_size=batch_size
+            items, max_new_tokens=max_new_tokens, batch_size=batch_size,
+            num_beams=num_beams,
         )
         for r, a in zip(chunk, answers):
             out.append({
@@ -67,6 +69,8 @@ def main(argv=None):
     ap.add_argument("--num-chunks", type=int, default=1)
     ap.add_argument("--chunk-idx", type=int, default=0)
     ap.add_argument("--max-new-tokens", type=int, default=1024)
+    # ref muffin/eval/muffin_vqa.py --num_beams 3 via eval_rlaifv_objhal.sh
+    ap.add_argument("--num-beams", type=int, default=3)
     args = ap.parse_args(argv)
 
     from transformers import AutoTokenizer
@@ -90,6 +94,7 @@ def main(argv=None):
         gen, rows, max_new_tokens=args.max_new_tokens,
         num_chunks=args.num_chunks, chunk_idx=args.chunk_idx,
         model_id=args.model_path.split("/")[-1],
+        num_beams=args.num_beams,
     )
     write_jsonlines(args.answers_file, out)
 

@@ -142,17 +142,38 @@ class Llava15Generator:
         return out
 
     def greedy_gen(self, items: List[dict], *, max_new_tokens: int = 1024,
-                   batch_size: int = 8) -> List[dict]:
-        """Deterministic benchmark decoding (ref muffin_vqa.py T=0)."""
+                   batch_size: int = 8, num_beams: int = 1,
+                   continuous: bool = False) -> List[dict]:
+        """Deterministic benchmark decoding (ref muffin_vqa.py: T=0; the
+        eval scripts pass beam 3 — num_beams>1 uses the KV-cached beam)."""
+        if continuous and num_beams == 1:
+            prompts, starts, images = self._prepare(items)
+            res = self.engine.generate_continuous(
+                prompts, images=images, image_starts=starts,
+                slots=batch_size, sampling=SamplingParams.greedy(),
+                max_new_tokens=max_new_tokens,
+            )
+            return [
+                self._meta_row(item, answer=self.tokenizer.decode(
+                    res.tokens[b][: res.lengths[b]], skip_special_tokens=True
+                ).strip())
+                for b, item in enumerate(items)
+            ]
         out = []
         for i in range(0, len(items), batch_size):
             chunk = items[i : i + batch_size]
             prompts, starts, images = self._prepare(chunk)
-            res = self.engine.generate(
-                prompts, images=images, image_starts=starts,
-                sampling=SamplingParams.greedy(),
-                max_new_tokens=max_new_tokens,
-            )
+            if num_beams > 1:
+                res = self.engine.generate_beam(
+                    prompts, images=images, image_starts=starts,
+                    num_beams=num_beams, max_new_tokens=max_new_tokens,
+                )
+            else:
+                res = self.engine.generate(
+                    prompts, images=images, image_starts=starts,
+                    sampling=SamplingParams.greedy(),
+                    max_new_tokens=max_new_tokens,
+                )
             for b, item in enumerate(chunk):
                 text = self.tokenizer.decode(
                     res.tokens[b][: res.lengths[b]], skip_special_tokens=True

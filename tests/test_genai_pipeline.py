@@ -147,6 +147,15 @@ def test_diverse_gen_rows(tiny_gen, continuous):
         assert r["model_path"] == "tiny-test"
 
 
+def test_greedy_gen_beam_mode(tiny_gen):
+    """num_beams>1 routes through the KV-cached beam search (reference eval
+    scripts decode with beam 3)."""
+    cfg, gen, tok = tiny_gen
+    rows = gen.greedy_gen(_items(cfg, 2), max_new_tokens=4, batch_size=2,
+                          num_beams=3)
+    assert len(rows) == 2 and all("answer" in r for r in rows)
+
+
 def test_autocheck_scores(tiny_gen):
     cfg, gen, tok = tiny_gen
     rows = gen.autocheck(_items(cfg, 2), batch_size=2)
