@@ -31,7 +31,7 @@ class RLAIFV7B:
     """LLaVA-1.5-7B (CLIP-L/14-336 + Vicuna-7B) chat."""
 
     def __init__(self, model_path: str, model_base: Optional[str] = None,
-                 max_new_tokens: int = 1024):
+                 max_new_tokens: int = 1024, load_8bit: bool = False):
         import jax
         import numpy as np
 
@@ -43,7 +43,10 @@ class RLAIFV7B:
             load_pretrained_llava,
         )
 
-        cfg = llava_config_from_hf(model_base or model_path)
+        # load_8bit: weight-only int8 LLM (QuantDense; the TPU answer to the
+        # reference loader's bitsandbytes option, builder.py:30-49)
+        overrides = {"llm": {"quantize": True}} if load_8bit else {}
+        cfg = llava_config_from_hf(model_base or model_path, **overrides)
         self.cfg = cfg
         self.model = LlavaForCausalLM(cfg)
         # handles full / LoRA-over-base / projector-delta checkpoints
@@ -51,6 +54,7 @@ class RLAIFV7B:
         params = load_pretrained_llava(
             model_path, model_base=model_base,
             vision_layers_to_run=cfg.vision.layers_to_run,
+            quantize_llm=load_8bit,
         )
 
         try:
@@ -133,7 +137,7 @@ class RLAIFV7B:
 class RLAIFVChat:
     """Pick the model family by path substring (ref chat.py:221-228)."""
 
-    def __init__(self, model_path: str):
+    def __init__(self, model_path: str, load_8bit: bool = False):
         if "12B" in model_path:
             from rlaifv_tpu.genai.omni_gen import OmniLMMChat  # noqa: F401
 
@@ -145,7 +149,8 @@ class RLAIFVChat:
                 base = os.environ.get(
                     "RLAIFV_MODEL_BASE", "liuhaotian/llava-v1.5-7b"
                 )
-            self.model = RLAIFV7B(model_path, model_base=base)
+            self.model = RLAIFV7B(model_path, model_base=base,
+                                  load_8bit=load_8bit)
 
     def chat(self, input: dict) -> str:
         return self.model.chat(input)
@@ -156,7 +161,9 @@ if __name__ == "__main__":
     ap.add_argument("--model-path", required=True)
     ap.add_argument("--image", default="./examples/test.jpeg")
     ap.add_argument("--question", default="Why did the car in the picture stop?")
+    ap.add_argument("--load-8bit", action="store_true",
+                    help="weight-only int8 LLM (halves weight HBM)")
     args = ap.parse_args()
 
-    chat_model = RLAIFVChat(args.model_path)
+    chat_model = RLAIFVChat(args.model_path, load_8bit=args.load_8bit)
     print(chat_model.chat({"image": args.image, "question": args.question}))

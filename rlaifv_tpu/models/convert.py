@@ -428,12 +428,41 @@ def convert_peft_lora(sd: Mapping[str, Any], dtype=np.float32) -> Tree:
     return lora
 
 
+_QUANT_PROJ = re.compile(
+    r"^(q_proj|k_proj|v_proj|o_proj|out_proj|gate_proj|up_proj|down_proj|"
+    r"lm_head)$"
+)
+
+
+def quantize_llm_int8(llm_params: Tree) -> Tree:
+    """Weight-only int8 for every projection/mlp/lm_head kernel (the TPU
+    answer to the reference loader's load_8bit, builder.py:30-49). Matches
+    QuantDense's {kernel:int8, scale:f32-per-out-channel} param layout;
+    embeddings and norms stay in their float dtype."""
+    from rlaifv_tpu.models.llama import quantize_kernel_int8
+
+    def walk(node, name):
+        if isinstance(node, dict):
+            if (
+                _QUANT_PROJ.match(name or "")
+                and set(node) == {"kernel"}
+                and np.ndim(node["kernel"]) == 2
+            ):
+                q, s = quantize_kernel_int8(node["kernel"])
+                return {"kernel": q, "scale": s}
+            return {k: walk(v, k) for k, v in node.items()}
+        return node
+
+    return walk(llm_params, "")
+
+
 def load_pretrained_llava(
     model_path: str,
     model_base: Optional[str] = None,
     dtype=np.float32,
     vision_layers_to_run: Optional[int] = None,
     lora_alpha: float = 16.0,
+    quantize_llm: bool = False,
 ) -> Tree:
     """Reference load_pretrained_model semantics (ref llava/model/
     builder.py:26-167) for the three layouts:
@@ -445,9 +474,12 @@ def load_pretrained_llava(
       tensors the delta dir provides (mm_projector-only checkpoints).
     """
     if model_base is None:
-        return load_llava_checkpoint(
+        params = load_llava_checkpoint(
             model_path, dtype=dtype, vision_layers_to_run=vision_layers_to_run
         )
+        if quantize_llm:
+            params["llm"] = quantize_llm_int8(params["llm"])
+        return params
 
     params = load_llava_checkpoint(
         model_base, dtype=dtype, vision_layers_to_run=vision_layers_to_run
@@ -495,4 +527,6 @@ def load_pretrained_llava(
         from rlaifv_tpu.train.lora import lora_merge
 
         params = lora_merge(params, lora, alpha=lora_alpha)
+    if quantize_llm:
+        params["llm"] = quantize_llm_int8(params["llm"])
     return params

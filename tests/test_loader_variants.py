@@ -109,3 +109,51 @@ def test_projector_only_delta(tmp_path):
         np.asarray(params["llm"]["model"]["tok_embed"]["embedding"]),
         np.asarray(base_params["llm"]["model"]["tok_embed"]["embedding"]),
     )
+
+
+def test_int8_quantized_load_and_forward(tmp_path):
+    """load_8bit equivalent: int8 kernels + per-channel scales reproduce the
+    bf16 forward within quantization tolerance and halve weight bytes."""
+    import dataclasses
+    import jax
+    import jax.numpy as jnp
+
+    from rlaifv_tpu.models.convert import llava_config_from_hf
+    from rlaifv_tpu.models.llava import LlavaForCausalLM
+
+    base = str(tmp_path / "base")
+    _make_tiny_llava_sd(base)
+    import json
+    cfg_json = {
+        "vocab_size": 64, "hidden_size": 16, "intermediate_size": 32,
+        "num_hidden_layers": 2, "num_attention_heads": 2,
+        "num_key_value_heads": 2, "max_position_embeddings": 32,
+        "mm_projector_type": "mlp2x_gelu",
+        "vision_config": {"image_size": 14, "patch_size": 7,
+                          "hidden_size": 16, "intermediate_size": 32,
+                          "num_hidden_layers": 2, "num_attention_heads": 2},
+    }
+    with open(os.path.join(base, "config.json"), "w") as f:
+        json.dump(cfg_json, f)
+
+    cfg = llava_config_from_hf(base)
+    cfg_q = llava_config_from_hf(base, llm={"quantize": True})
+    full = load_pretrained_llava(base)
+    quant = load_pretrained_llava(base, quantize_llm=True)
+
+    lq = quant["llm"]["model"]["layer_0"]["attn"]["q_proj"]
+    assert lq["kernel"].dtype == np.int8 and lq["scale"].shape == (16,)
+    assert quant["llm"]["lm_head"]["kernel"].dtype == np.int8
+    # embeddings stay float
+    assert quant["llm"]["model"]["tok_embed"]["embedding"].dtype != np.int8
+
+    ids = jnp.asarray(np.arange(6, dtype=np.int32)[None] + 3)
+    lf, _ = LlavaForCausalLM(cfg).apply(
+        {"params": full}, ids, method=lambda m, i: m.llm(input_ids=i)
+    )
+    lquant, _ = LlavaForCausalLM(cfg_q).apply(
+        {"params": quant}, ids, method=lambda m, i: m.llm(input_ids=i)
+    )
+    err = np.abs(np.asarray(lf) - np.asarray(lquant)).max()
+    spread = np.abs(np.asarray(lf)).max()
+    assert err < 0.05 * spread + 0.05, (err, spread)
