@@ -16,6 +16,7 @@ from typing import Dict, Iterator
 import jax
 import jax.numpy as jnp
 import numpy as np
+import optax
 
 from rlaifv_tpu.core.checkpoint import CheckpointManager, has_resumable_checkpoint
 from rlaifv_tpu.core.config import Config
@@ -102,6 +103,15 @@ class DPOTrainer:
             max_grad_norm=t.max_grad_norm,
             schedule=t.lr_schedule,
         )
+        self.grad_accum = max(int(getattr(t, "gradient_accumulation", 1)), 1)
+        if self.grad_accum > 1:
+            # ref HF Trainer gradient_accumulation_steps: k micro-batches
+            # average into one optimizer update; max_steps still counts
+            # optimizer updates (the lr schedule sees applies, as optax
+            # MultiSteps only advances the inner transform on the k-th call).
+            self.optimizer = optax.MultiSteps(
+                self.optimizer, every_k_schedule=self.grad_accum
+            )
         with self.mesh:
             if self.use_lora:
                 self.base_params = shard_params(base_params, self.mesh)
@@ -182,9 +192,10 @@ class DPOTrainer:
         batches = prefetch_iterator(self._batches(t.seed), depth=2)
         step = self.start_step
         t0 = time.time()
+        micro_total = t.max_steps * self.grad_accum
         with self.mesh:
             for batch in batches:
-                if step >= t.max_steps:
+                if step >= micro_total:
                     break
                 sb = shard_batch(batch, self.mesh)
                 if self.use_lora:

@@ -86,6 +86,37 @@ def test_trainer_runs_and_checkpoints(setup, tmp_path):
     assert int(state2.step) == 6
 
 
+def test_gradient_accumulation(setup, tmp_path):
+    """gradient_accumulation=k: k micro-batches per optimizer update (optax
+    MultiSteps); the loop runs max_steps*k micro-steps and params only move
+    on every k-th micro-batch."""
+    cfg, model, ds, coll, params = setup
+    c = _config(tmp_path, steps=2, gradient_accumulation=2, save_steps=100)
+    trainer = DPOTrainer(c, model, jax.device_get(params), ds, coll)
+
+    p0 = jax.device_get(trainer.state.params["mm_projector"])
+    batches = iter(trainer._batches(0))
+    from rlaifv_tpu.parallel.sharding import shard_batch
+
+    with trainer.mesh:
+        sb = shard_batch(next(batches), trainer.mesh)
+        trainer.state, _ = trainer._step(trainer.state, sb)
+        p1 = jax.device_get(trainer.state.params["mm_projector"])
+        # first micro-step: gradients accumulated, no optimizer update yet
+        for a, b in zip(jax.tree.leaves(p0), jax.tree.leaves(p1)):
+            np.testing.assert_array_equal(a, b)
+        sb = shard_batch(next(batches), trainer.mesh)
+        trainer.state, _ = trainer._step(trainer.state, sb)
+        p2 = jax.device_get(trainer.state.params["mm_projector"])
+        assert any(
+            np.abs(np.asarray(a) - np.asarray(b)).max() > 0
+            for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2))
+        )
+
+    state = trainer.train()
+    assert int(state.step) == 2 + 2 * 2  # 2 warm micro-steps + max_steps*k
+
+
 def test_lora_targets_exclude_tower_and_head(setup):
     _, _, _, _, params = setup
     paths = lora_target_paths(params)
