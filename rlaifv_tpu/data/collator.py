@@ -41,6 +41,9 @@ class DPOCollator:
     beta: float = 0.1
     mod_token_weight: float = 1.0  # train default (llava15_train.sh passes 1.0)
     expand_images: bool = True  # False when ids are already text-expanded
+    # "DPO": one image per pair (win's). "KTO": each side carries its own
+    # image -> win_images/rej_images (ref trainers.py:188-196 is_kto branch).
+    task: str = "DPO"
     # Bucketed padding: pad to the batch max rounded up to a multiple of
     # `bucket` (capped at max_len) instead of always max_len. Typical
     # RLAIF-V rows are ~700-900 tokens after image expansion, so this cuts
@@ -112,7 +115,14 @@ class DPOCollator:
         }
 
         images = [x.get("image") for x in win_instances]
-        if images[0] is not None:
+        if self.task.upper() == "KTO" and images[0] is not None:
+            rej_images = [
+                r.get("image") if r.get("image") is not None else w
+                for r, w in zip(rej_instances, images)
+            ]
+            batch["win_images"] = np.stack(images).astype(np.float32)
+            batch["rej_images"] = np.stack(rej_images).astype(np.float32)
+        elif images[0] is not None:
             batch["images"] = np.stack(images).astype(np.float32)
 
         for name, side in (("win", win_instances), ("rej", rej_instances)):

@@ -32,6 +32,37 @@ def test_random_augment_deterministic_seed():
     assert a.shape == img.shape
 
 
+def test_kto_collator_emits_per_side_images():
+    """task='KTO' wires the config through to per-side image batches
+    (ref trainers.py:188-196) without any manual batch surgery."""
+    cfg = LlavaConfig.tiny()
+    model = LlavaForCausalLM(cfg)
+    P = cfg.num_image_tokens
+    pairs = synth_preference_pairs(cfg, 2, answer_len=6, question_len=4)
+    rng = np.random.default_rng(3)
+    S = cfg.vision.image_size
+    for rej, win in pairs:  # give the rejected side its own image
+        rej["image"] = rng.normal(size=(S, S, 3)).astype(np.float32)
+
+    coll = DPOCollator(pad_token_id=0, max_len=48, num_patches=P, task="KTO")
+    batch = coll(pairs)
+    assert "images" not in batch
+    assert batch["win_images"].shape == batch["rej_images"].shape
+    assert np.abs(batch["win_images"] - batch["rej_images"]).max() > 0
+
+    params = model.init(
+        jax.random.PRNGKey(0),
+        jnp.asarray(batch["input_ids"][:2]),
+        images=jnp.asarray(batch["win_images"]),
+        image_starts=jnp.asarray(batch["image_starts"][:2]),
+    )["params"]
+    jb = {k: jnp.asarray(v) for k, v in batch.items()}
+    loss, _ = dpo_loss_from_batch(
+        LlavaDPOAdapter(model), params, jb, DPOHparams()
+    )
+    assert np.isfinite(float(loss))
+
+
 def test_kto_path_uses_per_side_images():
     cfg = LlavaConfig.tiny()
     model = LlavaForCausalLM(cfg)

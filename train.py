@@ -123,11 +123,18 @@ def main(argv=None):
         num_patches=cfg.num_image_tokens,
         beta=config.training.dpo_beta,
         mod_token_weight=config.training.dpo_token_weight,
+        task=config.training.task,
     )
 
     if config.training.use_lora:
         from rlaifv_tpu.train.lora import lora_init
 
+        if config.training.lora_dropout:
+            # our LoRA folds kernel + a@b per step, so there is no separate
+            # adapter branch to drop (ref peft applies dropout to the
+            # adapter input; default 0.05 matters little at these scales)
+            print("[train] lora_dropout is ignored by the folded-merge "
+                  "LoRA design", flush=True)
         lora = lora_init(
             jax.random.PRNGKey(config.training.seed), params,
             r=config.training.lora_r,
