@@ -13,6 +13,7 @@ figure), i.e. vs_baseline = ours_pairs_per_sec / (0.45*312e12/flops_per_pair).
 from __future__ import annotations
 
 import json
+import os
 import time
 from functools import partial
 
@@ -71,7 +72,7 @@ def main():
         ),
     )
     seq_len = 1024
-    n_pairs = 4 if on_tpu else 1
+    n_pairs = int(os.environ.get("BENCH_PAIRS", 4)) if on_tpu else 1
 
     model = LlavaForCausalLM(cfg)
     adapter = LlavaDPOAdapter(model)

@@ -61,3 +61,35 @@ def barrier(name: str = "barrier") -> None:
     from jax.experimental import multihost_utils
 
     multihost_utils.sync_global_devices(name)
+
+
+def assert_consistent(value: Any, name: str = "value") -> None:
+    """Debug guard: every process must hold an identical `value`.
+
+    The TPU-world analog of TORCH_DISTRIBUTED_DEBUG=DETAIL's collective
+    checks (ref script/eval/eval_rlaifv_objhal.sh:3): divergent host state
+    (config, RNG seed, dataset shard math) is the classic cause of silent
+    multi-host corruption under SPMD — collectives themselves are compiled,
+    so the only thing that can disagree is what the hosts feed them.
+    Enable via RLAIFV_DISTRIBUTED_DEBUG=1; no-op single-process or when the
+    flag is off (zero cost in production).
+    """
+    if jax.process_count() == 1:
+        return
+    if os.environ.get("RLAIFV_DISTRIBUTED_DEBUG", "0") != "1":
+        return
+    import json
+
+    try:
+        blob = json.dumps(value, sort_keys=True, default=repr)
+    except TypeError:
+        blob = repr(value)
+    gathered = all_gather_objects(blob)
+    if any(g != gathered[0] for g in gathered):
+        detail = "\n".join(
+            f"  process {i}: {g[:200]}" for i, g in enumerate(gathered)
+        )
+        raise AssertionError(
+            f"[distributed-debug] '{name}' differs across processes:\n"
+            f"{detail}"
+        )

@@ -189,6 +189,16 @@ class DPOTrainer:
 
     def train(self) -> DPOTrainState:
         t = self.config.training
+        from rlaifv_tpu.core.distributed import assert_consistent
+
+        # multi-host debug guard (RLAIFV_DISTRIBUTED_DEBUG=1): divergent
+        # host-side config/seed silently corrupts SPMD training
+        assert_consistent(
+            {"seed": t.seed, "max_steps": t.max_steps,
+             "lr": t.learning_rate, "beta": t.dpo_beta,
+             "accum": self.grad_accum},
+            "training-config",
+        )
         batches = prefetch_iterator(self._batches(t.seed), depth=2)
         step = self.start_step
         t0 = time.time()

@@ -120,3 +120,28 @@ def test_collect_reviews(tmp_path):
     assert out
     model = list(out)[0]
     assert 167 in out[model]
+
+
+def test_assert_consistent_detects_divergence(monkeypatch):
+    """RLAIFV_DISTRIBUTED_DEBUG guard: no-op single process / flag off;
+    raises with per-process detail on divergent host state."""
+    from rlaifv_tpu.core import distributed as dist
+
+    dist.assert_consistent({"seed": 1}, "cfg")  # single-process no-op
+
+    monkeypatch.setattr(dist.jax, "process_count", lambda: 2)
+    dist.assert_consistent({"seed": 1}, "cfg")  # flag off -> no-op
+
+    monkeypatch.setenv("RLAIFV_DISTRIBUTED_DEBUG", "1")
+    monkeypatch.setattr(
+        dist, "all_gather_objects", lambda blob: [blob, blob]
+    )
+    dist.assert_consistent({"seed": 1}, "cfg")  # consistent -> ok
+
+    monkeypatch.setattr(
+        dist, "all_gather_objects",
+        lambda blob: [blob, blob.replace("1", "2")],
+    )
+    import pytest as _pytest
+    with _pytest.raises(AssertionError, match="differs across processes"):
+        dist.assert_consistent({"seed": 1}, "cfg")
