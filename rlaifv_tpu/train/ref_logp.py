@@ -27,33 +27,57 @@ from rlaifv_tpu.data.preprocess import encode_preference_sample, preprocess_v1
 from rlaifv_tpu.train.dpo import get_batch_logps
 
 
-def make_score_fn(model, params, *, shift: bool = True):
-    """Jitted (batch) -> (sum, avg, per_token) for the concatenated win‖rej."""
+def make_score_fn(model, params, *, shift: bool = True,
+                  lm_head_impl: str = "xla"):
+    """Jitted (batch) -> (sum, avg, per_token) for the concatenated win‖rej.
+
+    lm_head_impl="fused" routes through the fused Pallas head so the
+    (2B, L, V) logits never materialize — at 7B shapes that tensor is the
+    scoring pass's peak activation (multi-GB), letting batch_pairs grow.
+    Keep the SAME impl as training (train_step hp.lm_head_impl): both paths
+    are the same math, but matching them keeps the policy≡reference ⇒
+    loss=log 2 cancellation exact.
+    """
+
+    fused = lm_head_impl == "fused"
 
     @jax.jit
     def score(batch):
+        fwd_feats = (
+            model.hidden_with_features if fused else model.forward_with_features
+        )
+        fwd_text = model.hidden_text if fused else model.forward_text
         images = batch.get("images")
         if images is not None:
             feats = model.apply(
                 {"params": params}, images, method=model.encode_images
             )
             feats2 = jnp.concatenate([feats, feats], axis=0)
-            logits = model.apply(
+            out = model.apply(
                 {"params": params},
                 batch["input_ids"],
                 feats2,
                 batch["image_starts"],
                 batch["attention_mask"],
-                method=model.forward_with_features,
+                method=fwd_feats,
             )
         else:
-            logits = model.apply(
+            out = model.apply(
                 {"params": params},
                 batch["input_ids"],
                 batch["attention_mask"],
-                method=model.forward_text,
+                method=fwd_text,
             )
-        lp = get_batch_logps(logits, batch["labels"], shift=shift)
+        if fused:
+            from rlaifv_tpu.train.dpo import get_batch_logps_from_hidden
+            from rlaifv_tpu.train.train_step import LlavaDPOAdapter
+
+            w = LlavaDPOAdapter(model).lm_head_kernel(params)
+            lp = get_batch_logps_from_hidden(
+                out, w, batch["labels"], shift=shift
+            )
+        else:
+            lp = get_batch_logps(out, batch["labels"], shift=shift)
         return lp.sum, lp.mean, lp.per_token
 
     return score
@@ -71,6 +95,7 @@ def score_preference_rows(
     image_processor: Optional[Callable] = None,
     multimodal_cfg: Optional[dict] = None,
     progress: bool = True,
+    lm_head_impl: str = "xla",
 ) -> List[list]:
     """Returns per-row [win_logp, win_avg, win_per_token, rej_logp,
     rej_avg, rej_per_token] (the reference 'logps' tuple order)."""
@@ -87,7 +112,7 @@ def score_preference_rows(
         max_len=max_len,
         num_patches=num_patches,
     )
-    score = make_score_fn(model, params)
+    score = make_score_fn(model, params, lm_head_impl=lm_head_impl)
 
     out: List[list] = []
     it = range(0, len(rows), batch_pairs)
@@ -151,6 +176,7 @@ def inference_logp(
     num_patches: int = 576,
     batch_pairs: int = 8,
     image_processor: Optional[Callable] = None,
+    lm_head_impl: str = "xla",
 ) -> None:
     """Score all rows (sharded across hosts) and write the logp parquet cache."""
     world = jax.process_count()
@@ -161,7 +187,7 @@ def inference_logp(
     local_logps = score_preference_rows(
         local_rows, model, params, tokenizer,
         max_len=max_len, num_patches=num_patches, batch_pairs=batch_pairs,
-        image_processor=image_processor,
+        image_processor=image_processor, lm_head_impl=lm_head_impl,
     )
 
     if world > 1:

@@ -130,6 +130,26 @@ def test_policy_equals_reference_gives_log2_loss(pipeline):
     )
 
 
+def test_score_rows_fused_head_matches_xla(pipeline):
+    """Ref-logp precompute with lm_head_impl='fused' reproduces the XLA
+    path (the train step offers the same switch; matching impls keeps the
+    log-2 cancellation exact)."""
+    cfg, model, params, tok, out_dir, proc = pipeline
+    from rlaifv_tpu.train.ref_logp import score_preference_rows
+
+    rng = np.random.default_rng(7)
+    rows = _rows(rng, 3, cfg.vision.image_size)
+    kw = dict(max_len=192, num_patches=cfg.num_image_tokens, batch_pairs=2,
+              image_processor=proc, progress=False)
+    ref = score_preference_rows(rows, model, params, tok, **kw)
+    fused = score_preference_rows(rows, model, params, tok,
+                                  lm_head_impl="fused", **kw)
+    for a, b in zip(ref, fused):
+        np.testing.assert_allclose(a[0], b[0], rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(a[3], b[3], rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(a[2], b[2], rtol=1e-4, atol=1e-5)
+
+
 def test_shard_and_chunk_math():
     # contiguous shards cover everything exactly once
     allidx = []

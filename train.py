@@ -109,10 +109,16 @@ def main(argv=None):
         rows = []
         for f in sorted(raw):
             rows.extend(pq.read_table(os.path.join(data_dir, f)).to_pylist())
+        head = getattr(config.training, "lm_head_impl", "auto")
+        if head == "auto":
+            head = "fused" if cfg.llm.hidden_size >= 2048 else "xla"
         inference_logp(
             rows, model, params, tokenizer, data_dir,
             max_len=config.data.max_len, num_patches=cfg.num_image_tokens,
             image_processor=proc,
+            # same head impl as the train step: keeps the policy==reference
+            # => loss = log 2 cancellation exact
+            lm_head_impl=head,
         )
 
     dataset = DPODataset(tokenizer, config.data.data_dir, mm_cfg,
