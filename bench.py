@@ -72,7 +72,7 @@ def main():
         ),
     )
     seq_len = 1024
-    n_pairs = int(os.environ.get("BENCH_PAIRS", 4)) if on_tpu else 1
+    n_pairs = int(os.environ.get("BENCH_PAIRS", 8)) if on_tpu else 1
 
     model = LlavaForCausalLM(cfg)
     adapter = LlavaDPOAdapter(model)
