@@ -297,7 +297,8 @@ class ContinuousGenerator:
         # is the classic makespan heuristic.
         queue = deque(sorted(range(N), key=lambda i: -len(prompts[i])))
         Lp0 = _bucket(len(prompts[queue[0]]), self.prompt_bucket)
-        max_len = Lp0 + self.max_new + self.headroom
+        # 128-aligned so the prefix decode-attention kernel engages
+        max_len = -(-(Lp0 + self.max_new + self.headroom) // 128) * 128
 
         cache = self.model.init_cache(B, max_len)
         cache_mask = jnp.zeros((B, max_len), jnp.int32)

@@ -393,7 +393,7 @@ class DecodeEngine:
             jnp.asarray(starts) if starts is not None else None,
             jnp.asarray(span_features) if span_features is not None else None,
             jnp.asarray(sstarts) if sstarts is not None else None,
-            max_len=Lp + max_new_tokens,
+            max_len=-(-(Lp + max_new_tokens) // 128) * 128,
         )
         tokens = np.array(seqs)
         lengths = np.zeros(B, np.int64)
@@ -437,7 +437,8 @@ class DecodeEngine:
             )
             sstarts = np.where(np.asarray(span_starts) < 0, -1, sstarts)
 
-        max_len = Lp + max_new_tokens
+        # 128-aligned so the prefix decode-attention kernel engages
+        max_len = -(-(Lp + max_new_tokens) // 128) * 128
         run = self._build(sampling, max_new_tokens)
         tokens, first_logits = run(
             self.params,

@@ -122,7 +122,7 @@ def multi_head_attention(
         and q_offset is not None
         and attention_mask is not None
         and D <= 256
-        and Lk % 64 == 0
+        and Lk % 128 == 0
     )
     if use_decode:
         # single-token decode over a static cache: the Pallas prefix kernel

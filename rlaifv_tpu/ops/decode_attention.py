@@ -122,10 +122,13 @@ def decode_attention_prefix(
     n_rep = H // KVH
     scale = 1.0 / (D ** 0.5)
     if block_l is None:
+        # Mosaic lane constraint: the (1, 1, block_l) mask block needs a
+        # 128-multiple in the last dim, so cache lengths must be 128-aligned
+        # (the engines round max_len up accordingly).
         block_l = next(
-            (b for b in (DEFAULT_BLOCK_L, 128, 64) if L % b == 0), None
+            (b for b in (DEFAULT_BLOCK_L, 128) if L % b == 0), None
         )
-        assert block_l, f"L={L} not a multiple of 64"
+        assert block_l, f"L={L} not a multiple of 128"
     n_l = pl.cdiv(L, block_l)
     assert L % block_l == 0, (L, block_l)
 
