@@ -135,15 +135,24 @@ def run_pipeline(
     end: int = -1,
     sample_num: int = 2,
     labeler_name: str = "omni",
+    repeat: int = 10,
+    batch_size: int = 8,
+    temperature: float = 0.7,
+    max_tokens: int = 512,
 ) -> str:
     """Full loop: gen -> divide -> autocheck -> pairs -> balance.
     Returns the balanced pair jsonl ready for DPO training."""
-    ans_file = stage_diverse_gen(generator, ques_path, ans_dir, start, end)
+    ans_file = stage_diverse_gen(
+        generator, ques_path, ans_dir, start, end,
+        repeat=repeat, batch_size=batch_size, temperature=temperature,
+        max_tokens=max_tokens,
+    )
     qas_path, gq_path = stage_divide_and_conquer(
         divide_backend, changeq_backend, ans_file, start, end
     )
     autocheck_path = stage_autocheck(
-        labeler, qas_path, ans_dir, labeler_name, start, end
+        labeler, qas_path, ans_dir, labeler_name, start, end,
+        batch_size=batch_size,
     )
     pairs_path = stage_pairs(autocheck_path, gq_path, sample_num)
     return stage_length_balance(pairs_path)
