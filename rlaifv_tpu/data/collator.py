@@ -17,7 +17,7 @@ Token weights replicate the RLHF-V scheme: tokens in replaced spans get
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, Optional, Sequence, Tuple
 
 import numpy as np
 

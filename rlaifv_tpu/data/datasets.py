@@ -14,10 +14,9 @@ rej_avg_logp, rej_per_token] (datasets.py:74-91).
 from __future__ import annotations
 
 import base64
-import io
 import json
 import os
-from typing import Callable, Dict, List, Optional, Sequence
+from typing import Callable, List, Optional, Sequence
 
 import numpy as np
 

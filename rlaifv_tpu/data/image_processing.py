@@ -15,7 +15,7 @@ import dataclasses
 import io
 import math
 import os
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Sequence, Tuple
 
 import numpy as np
 

@@ -15,7 +15,7 @@ all slices runs through the fused device kernel
 from __future__ import annotations
 
 import math
-from typing import List, Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 import numpy as np
 

@@ -10,7 +10,7 @@ logps are only valid if labels mask identical positions.
 from __future__ import annotations
 
 import copy
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, List, Sequence
 
 import numpy as np
 

@@ -16,7 +16,7 @@ from typing import List, Optional, Sequence
 
 import numpy as np
 
-from rlaifv_tpu.evals.gpt_client import FAIL_SENTINEL, Chat
+from rlaifv_tpu.evals.gpt_client import Chat
 
 DATA_DIR = os.path.join(os.path.dirname(__file__), "data")
 NUM_QUESTIONS = 96

@@ -11,7 +11,7 @@ import glob
 import json
 import os
 from collections import defaultdict
-from typing import Dict, Optional
+from typing import Dict
 
 
 def chair_summary(metrics: Dict) -> Dict[str, float]:

@@ -9,13 +9,12 @@ supporting --num-chunks/--chunk-idx slicing.
 from __future__ import annotations
 
 import argparse
-from typing import List, Optional
+from typing import List
 
 import numpy as np
 
 from rlaifv_tpu.data.datasets import chunk_indices
 from rlaifv_tpu.genai.llava_gen import Llava15Generator
-from rlaifv_tpu.genai.sampling import SamplingParams
 from rlaifv_tpu.utils.file_io import read_jsonlines, write_jsonlines
 
 

@@ -9,8 +9,6 @@ score). Final pick: highest length-normalized score per row.
 """
 from __future__ import annotations
 
-from functools import partial
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

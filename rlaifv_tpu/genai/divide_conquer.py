@@ -16,7 +16,7 @@ import argparse
 import copy
 import json
 import os
-from typing import Callable, List, Optional, Sequence
+from typing import Callable, List
 
 from rlaifv_tpu.data.datasets import chunk_indices
 from rlaifv_tpu.utils.file_io import read_json_or_jsonlines, read_jsonlines

@@ -15,10 +15,7 @@ replacing torchrun/NCCL all_gather_object (:388-404).
 """
 from __future__ import annotations
 
-import argparse
-import json
-import os
-from typing import Callable, List, Optional
+from typing import List
 
 import numpy as np
 

@@ -9,7 +9,7 @@ handled by GenDataset(chunk_num/chunk_idx) + the jsonl merge contract.
 """
 from __future__ import annotations
 
-from typing import List, Optional, Sequence
+from typing import List
 
 import numpy as np
 
@@ -22,7 +22,6 @@ from rlaifv_tpu.data.minicpmv_slicing import (
 from rlaifv_tpu.genai.engine import DecodeEngine
 from rlaifv_tpu.genai.sampling import SamplingParams
 from rlaifv_tpu.models.minicpmv import find_unk_spans
-from rlaifv_tpu.ops.image_kernels import DeviceImagePipeline
 
 
 class MiniCPMVGenerator:

@@ -11,7 +11,7 @@ final token (ref omnilmm_gen_data.py:236-239).
 """
 from __future__ import annotations
 
-from typing import List, Optional
+from typing import List
 
 import numpy as np
 

@@ -12,7 +12,7 @@ block is simply never run (the reference computes it and throws it away).
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Optional
+from typing import Any
 
 import flax.linen as nn
 import jax

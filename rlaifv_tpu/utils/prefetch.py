@@ -5,7 +5,7 @@ from __future__ import annotations
 
 import queue
 import threading
-from typing import Callable, Iterator
+from typing import Iterator
 
 
 def prefetch_iterator(make_batch: Iterator, depth: int = 2) -> Iterator:

@@ -1,7 +1,6 @@
 """Synthetic DPO batches + model setup helpers for benches/dry-runs/tests."""
 from __future__ import annotations
 
-from typing import Optional, Tuple
 
 import numpy as np
 

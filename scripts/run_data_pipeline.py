@@ -19,7 +19,6 @@ from __future__ import annotations
 
 import argparse
 import os
-from typing import Callable, Optional
 
 from rlaifv_tpu.data.datasets import GenDataset
 from rlaifv_tpu.utils.file_io import read_jsonlines, write_jsonlines
