@@ -169,13 +169,38 @@ class OmniLMMGenerator:
 
 
 class OmniLMMChat:
-    """RLAIFV12B equivalent (ref chat.py:88-137): sample decode with beam-ish
-    params T 0.6 / top-k 30 / top-p 0.9 / repetition 1.1, max 1024."""
+    """RLAIFV12B equivalent (ref chat.py:88-137): sample decode with
+    T 0.6 / top-k 30 / top-p 0.9 / repetition 1.1, max 1024."""
 
-    def __init__(self, model_path: str):
-        raise NotImplementedError(
-            "OmniLMM-12B chat requires a converted checkpoint; the flax "
-            "model (rlaifv_tpu.models.omnilmm) and generator "
-            "(OmniLMMGenerator) are ready — wire load_omnilmm_checkpoint "
-            "once weights are available on disk."
+    def __init__(self, model_path: str, *, tokenizer=None,
+                 max_new_tokens: int = 1024, image_size: int = 448):
+        from rlaifv_tpu.models.convert import (
+            convert_omnilmm,
+            load_state_dict_dir,
+            omnilmm_config_from_hf,
         )
+        from rlaifv_tpu.models.omnilmm import OmniLMMForCausalLM
+
+        cfg = omnilmm_config_from_hf(model_path)
+        model = OmniLMMForCausalLM(cfg)
+        params = convert_omnilmm(load_state_dict_dir(model_path))
+        if tokenizer is None:
+            from transformers import AutoTokenizer
+
+            tokenizer = AutoTokenizer.from_pretrained(model_path)
+        self.gen = OmniLMMGenerator(
+            model, params, tokenizer, image_size=image_size,
+            checkpoint_name=model_path,
+        )
+        self.max_new_tokens = max_new_tokens
+
+    def chat(self, input: dict) -> str:
+        # ref chat.py:98-117 sampling params
+        rows = self.gen.generate(
+            [{"question": input["question"], "image": input["image"],
+              "question_id": 0}],
+            sampling=SamplingParams.chat_12b(),
+            max_new_tokens=self.max_new_tokens,
+            batch_size=1,
+        )
+        return rows[0][1]

@@ -350,6 +350,45 @@ def convert_eva02(
     return tree
 
 
+def omnilmm_config_from_hf(model_dir: str, **overrides):
+    """OmniLMMConfig from the checkpoint's config.json (the reference
+    OmniLMMConfig extends MistralConfig and carries num_query; the EVA tower
+    is a fixed timm model, so `eva_config` in config.json — or overrides —
+    only matters for non-standard/test checkpoints)."""
+    import json as _json
+
+    from rlaifv_tpu.models.eva02 import EvaConfig
+    from rlaifv_tpu.models.llama import LlamaConfig
+    from rlaifv_tpu.models.omnilmm import OmniLMMConfig
+
+    cfg_path = os.path.join(model_dir, "config.json")
+    raw = {}
+    if os.path.exists(cfg_path):
+        with open(cfg_path) as f:
+            raw = _json.load(f)
+
+    llm = LlamaConfig.mistral_7b(
+        vocab_size=raw.get("vocab_size", 32000),
+        hidden_size=raw.get("hidden_size", 4096),
+        intermediate_size=raw.get("intermediate_size", 14336),
+        num_layers=raw.get("num_hidden_layers", 32),
+        num_heads=raw.get("num_attention_heads", 32),
+        num_kv_heads=raw.get("num_key_value_heads", 8),
+        max_position_embeddings=raw.get("max_position_embeddings", 32768),
+        rope_theta=raw.get("rope_theta", 10000.0),
+        rms_norm_eps=raw.get("rms_norm_eps", 1e-5),
+        **overrides.get("llm", {}),
+    )
+    eva_kw = dict(raw.get("eva_config", {}))
+    eva_kw.update(overrides.get("vision", {}))
+    vision = EvaConfig.enormous(**eva_kw) if eva_kw else EvaConfig.enormous()
+    return OmniLMMConfig(
+        llm=llm,
+        vision=vision,
+        num_query=raw.get("num_query", 64),
+    )
+
+
 def convert_omnilmm(sd: Mapping[str, Any], dtype=np.float32,
                     vision_layers_to_run: Optional[int] = None) -> Tree:
     """OmniLMM-12B checkpoint -> OmniLMMForCausalLM params.
