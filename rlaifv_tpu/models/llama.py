@@ -181,8 +181,16 @@ class QuantDense(nn.Module):
             "scale", nn.initializers.ones_init(),
             (self.features,), jnp.float32,
         )
+        x = x.astype(self.dtype)
+        if jax.default_backend() == "tpu":
+            # Pallas kernel: int8 tiles dequantize in VMEM. The jnp fallback
+            # below makes XLA materialize the full dequantized weight in HBM
+            # on every call — measured 21x slower decode.
+            from rlaifv_tpu.ops.quant_matmul import int8_matmul
+
+            return int8_matmul(x, kernel, scale)
         w = kernel.astype(self.dtype) * scale.astype(self.dtype)[None, :]
-        return x.astype(self.dtype) @ w
+        return x @ w
 
 
 def quantize_kernel_int8(w: "np.ndarray"):
