@@ -77,6 +77,12 @@ def main():
     model = LlavaForCausalLM(cfg)
     adapter = LlavaDPOAdapter(model)
     batch = synth_dpo_batch(cfg, n_pairs=n_pairs, max_len=seq_len, answer_len=256)
+    # compact head: the LM head runs only on the label positions that carry
+    # loss (answers + eos) — identical math (tests/test_compact_head.py),
+    # measured 1.15x the full-head step at this geometry (PARITY.md). The
+    # static bound comes from the actual batch, rounded up to a lane multiple.
+    n_valid = int((np.asarray(batch["labels"])[:, 1:] != -100).sum(-1).max())
+    compact_len = int(np.ceil(n_valid / 64) * 64)
     batch = {k: jnp.asarray(v) for k, v in batch.items()}
 
     params = model.init(
@@ -86,7 +92,7 @@ def main():
         image_starts=batch["image_starts"][:2],
     )["params"]
 
-    hp = DPOHparams(beta=0.1)
+    hp = DPOHparams(beta=0.1, lm_head_impl="compact", compact_len=compact_len)
     opt = make_optimizer(5e-7, total_steps=100)
     state = DPOTrainState(jnp.int32(0), params, opt.init(params))
     step_fn = make_dpo_train_step(adapter, opt, hp)
@@ -183,6 +189,8 @@ def main():
             "model": "llava15-proxy-470m",
             "seq_len": seq_len,
             "pairs_per_batch": n_pairs,
+            "lm_head_impl": "compact",
+            "compact_len": compact_len,
             "step_ms": round(dt * 1000, 1),
             "mfu": round(mfu, 3),
             "preprocess_ms_per_image_640_to_336": preprocess_ms,

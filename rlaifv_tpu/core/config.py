@@ -63,6 +63,10 @@ class TrainingArguments:
     # "xla" | "fused" | "auto": fused = Pallas fused LM-head (no (2B,L,V)
     # logits); auto picks fused for hidden_size >= 2048 (7B+), xla below.
     lm_head_impl: str = "auto"
+    # static per-row bound on loss-carrying label positions; >0 enables the
+    # compact head (head computed only at answer positions) when
+    # lm_head_impl is "compact" or "auto"
+    compact_len: int = 0
     # LoRA (ref train_llava15_lora.py:112-117)
     use_lora: bool = False
     lora_r: int = 64

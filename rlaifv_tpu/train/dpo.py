@@ -104,6 +104,65 @@ def get_batch_logps_from_hidden(
     return BatchLogps(per_token=per_token, sum=total, mean=mean)
 
 
+class CompactLogps(NamedTuple):
+    per_token: jax.Array  # (B, A) log p of each valid target (0 at masked)
+    pos: jax.Array  # (B, A) indices into the L-1 target axis
+    mask: jax.Array  # (B, A) bool: slot holds a real (non-ignored) target
+    sum: jax.Array  # (B,) masked sum
+    mean: jax.Array  # (B,) masked mean
+    overflow: jax.Array  # (B,) #valid targets that did NOT fit in A (want 0)
+
+
+def get_batch_logps_compact(
+    hidden: jax.Array,
+    lm_head_kernel: jax.Array,
+    labels: jax.Array,
+    *,
+    n_pos: int,
+    shift: bool = True,
+) -> CompactLogps:
+    """get_batch_logps computed only at the label positions that matter.
+
+    DPO/SFT losses only read logps where labels != -100 (the answer tokens —
+    ref muffin/eval/muffin_inference_logp.py:95-107 masks everything else),
+    yet the reference computes the full (B, L, V) logits. On TPU the LM head
+    is a large slice of step FLOPs and the dominant vocab-sized HBM traffic,
+    so we gather the <= n_pos valid rows of the pre-head hidden states and
+    run the head only on those: head FLOPs and fp32 logsumexp traffic drop
+    by L/n_pos with bit-identical sums/means (the gathered set contains every
+    unmasked position; masked slots contribute exactly 0 in both paths).
+
+    n_pos is a static bound on valid targets per row (answers + eos). Rows
+    with more valid targets than n_pos report the excess in `overflow`; the
+    caller surfaces it as a metric so a too-small bound is visible, not
+    silent.
+    """
+    if shift:
+        tgt = labels[:, 1:]
+    else:
+        tgt = labels[:, :-1]
+    hid = hidden[:, :-1, :]
+    n_pos = min(int(n_pos), tgt.shape[1])
+
+    mask = tgt != IGNORE_INDEX  # (B, L-1)
+    # Stable argsort on ~mask lists valid positions first, in order.
+    pos = jnp.argsort(~mask, axis=-1, stable=True)[:, :n_pos]  # (B, A)
+    cmask = jnp.take_along_axis(mask, pos, axis=-1)
+    ctgt = jnp.where(cmask, jnp.take_along_axis(tgt, pos, axis=-1), 0)
+    chid = jnp.take_along_axis(hid, pos[:, :, None], axis=1)  # (B, A, H)
+
+    logits = chid @ lm_head_kernel.astype(chid.dtype)  # (B, A, V)
+    lse = jax.scipy.special.logsumexp(logits.astype(jnp.float32), axis=-1)
+    tgt_logit = jnp.take_along_axis(logits, ctgt[..., None], axis=-1)[..., 0]
+    per_token = (tgt_logit.astype(jnp.float32) - lse) * cmask
+
+    total = per_token.sum(axis=-1)
+    count = cmask.sum(axis=-1)
+    mean = total / count
+    overflow = jnp.maximum(mask.sum(axis=-1) - n_pos, 0)
+    return CompactLogps(per_token, pos, cmask, total, mean, overflow)
+
+
 def dpo_loss(
     policy_chosen_logps: jax.Array,
     policy_rejected_logps: jax.Array,

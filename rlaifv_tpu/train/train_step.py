@@ -29,6 +29,7 @@ from rlaifv_tpu.train.dpo import (
     dpo_loss,
     dpo_metrics,
     get_batch_logps,
+    get_batch_logps_compact,
     get_batch_logps_from_hidden,
 )
 
@@ -90,7 +91,11 @@ class DPOHparams:
     # a large FLOP fraction — small models). "fused": pre-head hiddens + the
     # Pallas fused head (ops/fused_head.py) — the (2B, L, V) logits never
     # exist; ~2% extra FLOPs at 7B for a multi-GB activation saving.
+    # "compact": the head runs only on the <= compact_len label positions
+    # that carry loss (answers + eos) — head FLOPs and vocab traffic drop
+    # by L/compact_len, numerically identical (see get_batch_logps_compact).
     lm_head_impl: str = "xla"
+    compact_len: int = 0  # static per-row bound on loss positions ("compact")
 
 
 @jax.tree_util.register_pytree_node_class
@@ -127,10 +132,14 @@ def dpo_forward_logps(
     B = twoB // 2
 
     fused = hp.lm_head_impl == "fused"
+    compact = hp.lm_head_impl == "compact"
+    if compact and hp.compact_len <= 0:
+        raise ValueError("lm_head_impl='compact' requires compact_len > 0")
+    use_hidden = fused or compact
     fwd_feats = (
-        model.hidden_with_features if fused else model.forward_with_features
+        model.hidden_with_features if use_hidden else model.forward_with_features
     )
-    fwd_text = model.hidden_text if fused else model.forward_text
+    fwd_text = model.hidden_text if use_hidden else model.forward_text
 
     images = batch.get("images")
     if "win_images" in batch:
@@ -158,7 +167,14 @@ def dpo_forward_logps(
     else:
         out = fwd_text(params, input_ids, batch["attention_mask"])
 
-    if fused:
+    aux: Dict[str, jax.Array] = {}
+    if compact:
+        lp = get_batch_logps_compact(
+            out, model.lm_head_kernel(params), labels,
+            n_pos=hp.compact_len, shift=hp.logp_shift,
+        )
+        aux["compact_overflow"] = lp.overflow.max()
+    elif fused:
         lp = get_batch_logps_from_hidden(
             out, model.lm_head_kernel(params), labels, shift=hp.logp_shift
         )
@@ -169,21 +185,30 @@ def dpo_forward_logps(
         token_weight = jnp.concatenate(
             [batch["win_token_weight"], batch["rej_token_weight"]], axis=0
         )
-        seq_logp = compute_weighted_logp(
-            lp.per_token, labels, token_weight, hp.dpo_use_average
-        )
+        if compact:
+            # Gather the weights onto the same compact slots; masked slots
+            # carry 0 in per_token, so sums match compute_weighted_logp.
+            ctw = jnp.take_along_axis(token_weight, lp.pos, axis=-1) * lp.mask
+            seq_logp = (lp.per_token * ctw).sum(axis=-1)
+            if hp.dpo_use_average:
+                seq_logp = seq_logp / ctw.sum(axis=-1)
+        else:
+            seq_logp = compute_weighted_logp(
+                lp.per_token, labels, token_weight, hp.dpo_use_average
+            )
     else:
         seq_logp = lp.mean if hp.dpo_use_average else lp.sum
 
     policy_win_logp = seq_logp[:B]
     policy_rej_logp = seq_logp[B:]
-    return policy_win_logp, policy_rej_logp, {"per_token": lp.per_token}
+    aux["per_token"] = lp.per_token
+    return policy_win_logp, policy_rej_logp, aux
 
 
 def dpo_loss_from_batch(
     model, params: Tree, batch: Dict[str, jax.Array], hp: DPOHparams
 ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
-    policy_win_logp, policy_rej_logp, _ = dpo_forward_logps(model, params, batch, hp)
+    policy_win_logp, policy_rej_logp, aux = dpo_forward_logps(model, params, batch, hp)
 
     if hp.dpo_token_weighted:
         ref_win_logp = compute_weighted_logp(
@@ -216,6 +241,10 @@ def dpo_loss_from_batch(
         policy_win_logp, policy_rej_logp, ref_win_logp, ref_rej_logp,
     )
     metrics["loss"] = loss
+    if "compact_overflow" in aux:
+        # >0 means compact_len undercounts a row's loss positions (dropped
+        # tokens) — surfaced every step so the misconfiguration is visible.
+        metrics["compact_overflow"] = aux["compact_overflow"]
     return loss, metrics
 
 

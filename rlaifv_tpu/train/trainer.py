@@ -81,12 +81,19 @@ class DPOTrainer:
             dp=t.mesh_dp, fsdp=t.mesh_fsdp, tp=t.mesh_tp
         )
         head = getattr(t, "lm_head_impl", "auto")
+        compact_len = int(getattr(t, "compact_len", 0))
         if head == "auto":
-            # fused head trades ~2 extra head matmuls for never materializing
-            # the (2B, L, V) logits — a win once the head is a small FLOP
-            # fraction (7B+); measured slower at sub-1B proxy scale (PARITY).
-            hidden = model.cfg.llm.hidden_size
-            head = "fused" if hidden >= 2048 else "xla"
+            if compact_len > 0:
+                # compact head: strictly less head work at any scale, as long
+                # as the caller can bound loss positions per row (PARITY).
+                head = "compact"
+            else:
+                # fused head trades ~2 extra head matmuls for never
+                # materializing the (2B, L, V) logits — a win once the head
+                # is a small FLOP fraction (7B+); measured slower at sub-1B
+                # proxy scale (PARITY).
+                hidden = model.cfg.llm.hidden_size
+                head = "fused" if hidden >= 2048 else "xla"
         hp = DPOHparams(
             beta=t.dpo_beta,
             dpo_use_average=t.dpo_use_average,
@@ -94,6 +101,7 @@ class DPOTrainer:
             sft_weight=t.sft_weight,
             dpo_weight=t.dpo_weight,
             lm_head_impl=head,
+            compact_len=compact_len,
         )
         self.optimizer = make_optimizer(
             t.learning_rate,
