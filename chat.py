@@ -142,6 +142,12 @@ class RLAIFVChat:
             from rlaifv_tpu.genai.omni_gen import OmniLMMChat  # noqa: F401
 
             self.model = OmniLMMChat(model_path)
+        elif "minicpm" in model_path.lower():
+            # framework extension: the reference chat.py stops at 7B/12B;
+            # MiniCPM-Llama3-V 2.5 rides the same API here
+            from rlaifv_tpu.genai.minicpmv_gen import MiniCPMVChat
+
+            self.model = MiniCPMVChat(model_path)
         else:
             base = None
             if "lora" in model_path.lower():

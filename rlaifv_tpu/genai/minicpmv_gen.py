@@ -24,6 +24,40 @@ from rlaifv_tpu.genai.sampling import SamplingParams
 from rlaifv_tpu.models.minicpmv import find_unk_spans
 
 
+class MiniCPMVChat:
+    """MiniCPM-Llama3-V 2.5 chat from a real-format checkpoint directory
+    (framework extension: the reference chat.py covers only 7B/12B and
+    drives MiniCPM-V through remote code — this is the same capability,
+    loaded natively)."""
+
+    def __init__(self, model_path: str, *, tokenizer=None,
+                 max_new_tokens: int = 1024):
+        from rlaifv_tpu.models.convert import (
+            convert_minicpmv,
+            load_state_dict_dir,
+            minicpmv_config_from_hf,
+        )
+        from rlaifv_tpu.models.minicpmv import MiniCPMVForCausalLM
+
+        cfg = minicpmv_config_from_hf(model_path)
+        model = MiniCPMVForCausalLM(cfg)
+        params = convert_minicpmv(load_state_dict_dir(model_path))
+        if tokenizer is None:
+            from transformers import AutoTokenizer
+
+            tokenizer = AutoTokenizer.from_pretrained(model_path)
+        self.gen = MiniCPMVGenerator(
+            model, params, tokenizer, checkpoint_name=model_path
+        )
+        self.max_new_tokens = max_new_tokens
+
+    def chat(self, input: dict) -> str:
+        return self.gen.chat(
+            input["question"], input["image"],
+            max_new_tokens=self.max_new_tokens,
+        )
+
+
 class MiniCPMVGenerator:
     def __init__(self, model, params, tokenizer, *, checkpoint_name: str = ""):
         self.model = model
@@ -172,6 +206,25 @@ class MiniCPMVGenerator:
                 scores = {w: float(probs[b, t]) for w, t in ids.items()}
                 out.append(self._row(item, answer=text, scores=scores))
         return out
+
+    def chat(self, question: str, image, *, max_new_tokens: int = 1024,
+             seed: int = 0) -> str:
+        """Single-image QA through the sliced multimodal path (the reference
+        drives MiniCPM-V via model.chat(), minicpmv_diverse_gen.py:121-140;
+        sampling defaults follow its chat call: T 0.7, top-p 0.8,
+        repetition 1.05)."""
+        prompts, feats, starts = self._prepare(
+            [{"question": question, "image": image, "question_id": 0}]
+        )
+        sp = SamplingParams(temperature=0.7, top_p=0.8, do_sample=True,
+                            repetition_penalty=1.05)
+        res = self.engine.generate(
+            prompts, span_features=feats, span_starts=starts,
+            sampling=sp, max_new_tokens=max_new_tokens, seed=seed,
+        )
+        return self.tokenizer.decode(
+            res.tokens[0][: res.lengths[0]], skip_special_tokens=True
+        ).strip()
 
     def _row(self, item, **fields):
         meta = item.get("metainfos", item.get("metainfo", {}))

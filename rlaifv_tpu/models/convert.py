@@ -413,6 +413,57 @@ def convert_omnilmm(sd: Mapping[str, Any], dtype=np.float32,
     return tree
 
 
+def minicpmv_config_from_hf(model_dir: str, **overrides):
+    """MiniCPMVConfig from the checkpoint's config.json (MiniCPM-Llama3-V 2.5
+    remote-code layout: Llama3 fields at top level, slicing knobs
+    query_num/slice_mode/max_slice_nums/scale_resolution/patch_size, SigLIP
+    tower fixed so400m unless a vision_config block overrides it — ref
+    minicpm-llama3-v-25/minicpmv_autocheck.py:119-134 drives those knobs)."""
+    import json as _json
+
+    from rlaifv_tpu.models.llama import LlamaConfig
+    from rlaifv_tpu.models.minicpmv import MiniCPMVConfig
+    from rlaifv_tpu.models.siglip import SiglipVisionConfig
+
+    cfg_path = os.path.join(model_dir, "config.json")
+    raw = {}
+    if os.path.exists(cfg_path):
+        with open(cfg_path) as f:
+            raw = _json.load(f)
+
+    llm = LlamaConfig.llama3_8b(
+        vocab_size=raw.get("vocab_size", 128256),
+        hidden_size=raw.get("hidden_size", 4096),
+        intermediate_size=raw.get("intermediate_size", 14336),
+        num_layers=raw.get("num_hidden_layers", 32),
+        num_heads=raw.get("num_attention_heads", 32),
+        num_kv_heads=raw.get("num_key_value_heads", 8),
+        max_position_embeddings=raw.get("max_position_embeddings", 8192),
+        rope_theta=raw.get("rope_theta", 500000.0),
+        rms_norm_eps=raw.get("rms_norm_eps", 1e-5),
+        **overrides.get("llm", {}),
+    )
+    vis_raw = dict(raw.get("vision_config", {}))
+    vis_kw = dict(
+        image_size=vis_raw.get("image_size", 980),
+        patch_size=vis_raw.get("patch_size", 14),
+        hidden_size=vis_raw.get("hidden_size", 1152),
+        intermediate_size=vis_raw.get("intermediate_size", 4304),
+        num_layers=vis_raw.get("num_hidden_layers", 27),
+        num_heads=vis_raw.get("num_attention_heads", 16),
+    )
+    vis_kw.update(overrides.get("vision", {}))
+    return MiniCPMVConfig(
+        llm=llm,
+        vision=SiglipVisionConfig.so400m(**vis_kw),
+        query_num=raw.get("query_num", 96),
+        slice_mode=raw.get("slice_mode", True),
+        max_slice_nums=raw.get("max_slice_nums", 9),
+        scale_resolution=raw.get("scale_resolution", 448),
+        patch_size=raw.get("patch_size", 14),
+    )
+
+
 def convert_minicpmv(sd: Mapping[str, Any], dtype=np.float32) -> Tree:
     """MiniCPM-Llama3-V 2.5 checkpoint -> MiniCPMVForCausalLM params.
 

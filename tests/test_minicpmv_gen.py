@@ -65,3 +65,99 @@ def test_prompt_has_spans(gen):
     unk = g.unk_id
     for st in starts:
         assert all(t == unk for t in ids[st : st + cfg.query_num])
+
+
+@pytest.fixture(scope="module")
+def tiny_minicpmv_checkpoint(tmp_path_factory):
+    """Real-format MiniCPM-V checkpoint dir: llm.*/vpm.*/resampler.* weights
+    + config.json with the remote-code field names."""
+    import json
+    import os
+
+    import torch
+    from safetensors.torch import save_file
+    from transformers import LlamaConfig as HFLC
+    from transformers import LlamaForCausalLM as HFLlama
+    from transformers import SiglipVisionConfig as HFSC
+    from transformers import SiglipVisionModel as HFSiglip
+
+    d = str(tmp_path_factory.mktemp("tiny_minicpmv"))
+    torch.manual_seed(0)
+    llm = HFLlama(HFLC(vocab_size=64, hidden_size=16, intermediate_size=32,
+                       num_hidden_layers=2, num_attention_heads=2,
+                       num_key_value_heads=2))
+    vis = HFSiglip(HFSC(hidden_size=32, intermediate_size=64,
+                        num_hidden_layers=2, num_attention_heads=4,
+                        image_size=28, patch_size=7))
+    sd = {}
+    for k, v in llm.state_dict().items():
+        sd["llm." + k] = v.clone()
+    for k, v in vis.state_dict().items():
+        sd["vpm." + k] = v.clone()
+    D, KV = 16, 32
+    sd.update({
+        "resampler.query": torch.randn(4, D),
+        "resampler.pos_embed": torch.randn(4, D),
+        "resampler.kv_proj.weight": torch.randn(D, KV),
+        "resampler.attn.in_proj_weight": torch.randn(3 * D, D),
+        "resampler.attn.in_proj_bias": torch.zeros(3 * D),
+        "resampler.attn.out_proj.weight": torch.randn(D, D),
+        "resampler.attn.out_proj.bias": torch.zeros(D),
+        "resampler.ln_q.weight": torch.ones(D),
+        "resampler.ln_q.bias": torch.zeros(D),
+        "resampler.ln_kv.weight": torch.ones(D),
+        "resampler.ln_kv.bias": torch.zeros(D),
+        "resampler.ln_post.weight": torch.ones(D),
+        "resampler.ln_post.bias": torch.zeros(D),
+        "resampler.proj": torch.randn(D, D),
+    })
+    save_file({k: v.contiguous() for k, v in sd.items()},
+              os.path.join(d, "model.safetensors"))
+    cfg = {
+        "architectures": ["MiniCPMV"],
+        "vocab_size": 64, "hidden_size": 16, "intermediate_size": 32,
+        "num_hidden_layers": 2, "num_attention_heads": 2,
+        "num_key_value_heads": 2, "max_position_embeddings": 512,
+        "rope_theta": 500000.0, "rms_norm_eps": 1e-5,
+        "query_num": 4, "slice_mode": True, "max_slice_nums": 9,
+        "scale_resolution": 28, "patch_size": 7,
+        "vision_config": {"image_size": 28, "patch_size": 7,
+                          "hidden_size": 32, "intermediate_size": 64,
+                          "num_hidden_layers": 2, "num_attention_heads": 4},
+    }
+    with open(os.path.join(d, "config.json"), "w") as f:
+        json.dump(cfg, f)
+    return d
+
+
+def test_minicpmv_chat_from_checkpoint(tiny_minicpmv_checkpoint):
+    from rlaifv_tpu.genai.minicpmv_gen import MiniCPMVChat
+
+    chat = MiniCPMVChat(
+        tiny_minicpmv_checkpoint, tokenizer=FakeTokenizer(), max_new_tokens=4
+    )
+    # geometry came from config.json, not the 2.5 defaults
+    assert chat.gen.cfg.llm.hidden_size == 16
+    assert chat.gen.cfg.query_num == 4
+    assert chat.gen.cfg.scale_resolution == 28
+
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 255, size=(90, 60, 3), dtype=np.uint8)
+    out = chat.chat({"question": "what is shown?", "image": img})
+    assert isinstance(out, str)
+
+
+def test_chat_cli_picks_minicpmv(tiny_minicpmv_checkpoint, monkeypatch):
+    import chat as chat_mod
+
+    captured = {}
+
+    class _Stub:
+        def __init__(self, path, **kw):
+            captured["path"] = path
+
+    monkeypatch.setattr(
+        "rlaifv_tpu.genai.minicpmv_gen.MiniCPMVChat", _Stub
+    )
+    chat_mod.RLAIFVChat("/ckpts/MiniCPM-Llama3-V-2_5-iter3")
+    assert captured["path"].endswith("MiniCPM-Llama3-V-2_5-iter3")
