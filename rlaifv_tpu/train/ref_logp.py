@@ -28,25 +28,35 @@ from rlaifv_tpu.train.dpo import get_batch_logps
 
 
 def make_score_fn(model, params, *, shift: bool = True,
-                  lm_head_impl: str = "xla"):
+                  lm_head_impl: str = "xla", compact_len: int = 0):
     """Jitted (batch) -> (sum, avg, per_token) for the concatenated win‖rej.
 
     lm_head_impl="fused" routes through the fused Pallas head so the
     (2B, L, V) logits never materialize — at 7B shapes that tensor is the
     scoring pass's peak activation (multi-GB), letting batch_pairs grow.
+    lm_head_impl="compact" (requires compact_len > 0) runs the head only on
+    the <= compact_len loss positions per row (see get_batch_logps_compact)
+    and scatters the per-token logps back to full (2B, L-1) shape, so the
+    parquet contract is unchanged; the caller must guarantee compact_len
+    bounds the answer lengths (score_preference_rows asserts per batch).
     Keep the SAME impl as training (train_step hp.lm_head_impl): both paths
     are the same math, but matching them keeps the policy≡reference ⇒
     loss=log 2 cancellation exact.
     """
 
     fused = lm_head_impl == "fused"
+    compact = lm_head_impl == "compact"
+    if compact and compact_len <= 0:
+        raise ValueError("lm_head_impl='compact' requires compact_len > 0")
+    use_hidden = fused or compact
 
     @jax.jit
     def score(batch):
         fwd_feats = (
-            model.hidden_with_features if fused else model.forward_with_features
+            model.hidden_with_features if use_hidden
+            else model.forward_with_features
         )
-        fwd_text = model.hidden_text if fused else model.forward_text
+        fwd_text = model.hidden_text if use_hidden else model.forward_text
         images = batch.get("images")
         if images is not None:
             feats = model.apply(
@@ -68,6 +78,22 @@ def make_score_fn(model, params, *, shift: bool = True,
                 batch["attention_mask"],
                 method=fwd_text,
             )
+        if compact:
+            from rlaifv_tpu.train.dpo import get_batch_logps_compact
+            from rlaifv_tpu.train.train_step import LlavaDPOAdapter
+
+            labels = batch["labels"]
+            w = LlavaDPOAdapter(model).lm_head_kernel(params)
+            lp = get_batch_logps_compact(
+                out, w, labels, n_pos=compact_len, shift=shift
+            )
+            # scatter compact per-token logps back to the full (2B, L-1)
+            # layout the parquet expects; masked slots add exactly 0
+            rows = jnp.arange(labels.shape[0])[:, None]
+            per_token = jnp.zeros(
+                (labels.shape[0], labels.shape[1] - 1), jnp.float32
+            ).at[rows, lp.pos].add(lp.per_token * lp.mask)
+            return lp.sum, lp.mean, per_token
         if fused:
             from rlaifv_tpu.train.dpo import get_batch_logps_from_hidden
             from rlaifv_tpu.train.train_step import LlavaDPOAdapter
@@ -96,6 +122,7 @@ def score_preference_rows(
     multimodal_cfg: Optional[dict] = None,
     progress: bool = True,
     lm_head_impl: str = "xla",
+    compact_len: int = 0,
 ) -> List[list]:
     """Returns per-row [win_logp, win_avg, win_per_token, rej_logp,
     rej_avg, rej_per_token] (the reference 'logps' tuple order)."""
@@ -112,7 +139,8 @@ def score_preference_rows(
         max_len=max_len,
         num_patches=num_patches,
     )
-    score = make_score_fn(model, params, lm_head_impl=lm_head_impl)
+    score = make_score_fn(model, params, lm_head_impl=lm_head_impl,
+                          compact_len=compact_len)
 
     out: List[list] = []
     it = range(0, len(rows), batch_pairs)
@@ -143,6 +171,16 @@ def score_preference_rows(
                 )
             )
         batch = collator(encoded)
+        if lm_head_impl == "compact":
+            # a too-small bound would silently zero dropped tokens in the
+            # cache — fail loudly on the host before scoring
+            n_valid = int((batch["labels"][:, 1:] != IGNORE_INDEX).sum(-1).max())
+            if n_valid > compact_len:
+                raise ValueError(
+                    f"compact_len={compact_len} < {n_valid} loss positions "
+                    "in this batch; raise compact_len or use lm_head_impl="
+                    "'xla'/'fused'"
+                )
         jb = {k: jnp.asarray(v) for k, v in batch.items() if k != "beta"}
         sums, avgs, per_tok = jax.device_get(score(jb))
 
@@ -177,6 +215,7 @@ def inference_logp(
     batch_pairs: int = 8,
     image_processor: Optional[Callable] = None,
     lm_head_impl: str = "xla",
+    compact_len: int = 0,
 ) -> None:
     """Score all rows (sharded across hosts) and write the logp parquet cache."""
     world = jax.process_count()
@@ -188,6 +227,7 @@ def inference_logp(
         local_rows, model, params, tokenizer,
         max_len=max_len, num_patches=num_patches, batch_pairs=batch_pairs,
         image_processor=image_processor, lm_head_impl=lm_head_impl,
+        compact_len=compact_len,
     )
 
     if world > 1:

@@ -127,3 +127,28 @@ def test_compact_requires_len(tiny_setup):
     hp = DPOHparams(lm_head_impl="compact", compact_len=0)
     with pytest.raises(ValueError):
         dpo_loss_from_batch(adapter, params, batch, hp)
+
+
+def test_score_fn_compact_matches_xla(tiny_setup):
+    """Ref-logp precompute: compact scoring returns identical sums/avgs and
+    a full-shape per_token identical to the xla path (parquet contract)."""
+    from rlaifv_tpu.train.ref_logp import make_score_fn
+
+    adapter, batch, params = tiny_setup
+    model = adapter.module
+    jb = {k: v for k, v in batch.items()
+          if k in ("input_ids", "labels", "attention_mask", "images",
+                   "image_starts")}
+    s_x = make_score_fn(model, params)(jb)
+    s_c = make_score_fn(model, params, lm_head_impl="compact",
+                        compact_len=16)(jb)
+    for a, b in zip(s_c, s_x):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_score_rows_compact_overflow_raises(tiny_setup):
+    from rlaifv_tpu.train.ref_logp import make_score_fn
+
+    with pytest.raises(ValueError):
+        make_score_fn(None, None, lm_head_impl="compact", compact_len=0)
