@@ -69,6 +69,26 @@ def _fwd_blocks(M, H, V, i):
     )
 
 
+# Above this hidden size the forward streams H in chunks (acc scratch) so the
+# row/vocab tiles stay large: at H=4096 the single-pass solver is squeezed to
+# 256x128 tiles, H-blocking restores 768x256. Measured v5e fwd at
+# M=4096 H=4096 V=32000: hblocked(1024) 8.57 ms vs single-pass 8.63 vs XLA
+# 6.42 — the kernel is pipeline-bound, not tile-bound, so this is parity,
+# not a win; bh=512 is WORSE (9.07). Kept because the larger tiles cut W
+# re-streaming by ~2.7x (matters as M grows) and for VMEM headroom.
+_FWD_HBLOCK_THRESHOLD = 2048
+_FWD_BLOCK_H = 1024
+
+
+def _fwd_blocks_hblocked(M, V, bh, i):
+    # x/w chunks double-buffered + fp32 acc + ~3 fp32 temporaries at the
+    # last-h online update
+    return _solve_blocks(
+        M, V,
+        lambda bm, bv: 2 * bm * bh * i + 2 * bh * bv * i + 16 * bm * bv,
+    )
+
+
 def _dx_blocks(M, H, V, i):
     # + fp32 out block accumulated in VMEM
     return _solve_blocks(
@@ -134,7 +154,115 @@ def _fwd_kernel(x_ref, w_ref, y_ref, logp_ref, lse_ref,
         logp_ref[:] = t_s[:] - lse
 
 
+def _fwd_kernel_hblocked(x_ref, w_ref, y_ref, logp_ref, lse_ref,
+                         acc_s, m_s, s_s, t_s,
+                         *, block_v, n_v, n_h, vocab, precision):
+    """H-blocked forward: the (BM, BV) score tile accumulates over H chunks
+    in fp32 scratch; the online (max, sumexp, target) update runs once per
+    vocab tile, after the contraction completes."""
+    iv = pl.program_id(1)
+    ih = pl.program_id(2)
+
+    @pl.when((iv == 0) & (ih == 0))
+    def _():
+        m_s[:] = jnp.full_like(m_s, NEG_INF)
+        s_s[:] = jnp.zeros_like(s_s)
+        t_s[:] = jnp.zeros_like(t_s)
+
+    @pl.when(ih == 0)
+    def _():
+        acc_s[:] = jnp.zeros_like(acc_s)
+
+    acc_s[:] = acc_s[:] + _dot(x_ref[:], w_ref[:], ((1,), (0,)), precision)
+
+    @pl.when(ih == n_h - 1)
+    def _():
+        cols = iv * block_v + jax.lax.broadcasted_iota(
+            jnp.int32, acc_s.shape, 1
+        )
+        s = jnp.where(cols < vocab, acc_s[:], NEG_INF)
+
+        m_old = m_s[:]
+        m_new = jnp.maximum(m_old, jnp.max(s, axis=1, keepdims=True))
+        s_s[:] = s_s[:] * jnp.exp(m_old - m_new) + jnp.sum(
+            jnp.exp(s - m_new), axis=1, keepdims=True
+        )
+        m_s[:] = m_new
+        t_s[:] = t_s[:] + jnp.sum(
+            jnp.where(cols == y_ref[:], s, 0.0), axis=1, keepdims=True
+        )
+
+        @pl.when(iv == n_v - 1)
+        def _():
+            lse = m_s[:] + jnp.log(jnp.maximum(s_s[:], 1e-30))
+            lse_ref[:] = lse
+            logp_ref[:] = t_s[:] - lse
+
+
+def _fwd_hblocked(x, w, y, block_m, block_v, block_h, precision, interpret):
+    (x, y), M_true = _pad_rows((x, y), block_m)
+    M, H = x.shape
+    V = w.shape[1]
+    n_m = M // block_m
+    n_v = pl.cdiv(V, block_v)
+    n_h = pl.cdiv(H, block_h)
+    vpad = n_v * block_v
+    hpad = n_h * block_h
+    if vpad != V or hpad != H:
+        w = jnp.pad(w, ((0, hpad - H), (0, vpad - V)))
+    if hpad != H:
+        x = jnp.pad(x, ((0, 0), (0, hpad - H)))
+
+    kernel = functools.partial(
+        _fwd_kernel_hblocked, block_v=block_v, n_v=n_v, n_h=n_h,
+        vocab=V, precision=precision,
+    )
+    logp, lse = pl.pallas_call(
+        kernel,
+        grid=(n_m, n_v, n_h),
+        in_specs=[
+            pl.BlockSpec((block_m, block_h), lambda m, v, h: (m, h),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_h, block_v), lambda m, v, h: (h, v),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_m, 1), lambda m, v, h: (m, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((block_m, 1), lambda m, v, h: (m, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_m, 1), lambda m, v, h: (m, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((M, 1), jnp.float32),
+            jax.ShapeDtypeStruct((M, 1), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_m, block_v), jnp.float32),
+            pltpu.VMEM((block_m, 1), jnp.float32),
+            pltpu.VMEM((block_m, 1), jnp.float32),
+            pltpu.VMEM((block_m, 1), jnp.float32),
+        ],
+        interpret=interpret,
+    )(x, w, y[:, None])
+    return logp[:M_true, 0], lse[:M_true]
+
+
+def _pad_rows(arrs, bm):
+    M = arrs[0].shape[0]
+    pad = (-M) % bm
+    if not pad:
+        return arrs, M
+    out = []
+    for a in arrs:
+        cfg = [(0, pad)] + [(0, 0)] * (a.ndim - 1)
+        out.append(jnp.pad(a, cfg))
+    return out, M
+
+
 def _fwd(x, w, y, block_m, block_v, precision, interpret):
+    (x, y), M_true = _pad_rows((x, y), block_m)
     M, H = x.shape
     V = w.shape[1]
     n_m = M // block_m
@@ -174,7 +302,7 @@ def _fwd(x, w, y, block_m, block_v, precision, interpret):
         ],
         interpret=interpret,
     )(x, w, y[:, None])
-    return logp[:, 0], lse
+    return logp[:M_true, 0], lse[:M_true]
 
 
 # ---------------------------------------------------------------- backward
@@ -221,12 +349,12 @@ def _bwd_dw_kernel(x_ref, w_ref, y_ref, lse_ref, g_ref, dw_ref,
 
 
 def _bwd(x, w, y, lse, g, bm, bv_dx, bv_dw, precision, interpret):
-    M, H = x.shape
-    V = w.shape[1]
-
     lse2 = lse[:, None] if lse.ndim == 1 else lse
     g2 = g[:, None].astype(jnp.float32)
     y2 = y[:, None]
+    (x, y2, lse2, g2), M_true = _pad_rows((x, y2, lse2, g2), bm)
+    M, H = x.shape
+    V = w.shape[1]
 
     def small_specs(index_map):
         return [
@@ -276,29 +404,34 @@ def _bwd(x, w, y, lse, g, bm, bv_dx, bv_dw, precision, interpret):
     )(x, w_p, y2, lse2, g2)
     if vpad != V:
         dw = dw[:, :V]
-    return dx.astype(x.dtype), dw.astype(w.dtype)
+    return dx[:M_true].astype(x.dtype), dw.astype(w.dtype)
 
 
 # ---------------------------------------------------------------- public
 
 
+def _run_fwd(x, w, y, blocks, precision, interpret):
+    bm_f, bv_f, bh_f, _, _, _ = blocks
+    if bh_f:
+        return _fwd_hblocked(x, w, y, bm_f, bv_f, bh_f, precision, interpret)
+    return _fwd(x, w, y, bm_f, bv_f, precision, interpret)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def _fused(x, w, y, blocks, precision, interpret):
-    bm, bv_fwd, _, _ = blocks
-    logp, _ = _fwd(x, w, y, bm, bv_fwd, precision, interpret)
+    logp, _ = _run_fwd(x, w, y, blocks, precision, interpret)
     return logp
 
 
 def _fused_fwd(x, w, y, blocks, precision, interpret):
-    bm, bv_fwd, _, _ = blocks
-    logp, lse = _fwd(x, w, y, bm, bv_fwd, precision, interpret)
+    logp, lse = _run_fwd(x, w, y, blocks, precision, interpret)
     return logp, (x, w, y, lse)
 
 
 def _fused_bwd(blocks, precision, interpret, res, g):
-    bm, _, bv_dx, bv_dw = blocks
+    _, _, _, bm_b, bv_dx, bv_dw = blocks
     x, w, y, lse = res
-    dx, dw = _bwd(x, w, y, lse, g, bm, bv_dx, bv_dw, precision, interpret)
+    dx, dw = _bwd(x, w, y, lse, g, bm_b, bv_dx, bv_dw, precision, interpret)
     return dx, dw, None
 
 
@@ -312,6 +445,7 @@ def fused_target_logp(
     *,
     block_m: Optional[int] = None,
     block_v: Optional[int] = None,
+    block_h: Optional[int] = None,
     interpret: bool = False,
 ) -> Array:
     """-> (...,) fp32 log p(labels) = logit[label] - logsumexp(logits).
@@ -319,6 +453,12 @@ def fused_target_logp(
     Differentiable wrt hidden and w; never materializes the (..., V) logits.
     Rows whose label position is masked upstream still compute (cheap), the
     caller zeroes them — same contract as get_batch_logps.
+
+    Above _FWD_HBLOCK_THRESHOLD the forward streams H in block_h chunks so
+    the row/vocab tiles stay MXU-sized (at H=4096 the single-pass solver
+    collapses to 256x128); each kernel pads rows to its own block size, so
+    forward-only users (the scoring pass) are not constrained by the
+    backward's tighter VMEM budget.
     """
     batch_shape = hidden.shape[:-1]
     H = hidden.shape[-1]
@@ -328,26 +468,30 @@ def fused_target_logp(
     M = x.shape[0]
 
     i = x.dtype.itemsize
-    bm_f, bv_f = _fwd_blocks(M, H, V, i)
+    if block_h is None and H > _FWD_HBLOCK_THRESHOLD:
+        block_h = _FWD_BLOCK_H
+    if block_h:
+        bm_f, bv_f = _fwd_blocks_hblocked(M, V, block_h, i)
+        bh_f = block_h
+    else:
+        bm_f, bv_f = _fwd_blocks(M, H, V, i)
+        bh_f = 0
     bm_dx, bv_dx = _dx_blocks(M, H, V, i)
     bm_dw, bv_dw = _dw_blocks(M, H, V, i)
-    bm = block_m or min(bm_f, bm_dx, bm_dw)
+    bm_b = min(bm_dx, bm_dw)
+    if block_m:
+        bm_f = bm_b = block_m
     if block_v:
         bv_f = bv_dx = bv_dw = block_v
-
-    pad = (-M) % bm
-    if pad:
-        x = jnp.pad(x, ((0, pad), (0, 0)))
-        y = jnp.pad(y, (0, pad))
 
     precision = (
         jax.lax.Precision.HIGHEST
         if x.dtype == jnp.float32
         else jax.lax.Precision.DEFAULT
     )
-    out = _fused(x, w, y, (bm, bv_f, bv_dx, bv_dw), precision, interpret)
-    if pad:
-        out = out[:M]
+    out = _fused(
+        x, w, y, (bm_f, bv_f, bh_f, bm_b, bv_dx, bv_dw), precision, interpret
+    )
     return out.reshape(batch_shape)
 
 

@@ -103,6 +103,7 @@ class DPOTrainer:
             lm_head_impl=head,
             compact_len=compact_len,
         )
+        self.hp = hp
         self.optimizer = make_optimizer(
             t.learning_rate,
             total_steps=t.max_steps,

@@ -4,7 +4,9 @@ Timing on the axon tunnel requires K on-device steps inside one lax.scan with
 a loop-carried data dependency (block_until_ready returns early; XLA hoists
 invariant bodies), differencing K=1 vs K=N to cancel the RPC overhead.
 
-Usage: python scripts/perf_fused_head.py [M] [H] [V]
+Usage: python scripts/perf_fused_head.py [M] [H] [V] [mode]
+mode: "fwdbwd" (default) or "fwd" — fwd-only is the scoring-pass shape
+(ref-logp precompute), where the H-blocked forward kernel applies.
 """
 import os
 import sys
@@ -26,6 +28,7 @@ def main():
     M = int(sys.argv[1]) if len(sys.argv) > 1 else 8192
     H = int(sys.argv[2]) if len(sys.argv) > 2 else 1024
     V = int(sys.argv[3]) if len(sys.argv) > 3 else 32000
+    mode = sys.argv[4] if len(sys.argv) > 4 else "fwdbwd"
     dtype = jnp.bfloat16
 
     rng = np.random.default_rng(0)
@@ -37,6 +40,15 @@ def main():
     def step(fn):
         def loss(x, w):
             return (fn(x, w, y) * g).sum()
+
+        if mode == "fwd":
+            def body(carry, _):
+                x, w = carry
+                l = loss(x, w)
+                # loop-carried dependency so XLA cannot hoist the body
+                return (x + 1e-9 * l.astype(x.dtype), w), l
+
+            return body
 
         def body(carry, _):
             x, w = carry
@@ -63,7 +75,7 @@ def main():
         t1, _ = timed(fn, 1)
         tK, _ = timed(fn, K)
         per = (tK - t1) / (K - 1) * 1e3
-        print(f"{name}: {per:.3f} ms/step (fwd+bwd)  M={M} H={H} V={V}")
+        print(f"{name}: {per:.3f} ms/step ({mode})  M={M} H={H} V={V}")
 
 
 if __name__ == "__main__":

@@ -78,3 +78,42 @@ def test_grad_row_padding():
     dwx = jax.grad(lambda w: (target_logp_xla(x, w, y) * g).sum())(w)
     np.testing.assert_allclose(np.asarray(dwf), np.asarray(dwx),
                                rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("M,H,V,bm,bv,bh", [
+    (16, 64, 256, 8, 128, 32),    # H split in 2
+    (16, 96, 300, 8, 128, 32),    # H split in 3 + vocab pad
+    (13, 64, 256, 8, 128, 32),    # row pad
+    (16, 80, 256, 8, 128, 32),    # H pad (80 -> 96)
+])
+def test_fwd_hblocked_parity(M, H, V, bm, bv, bh):
+    rng = np.random.default_rng(3)
+    x, w, y = _case(rng, M, H, V)
+    got = fused_target_logp(x, w, y, block_m=bm, block_v=bv, block_h=bh,
+                            interpret=True)
+    want = target_logp_xla(x, w, y)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_grad_through_hblocked_fwd():
+    """The backward kernels are H-unblocked; grads must still be exact when
+    the forward ran H-blocked (lse handoff, independent row padding)."""
+    rng = np.random.default_rng(4)
+    M, H, V = 13, 64, 300
+    x, w, y = _case(rng, M, H, V)
+    g = jnp.asarray(rng.normal(size=(M,)), jnp.float32)
+
+    def loss_fused(x, w):
+        return (fused_target_logp(x, w, y, block_m=8, block_v=128,
+                                  block_h=32, interpret=True) * g).sum()
+
+    def loss_xla(x, w):
+        return (target_logp_xla(x, w, y) * g).sum()
+
+    dxf, dwf = jax.grad(loss_fused, argnums=(0, 1))(x, w)
+    dxx, dwx = jax.grad(loss_xla, argnums=(0, 1))(x, w)
+    np.testing.assert_allclose(np.asarray(dxf), np.asarray(dxx),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dwf), np.asarray(dwx),
+                               rtol=1e-4, atol=1e-5)

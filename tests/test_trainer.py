@@ -171,3 +171,22 @@ def test_lora_save_load_roundtrip(setup, tmp_path):
     a0 = lora["llm"]["model"]["layer_0"]["attn"]["q_proj"]["a"]
     a1 = loaded["llm"]["model"]["layer_0"]["attn"]["q_proj"]["a"]
     np.testing.assert_allclose(np.asarray(a0), np.asarray(a1))
+
+
+def test_trainer_auto_picks_compact(setup, tmp_path):
+    """compact_len > 0 flips the auto head selection to the compact path and
+    training steps run (overflow metric present and zero)."""
+    from rlaifv_tpu.train.trainer import DPOTrainer
+
+    cfg, model, ds, coll, params = setup
+    c = _config(tmp_path / "compact", steps=2, compact_len=32)
+    tr = DPOTrainer(c, model, jax.tree_util.tree_map(jnp.copy, params),
+                    ds, coll)
+    assert tr.hp.lm_head_impl == "compact"
+    assert tr.hp.compact_len == 32
+    tr.train()
+    import json, os
+    lines = [json.loads(l) for l in
+             open(os.path.join(str(tmp_path / "compact"), "metrics.jsonl"))]
+    assert any("compact_overflow" in m for m in lines)
+    assert all(m.get("compact_overflow", 0) == 0 for m in lines)
