@@ -8,8 +8,19 @@ hierarchy (pallas_guide.md):
   and keeps the full K/V for its (batch, kv-head) resident in VMEM —
   RLAIF-V sequences are <= 2048+576 tokens, so K,V in bf16 occupy ~1.3 MB:
   far under the 16 MB VMEM budget and cheaper than online-softmax streaming.
+- the resident K is scored in ONE (BQ, L) matmul per program, deliberately
+  NOT chunked with causal FLOP skipping: a chunked online-softmax variant
+  (block_q-sized K chunks, fori_loop stopping at the diagonal) was built
+  and measured slower on v5e despite ~2x fewer scored keys — 3.12 vs 2.76
+  ms fwd+bwd at B=16 L=1024 H=12 D=128, 4.96 vs 4.36 ms at B=8 L=2048:
+  small (BQ x BQ x 128) matmuls under a dynamic loop forfeit MXU utilization
+  and Mosaic pipelining worth more than the masked-out FLOPs at these
+  lengths. Revisit only if sequence lengths grow past ~4k.
 - scores/softmax accumulate in fp32 on the MXU (preferred_element_type),
-  outputs cast back to the activation dtype.
+  outputs cast back to the activation dtype. fp32 inputs additionally pin
+  Precision.HIGHEST: the TPU default for fp32 matmuls is a single bf16
+  pass (~1e-2 abs error at these shapes); HIGHEST brings fwd parity vs an
+  exact oracle to ~1e-6. bf16 training inputs keep DEFAULT — no cost.
 - GQA without materializing repeated heads: the k/v BlockSpec index map
   folds the q-head -> kv-head mapping (h // n_rep).
 - backward is the standard two-kernel flash split: dq over q blocks, dk/dv
@@ -46,14 +57,15 @@ def _pick_block_q(L: int) -> Optional[int]:
 
 
 def _fwd_kernel(mask_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, block_q,
-                causal):
+                causal, precision):
     iq = pl.program_id(2)
     q = q_ref[0, 0].astype(jnp.float32)  # (BQ, D)
     k = k_ref[0, 0].astype(jnp.float32)  # (L, D)
     L = k.shape[0]
 
     s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=precision
     ) * scale  # (BQ, L)
 
     kpos = jax.lax.broadcasted_iota(jnp.int32, (block_q, L), 1)
@@ -74,7 +86,8 @@ def _fwd_kernel(mask_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, block_q
 
     v = v_ref[0, 0].astype(jnp.float32)
     o = jax.lax.dot_general(
-        p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=precision
     )
     o_ref[0, 0] = o.astype(o_ref.dtype)
     lse_ref[0, 0, :, 0] = m_safe[:, 0] + jnp.log(jnp.maximum(l[:, 0], 1e-30))
@@ -86,8 +99,11 @@ def _fwd(q, k, v, mask, scale, causal, block_q):
     n_rep = H // KVH
     grid = (B, H, Lq // block_q)
 
+    precision = (jax.lax.Precision.HIGHEST if q.dtype == jnp.float32
+                 else jax.lax.Precision.DEFAULT)
     kernel = functools.partial(
-        _fwd_kernel, scale=scale, block_q=block_q, causal=causal
+        _fwd_kernel, scale=scale, block_q=block_q, causal=causal,
+        precision=precision,
     )
     out, lse = pl.pallas_call(
         kernel,
@@ -120,7 +136,7 @@ def _fwd(q, k, v, mask, scale, causal, block_q):
 
 
 def _bwd_dq_kernel(mask_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
-                   dq_ref, *, scale, block_q, causal):
+                   dq_ref, *, scale, block_q, causal, precision):
     iq = pl.program_id(2)
     q = q_ref[0, 0].astype(jnp.float32)
     k = k_ref[0, 0].astype(jnp.float32)
@@ -128,7 +144,8 @@ def _bwd_dq_kernel(mask_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     L = k.shape[0]
 
     s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=precision
     ) * scale
     kpos = jax.lax.broadcasted_iota(jnp.int32, (block_q, L), 1)
     bias = jnp.where(mask_ref[0, 0] != 0, 0.0, NEG_INF)[None, :]
@@ -141,17 +158,20 @@ def _bwd_dq_kernel(mask_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
 
     do = do_ref[0, 0].astype(jnp.float32)
     dp = jax.lax.dot_general(
-        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=precision
     )
     ds = p * (dp - delta_ref[0, 0, :, 0][:, None]) * scale
     dq = jax.lax.dot_general(
-        ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=precision
     )
     dq_ref[0, 0] = dq.astype(dq_ref.dtype)
 
 
 def _bwd_dkv_kernel(mask_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
-                    dk_ref, dv_ref, *, scale, block_k, causal, n_rep):
+                    dk_ref, dv_ref, *, scale, block_k, causal, n_rep,
+                    precision):
     ik = pl.program_id(2)
     # this program owns one k block for one *kv* head; sum over the q heads
     # mapped onto it.
@@ -173,18 +193,22 @@ def _bwd_dkv_kernel(mask_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         q = q_ref[0, 0, r].astype(jnp.float32)  # (Lq, D)
         do = do_ref[0, 0, r].astype(jnp.float32)
         s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+            precision=precision
         ) * scale  # (Lq, BK)
         p = jnp.exp(s + bias - lse_ref[0, 0, r, :, 0][:, None])
         dv_acc = dv_acc + jax.lax.dot_general(
-            p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+            precision=precision
         )
         dp = jax.lax.dot_general(
-            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+            precision=precision
         )
         ds = p * (dp - delta_ref[0, 0, r, :, 0][:, None]) * scale
         dk_acc = dk_acc + jax.lax.dot_general(
-            ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+            precision=precision
         )
 
     dk_ref[0, 0] = dk_acc.astype(dk_ref.dtype)
@@ -203,8 +227,11 @@ def _bwd(scale, causal, block_q, res, g):
     )  # (B, H, Lq, 1) — matches the lse layout
     mask3 = mask[:, None, :]  # (B, 1, Lk)
 
+    precision = (jax.lax.Precision.HIGHEST if q.dtype == jnp.float32
+                 else jax.lax.Precision.DEFAULT)
     dq_kernel = functools.partial(
-        _bwd_dq_kernel, scale=scale, block_q=block_q, causal=causal
+        _bwd_dq_kernel, scale=scale, block_q=block_q, causal=causal,
+        precision=precision,
     )
     dq = pl.pallas_call(
         dq_kernel,
@@ -239,7 +266,7 @@ def _bwd(scale, causal, block_q, res, g):
 
     dkv_kernel = functools.partial(
         _bwd_dkv_kernel, scale=scale, block_k=block_k, causal=causal,
-        n_rep=n_rep,
+        n_rep=n_rep, precision=precision,
     )
     dk, dv = pl.pallas_call(
         dkv_kernel,

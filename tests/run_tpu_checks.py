@@ -29,9 +29,17 @@ def main():
     from rlaifv_tpu.ops.fused_head import fused_target_logp, target_logp_xla
 
     def ref(q, k, v, mask, causal=True):
-        n_rep = q.shape[2] // k.shape[2]
-        bias = _build_bias(q.shape[1], k.shape[1], mask, causal, None, q.shape[0])
-        return dense_attention(q, repeat_kv(k, n_rep), repeat_kv(v, n_rep), bias)
+        # HIGHEST: the fp32 default on this MXU is a single bf16 pass
+        # (~1e-2 abs error at these shapes) — an inaccurate reference that
+        # previously matched the kernel only because both made the same
+        # rounding. The flash kernels now pin HIGHEST for fp32 inputs, so
+        # the reference must be exact to compare against.
+        with jax.default_matmul_precision("highest"):
+            n_rep = q.shape[2] // k.shape[2]
+            bias = _build_bias(q.shape[1], k.shape[1], mask, causal, None,
+                               q.shape[0])
+            return dense_attention(q, repeat_kv(k, n_rep), repeat_kv(v, n_rep),
+                                   bias)
 
     rng = np.random.default_rng(0)
     failures = 0
@@ -47,7 +55,7 @@ def main():
         out = flash_attention(q, k, v, attention_mask=mask)
         want = ref(q, k, v, mask)
         fwd = float(jnp.abs(out - want).max())
-        ok_fwd = fwd < 2e-3
+        ok_fwd = fwd < 1e-5
 
         g = jnp.asarray(rng.normal(size=(B, L, H, D)), jnp.float32)
         gf = jax.grad(
@@ -58,7 +66,7 @@ def main():
             lambda q, k, v: (ref(q, k, v, mask) * g).sum(), argnums=(0, 1, 2)
         )(q, k, v)
         grad_diffs = [float(jnp.abs(a - b).max()) for a, b in zip(gf, gd)]
-        ok_grad = all(d < 4e-2 for d in grad_diffs)
+        ok_grad = all(d < 1e-3 for d in grad_diffs)
 
         status = "OK" if (ok_fwd and ok_grad) else "FAIL"
         failures += not (ok_fwd and ok_grad)
