@@ -34,6 +34,11 @@ class CheckpointManager:
     def latest_step(self) -> Optional[int]:
         return self._mgr.latest_step()
 
+    def all_steps(self) -> list:
+        """Saved steps, ascending (checkpoint-selection sweeps iterate these;
+        ref protocol evaluates every step checkpoint, README.md:219-221)."""
+        return sorted(self._mgr.all_steps())
+
     def restore(self, state_template: Tree, step: Optional[int] = None) -> Tree:
         step = step if step is not None else self.latest_step()
         if step is None:
