@@ -188,9 +188,61 @@ class QuantDense(nn.Module):
             # on every call — measured 21x slower decode.
             from rlaifv_tpu.ops.quant_matmul import int8_matmul
 
-            return int8_matmul(x, kernel, scale)
-        w = kernel.astype(self.dtype) * scale.astype(self.dtype)[None, :]
-        return x @ w
+            y = int8_matmul(x, kernel, scale)
+        else:
+            w = kernel.astype(self.dtype) * scale.astype(self.dtype)[None, :]
+            y = x @ w
+        if self.has_variable("lora", "a"):
+            # QLoRA-style: bf16 adapters over the frozen int8 base (the
+            # reference's 8-bit-load + peft combination,
+            # llava/model/builder.py:30-49 + train_llava15_lora.py).
+            a = self.get_variable("lora", "a").astype(self.dtype)
+            b = self.get_variable("lora", "b").astype(self.dtype)
+            y = y + (x @ a) @ b
+        return y
+
+
+class LoraDense(nn.Module):
+    """nn.Dense(use_bias=False) plus an optional low-rank side-term read
+    from the 'lora' variable collection: y = x @ kernel + (x @ a) @ b.
+
+    TPU-design for LoRA at 7B-on-one-chip scale: the reference merges peft
+    adapters into the base weights; merging functionally inside the train
+    step (train/lora.py::lora_merge) materializes a SECOND full param tree
+    per step — fine at proxy scale, OOM at 7B on a 16G chip. Reading
+    adapters per-layer from a separate collection adds only the rank-r
+    matmuls. The alpha/r scale is pre-folded into b by
+    train/lora.py::lora_scaled, so this formulation equals the merged one
+    (x@(W + a·b·α/r)) up to fp reassociation. Without a 'lora' collection
+    this is exactly nn.Dense(use_bias=False) — same params, same HLO.
+    """
+
+    features: int
+    dtype: Any = jnp.bfloat16
+    param_dtype: Any = jnp.bfloat16
+    kernel_init: Any = nn.initializers.normal(0.02)
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        kernel = self.param(
+            "kernel", self.kernel_init, (x.shape[-1], self.features),
+            self.param_dtype,
+        )
+        x = x.astype(self.dtype)
+        y = jax.lax.dot_general(
+            x, kernel.astype(self.dtype),
+            (((x.ndim - 1,), (0,)), ((), ())),
+        )
+        if self.has_variable("lora", "a"):
+            a = self.get_variable("lora", "a").astype(self.dtype)
+            b = self.get_variable("lora", "b").astype(self.dtype)
+            y = y + jax.lax.dot_general(
+                jax.lax.dot_general(
+                    x, a, (((x.ndim - 1,), (0,)), ((), ()))
+                ),
+                b, (((x.ndim - 1,), (0,)), ((), ())),
+            )
+        return y
 
 
 def quantize_kernel_int8(w: "np.ndarray"):
@@ -207,9 +259,8 @@ def quantize_kernel_int8(w: "np.ndarray"):
 def _dense(features: int, cfg: LlamaConfig, names: Tuple[str, ...], name: str):
     if getattr(cfg, "quantize", False):
         return QuantDense(features, dtype=cfg.dtype, name=name)
-    return nn.Dense(
+    return LoraDense(
         features,
-        use_bias=False,
         dtype=cfg.dtype,
         param_dtype=cfg.param_dtype,
         kernel_init=nn.initializers.normal(0.02),

@@ -111,6 +111,23 @@ def lora_merge(params: Tree, lora: Tree, alpha: float = 16.0,
     return walk(params, lora)
 
 
+def lora_scaled(lora: Tree, alpha: float = 16.0) -> Tree:
+    """Fold the alpha/r scale into b, so models.llama.LoraDense's unscaled
+    x@a@b side-term equals the merged kernel' = kernel + a@b·(alpha/r).
+    Gradients flow through the fold (chain rule), so training on the raw
+    {a, b} tree matches the merged formulation exactly."""
+
+    def walk(node):
+        if isinstance(node, dict) and "a" in node and "b" in node:
+            r = node["a"].shape[1]
+            return {"a": node["a"], "b": node["b"] * (alpha / r)}
+        if isinstance(node, dict):
+            return {k: walk(v) for k, v in node.items()}
+        return node
+
+    return walk(lora)
+
+
 def save_lora(path: str, lora: Tree, alpha: float, r: int) -> None:
     """Adapters saved separately from base weights (ref :184-197 contract)."""
     flat = {p: np.asarray(v) for p, v in _flatten(lora)}

@@ -36,6 +36,22 @@ from rlaifv_tpu.train.dpo import (
 Tree = Any
 
 
+def _as_variables(params):
+    """Accept a bare params tree OR a dict of flax collections
+    ({'params': base, 'lora': adapters} — the no-merge LoRA path). A real
+    params tree's top-level keys are module names ('llm', 'vision_tower',
+    ...), never 'params', so the sniff is unambiguous."""
+    if (isinstance(params, dict) and "params" in params
+            and set(params) <= {"params", "lora"}):
+        return params
+    return {"params": params}
+
+
+def _base_params(params):
+    v = _as_variables(params)
+    return v["params"]
+
+
 class LlavaDPOAdapter:
     """Functional facade over LlavaForCausalLM for the train step."""
 
@@ -44,36 +60,37 @@ class LlavaDPOAdapter:
 
     def encode_images_fn(self, params, images):
         return self.module.apply(
-            {"params": params}, images, method=self.module.encode_images
+            _as_variables(params), images, method=self.module.encode_images
         )
 
     def forward_with_features(self, params, input_ids, feats, starts, mask):
         return self.module.apply(
-            {"params": params}, input_ids, feats, starts, mask,
+            _as_variables(params), input_ids, feats, starts, mask,
             method=self.module.forward_with_features,
         )
 
     def forward_text(self, params, input_ids, mask):
         return self.module.apply(
-            {"params": params}, input_ids, mask,
+            _as_variables(params), input_ids, mask,
             method=self.module.forward_text,
         )
 
     def hidden_with_features(self, params, input_ids, feats, starts, mask):
         return self.module.apply(
-            {"params": params}, input_ids, feats, starts, mask,
+            _as_variables(params), input_ids, feats, starts, mask,
             method=self.module.hidden_with_features,
         )
 
     def hidden_text(self, params, input_ids, mask):
         return self.module.apply(
-            {"params": params}, input_ids, mask,
+            _as_variables(params), input_ids, mask,
             method=self.module.hidden_text,
         )
 
     def lm_head_kernel(self, params):
-        """(H, V) head weight for the fused-head logp path."""
-        llm = params["llm"]
+        """(H, V) head weight for the fused-head logp path (the head is
+        excluded from LoRA, ref find_all_linear_names)."""
+        llm = _base_params(params)["llm"]
         if "lm_head" in llm:
             return llm["lm_head"]["kernel"]
         return llm["model"]["tok_embed"]["embedding"].T  # tied embeddings
@@ -322,17 +339,22 @@ def make_lora_dpo_train_step(
 ) -> Callable:
     """LoRA variant: state.params is the adapter tree; frozen base params are
     a separate argument (ref: muffin/train/train_llava15_lora.py — peft
-    adapters trained, base frozen). Merge is functional: kernel + a@b."""
-    from rlaifv_tpu.train.lora import lora_merge
+    adapters trained, base frozen). Adapters apply per-layer through the
+    'lora' variable collection (models.llama.LoraDense) instead of
+    materializing a merged param tree — same math (lora_scaled folds alpha/r
+    into b), but the base is never duplicated, which is what lets 7B LoRA
+    DPO fit one 16G chip."""
+    from rlaifv_tpu.train.lora import lora_scaled
 
     def train_step(
         state: DPOTrainState, base_params, batch: Dict[str, jax.Array]
     ):
         def loss_fn(lora):
-            merged = lora_merge(
-                jax.lax.stop_gradient(base_params), lora, alpha=lora_alpha
-            )
-            return dpo_loss_from_batch(model, merged, batch, hp)
+            variables = {
+                "params": jax.lax.stop_gradient(base_params),
+                "lora": lora_scaled(lora, alpha=lora_alpha),
+            }
+            return dpo_loss_from_batch(model, variables, batch, hp)
 
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params
