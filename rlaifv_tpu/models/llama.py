@@ -47,9 +47,15 @@ class LlamaConfig:
     remat: bool = False
     dtype: Any = jnp.float32  # activation/compute dtype
     param_dtype: Any = jnp.float32
-    # weight-only int8 (QuantDense) for all projection/mlp/lm_head kernels;
-    # inference-only (the TPU answer to the loader's 4/8-bit options)
+    # weight-only int8 (QuantDense) for all projection/mlp/lm_head kernels
+    # (the TPU answer to the loader's 4/8-bit options); differentiable
+    # w.r.t. activations (ops/quant_matmul.py dx kernel), so QLoRA-style
+    # adapter training over the frozen int8 base works.
     quantize: bool = False
+    # keep the LM head bf16 when the body is int8: the compact/fused DPO
+    # head paths consume the head kernel as a plain array, and the head is
+    # the quality-critical projection (QLoRA keeps it unquantized too)
+    quantize_lm_head: bool = True
 
     @property
     def head_size(self) -> int:
@@ -186,9 +192,12 @@ class QuantDense(nn.Module):
             # Pallas kernel: int8 tiles dequantize in VMEM. The jnp fallback
             # below makes XLA materialize the full dequantized weight in HBM
             # on every call — measured 21x slower decode.
-            from rlaifv_tpu.ops.quant_matmul import int8_matmul
+            from rlaifv_tpu.ops.quant_matmul import int8_matmul_grad
 
-            y = int8_matmul(x, kernel, scale)
+            # differentiable w.r.t. x (dx kernel keeps q int8, no transpose
+            # materialized) — the QLoRA training path needs gradients to
+            # flow THROUGH the frozen int8 base into earlier adapters.
+            y = int8_matmul_grad(x, kernel, scale)
         else:
             w = kernel.astype(self.dtype) * scale.astype(self.dtype)[None, :]
             y = x @ w
@@ -369,10 +378,15 @@ class LlamaModel(nn.Module):
         )
         block = LlamaBlock
         if cfg.remat:
+            # prevent_cse MUST be True with unrolled layers: XLA's CSE
+            # otherwise merges each recomputed activation with its forward
+            # twin, silently keeping every layer's intermediates alive
+            # (measured: 7B QLoRA step wanted 33.5G HBM with False — remat
+            # fully defeated; prevent_cse=False is only safe under lax.scan)
             block = nn.remat(
                 LlamaBlock,
                 static_argnums=(),
-                prevent_cse=False,
+                prevent_cse=True,
                 policy=jax.checkpoint_policies.nothing_saveable,
             )
         self.blocks = [block(cfg, name=f"layer_{i}") for i in range(cfg.num_layers)]
@@ -420,7 +434,7 @@ class LlamaForCausalLM(nn.Module):
     def setup(self):
         self.model = LlamaModel(self.cfg, name="model")
         if not self.cfg.tie_word_embeddings:
-            if self.cfg.quantize:
+            if self.cfg.quantize and self.cfg.quantize_lm_head:
                 self.lm_head = QuantDense(
                     self.cfg.vocab_size, dtype=self.cfg.dtype, name="lm_head"
                 )

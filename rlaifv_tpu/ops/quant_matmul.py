@@ -56,17 +56,25 @@ def int8_matmul(
     q: Array,  # (K, N) int8
     scale: Array,  # (N,) float
     *,
-    block_m: int = 256,
-    block_n: int = 512,
+    block_m: Optional[int] = None,
+    block_n: Optional[int] = None,
     interpret: bool = False,
 ) -> Array:
     """-> (..., N) in x.dtype: x @ (q * scale), int8 dequantized in VMEM."""
+    interpret = interpret or jax.default_backend() != "tpu"
     batch_shape = x.shape[:-1]
     K = x.shape[-1]
     N = q.shape[1]
     x2 = x.reshape(-1, K)
     M = x2.shape[0]
 
+    # VMEM per program ~ bm*K*(2+4+1 bytes: bf16 in, f32 quant staging,
+    # int8) + K*bn (int8 weight) + bm*bn*4; halve blocks for wide K so the
+    # 7B down_proj (K=11008) stays under the ~16M scoped budget.
+    # Mosaic double-buffers streamed blocks; wide-K (7B down_proj
+    # K=11008) needs small tiles to fit the 16M scoped budget
+    block_m = block_m or (256 if K <= 8192 else 128)
+    block_n = block_n or (512 if K <= 8192 else 128)
     bm = min(block_m, ((M + 7) // 8) * 8)
     bn = block_n
     pad_m = (-M) % bm
@@ -102,3 +110,106 @@ def int8_matmul(
     if pad_m or pad_n:
         out = out[:M, :N]
     return out.reshape(batch_shape + (N,))
+
+
+# -------------------------------------------------------- backward (dx)
+
+
+def _dx_kernel(dy_ref, s_ref, q_ref, o_ref):
+    # dx = (dy * scale) @ q^T, contracting q's N axis in place (no transpose
+    # of the int8 weight is ever materialized). The scaled cotangent stripe
+    # is dynamically quantized per row, exactly like the forward quantizes
+    # activations — the same precision contract on both passes.
+    dy = dy_ref[:].astype(jnp.float32) * s_ref[:].astype(jnp.float32)
+    amax = jnp.max(jnp.abs(dy), axis=1, keepdims=True)
+    sy = jnp.maximum(amax, 1e-20) / 127.0
+    dyq = jnp.clip(jnp.round(dy / sy), -127, 127).astype(jnp.int8)
+    acc = jax.lax.dot_general(
+        dyq, q_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )  # (BM, BK)
+    o_ref[:] = (acc.astype(jnp.float32) * sy).astype(o_ref.dtype)
+
+
+def int8_matmul_dx(
+    dy: Array,  # (..., N) cotangent of int8_matmul's output
+    q: Array,  # (K, N) int8 — same layout as the forward
+    scale: Array,  # (N,)
+    *,
+    block_m: Optional[int] = None,
+    block_k: Optional[int] = None,
+    interpret: bool = False,
+) -> Array:
+    """-> (..., K): (dy * scale) @ q^T with q kept int8 in HBM."""
+    interpret = interpret or jax.default_backend() != "tpu"
+    batch_shape = dy.shape[:-1]
+    N = dy.shape[-1]
+    K = q.shape[0]
+    dy2 = dy.reshape(-1, N)
+    M = dy2.shape[0]
+
+    # VMEM: dy stripe (bm, N) in bf16 + f32 quant staging + int8, plus the
+    # (bk, N) int8 weight block; shrink both for wide N (7B down_proj dx
+    # has N=11008).
+    block_m = block_m or (256 if N <= 8192 else 128)
+    bm = min(block_m, ((M + 7) // 8) * 8)
+    bk = block_k or (512 if N <= 8192 else 128)
+    pad_m = (-M) % bm
+    if pad_m:
+        dy2 = jnp.pad(dy2, ((0, pad_m), (0, 0)))
+    pad_k = (-K) % bk
+    if pad_k:
+        q = jnp.pad(q, ((0, pad_k), (0, 0)))
+    pad_n = (-N) % 128
+    if pad_n:
+        dy2 = jnp.pad(dy2, ((0, 0), (0, pad_n)))
+        q = jnp.pad(q, ((0, 0), (0, pad_n)))
+        scale = jnp.pad(scale, (0, pad_n))
+    Mp, Kp, Np = dy2.shape[0], q.shape[0], dy2.shape[1]
+
+    out = pl.pallas_call(
+        _dx_kernel,
+        grid=(Mp // bm, Kp // bk),
+        in_specs=[
+            pl.BlockSpec((bm, Np), lambda m, k: (m, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Np), lambda m, k: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk, Np), lambda m, k: (k, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, bk), lambda m, k: (m, k),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Mp, Kp), dy.dtype),
+        interpret=interpret,
+    )(dy2, scale.reshape(1, -1), q)
+    if pad_m or pad_k:
+        out = out[:M, :K]
+    return out.reshape(batch_shape + (K,))
+
+
+@jax.custom_vjp
+def int8_matmul_grad(x: Array, q: Array, scale: Array) -> Array:
+    """int8_matmul with a backward pass w.r.t. x only (the int8 weight is
+    frozen by construction — QLoRA-style training: adapters learn, base
+    doesn't). dq/dscale cotangents are symbolic zeros."""
+    return int8_matmul(x, q, scale)
+
+
+def _grad_fwd(x, q, scale):
+    return int8_matmul(x, q, scale), (q, scale)
+
+
+def _grad_bwd(res, dy):
+    import numpy as np
+
+    q, scale = res
+    dx = int8_matmul_dx(dy, q, scale)
+    return (
+        dx,
+        np.zeros(q.shape, dtype=jax.dtypes.float0),
+        jnp.zeros_like(scale),
+    )
+
+
+int8_matmul_grad.defvjp(_grad_fwd, _grad_bwd)

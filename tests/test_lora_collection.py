@@ -121,3 +121,80 @@ def test_quant_dense_reads_lora():
         {"params": params, "lora": lora_scaled(lora, alpha=16.0)}, ids
     )[0]
     assert float(jnp.abs(base - with_lora).max()) > 1e-4
+
+
+def test_qlora_train_step():
+    """Full QLoRA DPO train step: frozen int8 base (+bf16 head), adapters in
+    the 'lora' collection, gradients flow through the dx kernel path (CPU
+    fallback here; the dx kernel itself is covered in test_quant_matmul)."""
+    import optax
+
+    from rlaifv_tpu.models.clip_vit import CLIPVisionConfig
+    from rlaifv_tpu.models.llama import LlamaConfig
+    from rlaifv_tpu.models.llava import LlavaConfig as LC
+    from rlaifv_tpu.models.llava import LlavaForCausalLM as LM
+    from rlaifv_tpu.train.train_step import (
+        DPOHparams,
+        DPOTrainState,
+        make_lora_dpo_train_step,
+    )
+    from rlaifv_tpu.utils.synth import synth_dpo_batch
+
+    tiny = LC.tiny()
+    cfg = LC(
+        llm=LlamaConfig.tiny(quantize=True, quantize_lm_head=False),
+        vision=tiny.vision,
+    )
+    model = LM(cfg)
+    batch = synth_dpo_batch(cfg, n_pairs=2, max_len=96, answer_len=16)
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    params = model.init(
+        jax.random.PRNGKey(0), batch["input_ids"][:2],
+        images=batch["images"][:2], image_starts=batch["image_starts"][:2],
+    )["params"]
+
+    # int8 kernels init to zeros — and an all-zero base routes EVERY adapter
+    # gradient through a zero matmul (db = (x@a)^T dy with x or dy = 0), so
+    # fill the base with real weights first
+    rng = np.random.default_rng(7)
+
+    def fill(p):
+        return jax.tree.map(
+            lambda v: jnp.asarray(rng.integers(-30, 30, size=v.shape),
+                                  jnp.int8)
+            if v.dtype == jnp.int8 else v,
+            p,
+        )
+
+    params = fill(params)
+    # shrink scales so int8*30-ish weights don't blow up the tiny model
+    params = jax.tree_util.tree_map_with_path(
+        lambda path, v: v * 0.01
+        if path and getattr(path[-1], "key", "") == "scale" else v,
+        params,
+    )
+    lora = lora_init(jax.random.PRNGKey(1), params, r=4)
+    assert jax.tree_util.tree_leaves(lora), "no adapter targets on int8 base"
+
+    from rlaifv_tpu.train.train_step import LlavaDPOAdapter
+
+    opt = optax.adamw(1e-3)
+    state = DPOTrainState(jnp.int32(0), lora, opt.init(lora))
+    step = make_lora_dpo_train_step(
+        LlavaDPOAdapter(model), opt, DPOHparams(beta=0.1), lora_alpha=16.0
+    )
+    base_before = jax.tree.map(lambda x: np.asarray(x).copy(), params)
+    s1, m1 = step(state, params, batch)
+    s2, m2 = step(s1, params, batch)
+    assert np.isfinite(float(m1["loss"])) and np.isfinite(float(m2["loss"]))
+    # adapters moved
+    moved = any(
+        not np.allclose(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree_util.tree_leaves(state.params),
+                        jax.tree_util.tree_leaves(s2.params))
+    )
+    assert moved
+    # frozen base untouched
+    for a, b in zip(jax.tree_util.tree_leaves(base_before),
+                    jax.tree_util.tree_leaves(params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
