@@ -90,7 +90,8 @@ def _fwd_kernel(mask_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, block_q
         precision=precision
     )
     o_ref[0, 0] = o.astype(o_ref.dtype)
-    lse_ref[0, 0, :, 0] = m_safe[:, 0] + jnp.log(jnp.maximum(l[:, 0], 1e-30))
+    lse = m_safe[:, 0] + jnp.log(jnp.maximum(l[:, 0], 1e-30))
+    lse_ref[:, :] = jnp.broadcast_to(lse[None, :], lse_ref.shape)
 
 
 def _fwd(q, k, v, mask, scale, causal, block_q):
@@ -121,12 +122,12 @@ def _fwd(q, k, v, mask, scale, causal, block_q):
         out_specs=[
             pl.BlockSpec((1, 1, block_q, D), lambda b, h, i: (b, h, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, block_q, 1), lambda b, h, i: (b, h, i, 0),
+            pl.BlockSpec((None, None, 8, block_q), lambda b, h, i: (b, h, 0, i),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((B, H, Lq, D), q.dtype),
-            jax.ShapeDtypeStruct((B, H, Lq, 1), jnp.float32),
+            jax.ShapeDtypeStruct((B, H, 8, Lq), jnp.float32),
         ],
     )(mask[:, None, :], q, k, v)
     return out, lse
@@ -154,14 +155,14 @@ def _bwd_dq_kernel(mask_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
             jnp.int32, (block_q, L), 0
         )
         bias = bias + jnp.where(kpos <= qpos, 0.0, NEG_INF)
-    p = jnp.exp(s + bias - lse_ref[0, 0, :, 0][:, None])
+    p = jnp.exp(s + bias - lse_ref[0, :][:, None])
 
     do = do_ref[0, 0].astype(jnp.float32)
     dp = jax.lax.dot_general(
         do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
         precision=precision
     )
-    ds = p * (dp - delta_ref[0, 0, :, 0][:, None]) * scale
+    ds = p * (dp - delta_ref[0, :][:, None]) * scale
     dq = jax.lax.dot_general(
         ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
         precision=precision
@@ -196,7 +197,7 @@ def _bwd_dkv_kernel(mask_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
             precision=precision
         ) * scale  # (Lq, BK)
-        p = jnp.exp(s + bias - lse_ref[0, 0, r, :, 0][:, None])
+        p = jnp.exp(s + bias - lse_ref[r, 0, :][:, None])
         dv_acc = dv_acc + jax.lax.dot_general(
             p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
             precision=precision
@@ -205,7 +206,7 @@ def _bwd_dkv_kernel(mask_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
             do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
             precision=precision
         )
-        ds = p * (dp - delta_ref[0, 0, r, :, 0][:, None]) * scale
+        ds = p * (dp - delta_ref[r, 0, :][:, None]) * scale
         dk_acc = dk_acc + jax.lax.dot_general(
             ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
             precision=precision
@@ -223,8 +224,11 @@ def _bwd(scale, causal, block_q, res, g):
     n_rep = H // KVH
 
     delta = jnp.sum(
-        do.astype(jnp.float32) * out.astype(jnp.float32), axis=-1, keepdims=True
-    )  # (B, H, Lq, 1) — matches the lse layout
+        do.astype(jnp.float32) * out.astype(jnp.float32), axis=-1
+    )  # (B, H, Lq)
+    delta = jnp.broadcast_to(delta[:, :, None, :], (B, H, 8, Lq))
+    # 8-sublane row layout, matching lse (a trailing unit dim would be
+    # lane-padded to 128 — 128x the memory at 7B geometry)
     mask3 = mask[:, None, :]  # (B, 1, Lk)
 
     precision = (jax.lax.Precision.HIGHEST if q.dtype == jnp.float32
@@ -247,9 +251,9 @@ def _bwd(scale, causal, block_q, res, g):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, block_q, D), lambda b, h, i: (b, h, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, block_q, 1), lambda b, h, i: (b, h, i, 0),
+            pl.BlockSpec((None, None, 8, block_q), lambda b, h, i: (b, h, 0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, block_q, 1), lambda b, h, i: (b, h, i, 0),
+            pl.BlockSpec((None, None, 8, block_q), lambda b, h, i: (b, h, 0, i),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, 1, block_q, D), lambda b, h, i: (b, h, i, 0),
@@ -261,8 +265,8 @@ def _bwd(scale, causal, block_q, res, g):
     # group q-heads by kv head for the dkv kernel: (B, KVH, n_rep, Lq, D)
     qg = q.reshape(B, KVH, n_rep, Lq, D)
     dog = do.reshape(B, KVH, n_rep, Lq, D)
-    lseg = lse.reshape(B, KVH, n_rep, Lq, 1)
-    deltag = delta.reshape(B, KVH, n_rep, Lq, 1)
+    lseg = lse.reshape(B, KVH, n_rep, 8, Lq)
+    deltag = delta.reshape(B, KVH, n_rep, 8, Lq)
 
     dkv_kernel = functools.partial(
         _bwd_dkv_kernel, scale=scale, block_k=block_k, causal=causal,
@@ -282,9 +286,11 @@ def _bwd(scale, causal, block_q, res, g):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, n_rep, Lq, D), lambda b, h, i: (b, h, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, n_rep, Lq, 1), lambda b, h, i: (b, h, 0, 0, 0),
+            pl.BlockSpec((None, None, n_rep, 8, Lq),
+                         lambda b, h, i: (b, h, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, n_rep, Lq, 1), lambda b, h, i: (b, h, 0, 0, 0),
+            pl.BlockSpec((None, None, n_rep, 8, Lq),
+                         lambda b, h, i: (b, h, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[

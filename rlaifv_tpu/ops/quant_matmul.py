@@ -74,7 +74,12 @@ def int8_matmul(
     # Mosaic double-buffers streamed blocks; wide-K (7B down_proj
     # K=11008) needs small tiles to fit the 16M scoped budget
     block_m = block_m or (256 if K <= 8192 else 128)
-    block_n = block_n or (512 if K <= 8192 else 128)
+    if block_n is None:
+        # prefer a block that DIVIDES N: padding N makes the padded
+        # (Mp, Np) output an HLO temp (352M per call at 7B mlp width)
+        cap = 512 if K <= 8192 else 128
+        block_n = next((b for b in (512, 256, 128) if b <= cap and N % b == 0),
+                       cap)
     bm = min(block_m, ((M + 7) // 8) * 8)
     bn = block_n
     pad_m = (-M) % bm
@@ -153,7 +158,11 @@ def int8_matmul_dx(
     # has N=11008).
     block_m = block_m or (256 if N <= 8192 else 128)
     bm = min(block_m, ((M + 7) // 8) * 8)
-    bk = block_k or (512 if N <= 8192 else 128)
+    if block_k is None:
+        cap = 512 if N <= 8192 else 128
+        block_k = next((b for b in (512, 256, 128) if b <= cap and K % b == 0),
+                       cap)
+    bk = block_k
     pad_m = (-M) % bm
     if pad_m:
         dy2 = jnp.pad(dy2, ((0, pad_m), (0, 0)))
