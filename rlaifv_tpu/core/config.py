@@ -26,6 +26,10 @@ class ModelArguments:
     dtype: str = "bfloat16"
     param_dtype: str = "bfloat16"
     remat: bool = True
+    # int8 weight-only frozen LLM base (the reference loader's 8-bit
+    # option). With training.use_lora this is QLoRA: 7B DPO-LoRA fits one
+    # 16G v5e chip (scripts/bench_7b_lora.py). The LM head stays bf16.
+    quantize: bool = False
 
 
 @dataclasses.dataclass

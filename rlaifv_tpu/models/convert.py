@@ -524,17 +524,20 @@ _QUANT_PROJ = re.compile(
 )
 
 
-def quantize_llm_int8(llm_params: Tree) -> Tree:
+def quantize_llm_int8(llm_params: Tree, include_lm_head: bool = True) -> Tree:
     """Weight-only int8 for every projection/mlp/lm_head kernel (the TPU
     answer to the reference loader's load_8bit, builder.py:30-49). Matches
     QuantDense's {kernel:int8, scale:f32-per-out-channel} param layout;
-    embeddings and norms stay in their float dtype."""
+    embeddings and norms stay in their float dtype. include_lm_head=False
+    matches LlamaConfig.quantize_lm_head=False (QLoRA training keeps the
+    head bf16 — the compact/fused DPO head paths read it as an array)."""
     from rlaifv_tpu.models.llama import quantize_kernel_int8
 
     def walk(node, name):
         if isinstance(node, dict):
             if (
                 _QUANT_PROJ.match(name or "")
+                and (include_lm_head or name != "lm_head")
                 and set(node) == {"kernel"}
                 and np.ndim(node["kernel"]) == 2
             ):

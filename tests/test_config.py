@@ -47,3 +47,29 @@ def test_has_resumable_checkpoint(tmp_path):
     os.makedirs(os.path.join(d, "167"))
     assert has_resumable_checkpoint(d)
     assert not has_resumable_checkpoint(str(tmp_path / "missing"))
+
+
+def test_qlora_config_wiring():
+    """model.quantize=true flows into the llm config (int8 base, bf16 head)
+    and the loader path can produce the matching param layout."""
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    import numpy as np
+
+    from train import build_llava
+    from rlaifv_tpu.core.config import Config
+    from rlaifv_tpu.models.convert import quantize_llm_int8
+
+    c = Config()
+    c.model.quantize = True
+    cfg, _model = build_llava(c)
+    assert cfg.llm.quantize and not cfg.llm.quantize_lm_head
+
+    llm = {
+        "model": {"layer_0": {"attn": {"q_proj": {
+            "kernel": np.ones((8, 8), np.float32)}}}},
+        "lm_head": {"kernel": np.ones((8, 16), np.float32)},
+    }
+    q = quantize_llm_int8(llm, include_lm_head=False)
+    assert q["model"]["layer_0"]["attn"]["q_proj"]["kernel"].dtype == np.int8
+    assert q["lm_head"]["kernel"].dtype == np.float32  # head stays float

@@ -30,7 +30,8 @@ def build_llava(config):
     pdtype = resolve_dtype(config.model.param_dtype)
     cfg = LlavaConfig(
         llm=LlamaConfig.vicuna_7b(
-            dtype=dtype, param_dtype=pdtype, remat=config.model.remat
+            dtype=dtype, param_dtype=pdtype, remat=config.model.remat,
+            quantize=config.model.quantize, quantize_lm_head=False,
         ),
         vision=CLIPVisionConfig.clip_l_336(dtype=dtype, param_dtype=pdtype),
         projector_type=config.model.mm_projector_type,
@@ -82,6 +83,14 @@ def main(argv=None):
         if hasattr(np, "bfloat16") else np.float32,
         vision_layers_to_run=cfg.vision.layers_to_run,
     )
+    if config.model.quantize:
+        from rlaifv_tpu.models.convert import quantize_llm_int8
+
+        assert config.training.use_lora, (
+            "model.quantize trains nothing by itself — the int8 base is "
+            "frozen; combine with training.use_lora (QLoRA)"
+        )
+        params["llm"] = quantize_llm_int8(params["llm"], include_lm_head=False)
     tokenizer = AutoTokenizer.from_pretrained(
         config.model.model_name_or_path, use_fast=False
     )
