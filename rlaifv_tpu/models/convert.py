@@ -549,6 +549,37 @@ def quantize_llm_int8(llm_params: Tree, include_lm_head: bool = True) -> Tree:
     return walk(llm_params, "")
 
 
+def fuse_llm_projections(llm_params: Tree) -> Tree:
+    """Rewrite a Llama param tree for LlamaConfig.fuse_proj: q/k/v kernels
+    concat into qkv_proj, gate/up into gate_up_proj (out axis). Works on
+    both float {kernel} and int8 {kernel, scale} layouts — per-out-channel
+    scales concatenate exactly, so the fused matmul is bit-identical to
+    the separate ones."""
+
+    def fuse(mods, names, out_name):
+        parts = [mods.pop(n) for n in names]
+        fused = {"kernel": np.concatenate(
+            [np.asarray(p["kernel"]) for p in parts], axis=1
+        )}
+        if "scale" in parts[0]:
+            fused["scale"] = np.concatenate(
+                [np.asarray(p["scale"]) for p in parts]
+            )
+        mods[out_name] = fused
+
+    def walk(node):
+        if not isinstance(node, dict):
+            return node
+        node = {k: walk(v) for k, v in node.items()}
+        if {"q_proj", "k_proj", "v_proj"} <= set(node):
+            fuse(node, ("q_proj", "k_proj", "v_proj"), "qkv_proj")
+        if {"gate_proj", "up_proj"} <= set(node):
+            fuse(node, ("gate_proj", "up_proj"), "gate_up_proj")
+        return node
+
+    return walk(llm_params)
+
+
 def load_pretrained_llava(
     model_path: str,
     model_base: Optional[str] = None,

@@ -56,6 +56,13 @@ class LlamaConfig:
     # head paths consume the head kernel as a plain array, and the head is
     # the quality-critical projection (QLoRA keeps it unquantized too)
     quantize_lm_head: bool = True
+    # serving: fuse q/k/v into one qkv_proj and gate/up into gate_up_proj
+    # (4 projection calls/layer instead of 7 — per-call launch latency
+    # dominates weight-bound int8 decode on some runtimes). Param layout
+    # changes; convert.py::fuse_llm_projections rewrites a checkpoint tree,
+    # bit-identically for int8 (per-out-channel scales concat exactly).
+    # Not combinable with LoRA adapters (their target paths name q_proj…).
+    fuse_proj: bool = False
 
     @property
     def head_size(self) -> int:
@@ -294,9 +301,21 @@ class LlamaAttention(nn.Module):
         B, L, _ = x.shape
         H, KVH, D = cfg.num_heads, cfg.num_kv_heads, cfg.head_size
 
-        q = _dense(H * D, cfg, ("embed", "qkv"), "q_proj")(x)
-        k = _dense(KVH * D, cfg, ("embed", "qkv"), "k_proj")(x)
-        v = _dense(KVH * D, cfg, ("embed", "qkv"), "v_proj")(x)
+        if cfg.fuse_proj:
+            # one fused projection instead of three: per-out-channel int8
+            # scales concat exactly, so fusing at load (convert.py::
+            # fuse_llm_projections) is bit-identical to separate matmuls —
+            # and each Mosaic call costs ~100us of launch latency on some
+            # runtimes, which dominates weight-bound decode
+            qkv = _dense((H + 2 * KVH) * D, cfg, ("embed", "qkv"),
+                         "qkv_proj")(x)
+            q = qkv[..., : H * D]
+            k = qkv[..., H * D : (H + KVH) * D]
+            v = qkv[..., (H + KVH) * D :]
+        else:
+            q = _dense(H * D, cfg, ("embed", "qkv"), "q_proj")(x)
+            k = _dense(KVH * D, cfg, ("embed", "qkv"), "k_proj")(x)
+            v = _dense(KVH * D, cfg, ("embed", "qkv"), "v_proj")(x)
 
         q = q.reshape(B, L, H, D)
         k = k.reshape(B, L, KVH, D)
@@ -332,8 +351,13 @@ class LlamaMLP(nn.Module):
     @nn.compact
     def __call__(self, x: Array) -> Array:
         cfg = self.cfg
-        gate = _dense(cfg.intermediate_size, cfg, ("embed", "ffn"), "gate_proj")(x)
-        up = _dense(cfg.intermediate_size, cfg, ("embed", "ffn"), "up_proj")(x)
+        I = cfg.intermediate_size
+        if cfg.fuse_proj:
+            gu = _dense(2 * I, cfg, ("embed", "ffn"), "gate_up_proj")(x)
+            gate, up = gu[..., :I], gu[..., I:]
+        else:
+            gate = _dense(I, cfg, ("embed", "ffn"), "gate_proj")(x)
+            up = _dense(I, cfg, ("embed", "ffn"), "up_proj")(x)
         down = _dense(cfg.hidden_size, cfg, ("ffn", "embed"), "down_proj")(
             nn.silu(gate) * up
         )

@@ -48,9 +48,9 @@ def create_mesh(
 #   1-D params (biases, norm scales) replicated
 PARAM_RULES: List[Tuple[str, P]] = [
     (r"tok_embed/embedding$", P("tp", "fsdp")),
-    (r"attn/(q_proj|k_proj|v_proj)/kernel$", P("fsdp", "tp")),
+    (r"attn/(q_proj|k_proj|v_proj|qkv_proj)/kernel$", P("fsdp", "tp")),
     (r"attn/(o_proj|out_proj)/kernel$", P("tp", "fsdp")),
-    (r"mlp/(gate_proj|up_proj)/kernel$", P("fsdp", "tp")),
+    (r"mlp/(gate_proj|up_proj|gate_up_proj)/kernel$", P("fsdp", "tp")),
     (r"mlp/down_proj/kernel$", P("tp", "fsdp")),
     (r"lm_head/kernel$", P("fsdp", "tp")),
     (r"(fc1|fc\d+)/kernel$", P("fsdp", "tp")),

@@ -50,9 +50,10 @@ def main():
         )
         B, Lp = 2, 64
     else:
+        fuse = os.environ.get("BENCH7B_FUSE", "1") == "1"
         cfg = LlavaConfig(
             llm=LlamaConfig.vicuna_7b(
-                quantize=True, quantize_lm_head=False,
+                quantize=True, quantize_lm_head=False, fuse_proj=fuse,
                 dtype=dtype, param_dtype=dtype,
             ),
             vision=CLIPVisionConfig(
@@ -122,8 +123,9 @@ def main():
         "unit": "facts/s",
         "vs_baseline": None,
         "detail": {
-            "model": "llava15-7b-geometry int8 (bf16 head)" if not tiny
-            else "tiny-smoke",
+            "model": ("llava15-7b-geometry int8 (bf16 head)"
+                      + (" fused-proj" if not tiny and fuse else ""))
+            if not tiny else "tiny-smoke",
             "batch": B,
             "prompt_len": Lp,
             "prefill_ms_batch": round(t1 * 1e3, 1),
