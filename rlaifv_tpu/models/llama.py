@@ -56,6 +56,10 @@ class LlamaConfig:
     # head paths consume the head kernel as a plain array, and the head is
     # the quality-critical projection (QLoRA keeps it unquantized too)
     quantize_lm_head: bool = True
+    # "bf16"/"fp" (= cfg.dtype) or "int8": quantized decode cache (see
+    # llama_init_cache). Serving memory/bandwidth feature; training and
+    # cache-less paths are unaffected.
+    kv_cache_dtype: str = "fp"
     # serving: fuse q/k/v into one qkv_proj and gate/up into gate_up_proj
     # (4 projection calls/layer instead of 7 — per-call launch latency
     # dominates weight-bound int8 decode on some runtimes). Param layout
@@ -147,8 +151,24 @@ def apply_rope(x: Array, cos: Array, sin: Array) -> Array:
 
 
 def llama_init_cache(cfg: LlamaConfig, batch: int, max_len: int) -> list:
-    """Static-shape decode cache: per layer (B, max_len, KVH, D)."""
+    """Static-shape decode cache: per layer (B, max_len, KVH, D).
+
+    kv_cache_dtype="int8": values stored int8 with per-(token, head)
+    symmetric scales — cache HBM halves, and the decode read bound (cache +
+    weights per step) drops with it. Prefill attention still runs on the
+    fresh bf16 k/v (exact); only decode reads pay the quantization error."""
     shape = (batch, max_len, cfg.num_kv_heads, cfg.head_size)
+    if cfg.kv_cache_dtype == "int8":
+        sshape = shape[:-1]
+        return [
+            {
+                "k": jnp.zeros(shape, jnp.int8),
+                "k_scale": jnp.zeros(sshape, jnp.float32),
+                "v": jnp.zeros(shape, jnp.int8),
+                "v_scale": jnp.zeros(sshape, jnp.float32),
+            }
+            for _ in range(cfg.num_layers)
+        ]
     return [
         {"k": jnp.zeros(shape, cfg.dtype), "v": jnp.zeros(shape, cfg.dtype)}
         for _ in range(cfg.num_layers)
@@ -325,6 +345,46 @@ class LlamaAttention(nn.Module):
         k = apply_rope(k, cos, sin)
 
         new_cache = None
+        if cache is not None and "k_scale" in cache:
+            # int8 KV cache: write quantized; prefill attends over the
+            # FRESH bf16 k/v (cache columns past L are dead, so the math is
+            # exactly the fp-cache prefill); decode reads the int8 cache
+            # through the dequantizing prefix kernel.
+            from rlaifv_tpu.ops.decode_attention import (
+                decode_attention_prefix_int8,
+                quantize_kv,
+            )
+
+            kq, ks = quantize_kv(k)
+            vq, vs = quantize_kv(v)
+            upd = lambda c, x, nd: jax.lax.dynamic_update_slice(  # noqa: E731
+                c, x, (0, cache_index) + (0,) * nd
+            )
+            new_cache = {
+                "k": upd(cache["k"], kq, 2),
+                "k_scale": upd(cache["k_scale"], ks, 1),
+                "v": upd(cache["v"], vq, 2),
+                "v_scale": upd(cache["v_scale"], vs, 1),
+            }
+            if L > 1:
+                out = multi_head_attention(
+                    q, k, v,
+                    attention_mask=attention_mask[:, :L],
+                    causal=True,
+                    q_offset=None,
+                    impl=cfg.attn_impl,
+                )
+            else:
+                out = decode_attention_prefix_int8(
+                    q[:, 0],
+                    new_cache["k"], new_cache["k_scale"],
+                    new_cache["v"], new_cache["v_scale"],
+                    attention_mask, jnp.asarray(cache_index) + 1,
+                )[:, None]
+            out = out.reshape(B, L, H * D)
+            out = _dense(cfg.hidden_size, cfg, ("qkv", "embed"), "o_proj")(out)
+            return out, new_cache
+
         if cache is not None:
             # Static-shape decode cache: (B, max_len, KVH, D)
             k = jax.lax.dynamic_update_slice(cache["k"], k, (0, cache_index, 0, 0))

@@ -177,6 +177,169 @@ def decode_attention_prefix(
     return out.reshape(B, H, D)
 
 
+def _prefix_kernel_int8(vb_ref, mask_ref, q_ref, k_ref, ks_ref, v_ref, vs_ref,
+                        o_ref, m_s, s_s, acc_s, *, scale, n_l, precision):
+    # int8 cache variant: the k/v tiles stay int8 and feed the MXU's native
+    # int8 x int8 -> int32 path. Dequantizing the big tiles in VMEM
+    # (int8->f32 elementwise) triggers the Mosaic big-operand relayout —
+    # measured 2x the whole decode step at B=16. Instead the SMALL side is
+    # quantized: q per (head, row), and p gets the per-token v scale folded
+    # in before its own row quantization (scales on the contracted axis
+    # cannot factor out of the matmul; scales on output axes can).
+    del precision
+    il = pl.program_id(1)
+
+    @pl.when(il == 0)
+    def _():
+        m_s[:] = jnp.full_like(m_s, NEG_INF)
+        s_s[:] = jnp.zeros_like(s_s)
+        acc_s[:] = jnp.zeros_like(acc_s)
+
+    @pl.when(il < vb_ref[0])
+    def _():
+        q = q_ref[0].astype(jnp.float32)  # (KVH, n_rep, D)
+        ks = ks_ref[0]  # (KVH, BL) per-token k scales
+        vs = vs_ref[0]
+
+        sq = jnp.maximum(jnp.max(jnp.abs(q), axis=2, keepdims=True),
+                         1e-20) / 127.0
+        q8 = jnp.clip(jnp.round(q / sq), -127, 127).astype(jnp.int8)
+        acc = jax.lax.dot_general(
+            q8, k_ref[0], (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.int32,
+        )  # (KVH, n_rep, BL) int32
+        s = acc.astype(jnp.float32) * sq * ks[:, None, :] * scale
+        s = s + jnp.where(mask_ref[0, 0] != 0, 0.0, NEG_INF)[None, None, :]
+
+        m_old = m_s[:]
+        m_new = jnp.maximum(
+            m_old,
+            jnp.maximum(jnp.max(s, axis=2, keepdims=True), NEG_INF / 2),
+        )
+        p = jnp.exp(s - m_new)
+        corr = jnp.exp(m_old - m_new)
+        s_s[:] = s_s[:] * corr + jnp.sum(p, axis=2, keepdims=True)
+
+        pv = p * vs[:, None, :]  # fold the contracted-axis v scale into p
+        sp = jnp.maximum(jnp.max(jnp.abs(pv), axis=2, keepdims=True),
+                         1e-20) / 127.0
+        p8 = jnp.clip(jnp.round(pv / sp), -127, 127).astype(jnp.int8)
+        accv = jax.lax.dot_general(
+            p8, v_ref[0], (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.int32,
+        )  # (KVH, n_rep, D) int32
+        acc_s[:] = acc_s[:] * corr + accv.astype(jnp.float32) * sp
+        m_s[:] = m_new
+
+    @pl.when(il == n_l - 1)
+    def _():
+        o_ref[0] = (acc_s[:] / jnp.maximum(s_s[:], 1e-30)).astype(o_ref.dtype)
+
+
+def quantize_kv(x: Array):
+    """(B, L, KVH, D) float -> (int8 values, (B, L, KVH) f32 scales);
+    symmetric per-(token, head) over D."""
+    a = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)
+    s = jnp.maximum(a, 1e-20) / 127.0
+    q = jnp.clip(
+        jnp.round(x.astype(jnp.float32) / s[..., None]), -127, 127
+    ).astype(jnp.int8)
+    return q, s
+
+
+def dequantize_kv(q: Array, s: Array, dtype) -> Array:
+    return (q.astype(jnp.float32) * s[..., None].astype(jnp.float32)).astype(
+        dtype
+    )
+
+
+def decode_attention_prefix_int8(
+    q: Array,  # (B, H, D) single-position queries
+    k: Array,  # (B, L, KVH, D) int8 cache
+    k_scale: Array,  # (B, L, KVH) f32
+    v: Array,  # (B, L, KVH, D) int8
+    v_scale: Array,  # (B, L, KVH) f32
+    mask: Array,  # (B, L)
+    valid_len: Array,
+    *,
+    block_l: Optional[int] = None,
+    interpret: bool = False,
+) -> Array:
+    """Prefix decode attention over an int8 KV cache -> (B, H, D). Falls
+    back to dense-over-dequantized off TPU (identical math at fp32)."""
+    B, H, D = q.shape
+    L, KVH = k.shape[1], k.shape[2]
+    n_rep = H // KVH
+
+    use_pallas = interpret or jax.default_backend() == "tpu"
+    if block_l is None:
+        block_l = next(
+            (b for b in (DEFAULT_BLOCK_L, 128) if L % b == 0), None
+        )
+    if not use_pallas or block_l is None:
+        from rlaifv_tpu.ops.attention import _build_bias, dense_attention, repeat_kv
+
+        kd = dequantize_kv(k, k_scale, q.dtype)
+        vd = dequantize_kv(v, v_scale, q.dtype)
+        bias = _build_bias(1, L, mask, False, None, B)
+        return dense_attention(
+            q[:, None], repeat_kv(kd, n_rep), repeat_kv(vd, n_rep), bias
+        )[:, 0]
+
+    scale = 1.0 / (D ** 0.5)
+    n_l = pl.cdiv(L, block_l)
+    qg = q.reshape(B, KVH, n_rep, D)
+    kt = k.transpose(0, 2, 1, 3)  # (B, KVH, L, D) int8
+    vt = v.transpose(0, 2, 1, 3)
+    kst = k_scale.transpose(0, 2, 1)  # (B, KVH, L)
+    vst = v_scale.transpose(0, 2, 1)
+    vb = jnp.maximum((valid_len + block_l - 1) // block_l, 1)
+    vb = jnp.asarray(vb, jnp.int32).reshape(1)
+    precision = (
+        jax.lax.Precision.HIGHEST
+        if q.dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
+
+    def kv_map(b, l, vb_ref):
+        return (b, 0, jnp.minimum(l, vb_ref[0] - 1), 0)
+
+    def s_map(b, l, vb_ref):
+        return (b, 0, jnp.minimum(l, vb_ref[0] - 1))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, n_l),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 1, block_l),
+                lambda b, l, vb_ref: (b, 0, jnp.minimum(l, vb_ref[0] - 1)),
+            ),
+            pl.BlockSpec((1, KVH, n_rep, D), lambda b, l, vb_ref: (b, 0, 0, 0)),
+            pl.BlockSpec((1, KVH, block_l, D), kv_map),
+            pl.BlockSpec((1, KVH, block_l), s_map),
+            pl.BlockSpec((1, KVH, block_l, D), kv_map),
+            pl.BlockSpec((1, KVH, block_l), s_map),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, KVH, n_rep, D), lambda b, l, vb_ref: (b, 0, 0, 0)
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((KVH, n_rep, 1), jnp.float32),
+            pltpu.VMEM((KVH, n_rep, 1), jnp.float32),
+            pltpu.VMEM((KVH, n_rep, D), jnp.float32),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(_prefix_kernel_int8, scale=scale, n_l=n_l,
+                          precision=precision),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, KVH, n_rep, D), q.dtype),
+        interpret=interpret,
+    )(vb, mask.astype(jnp.int32)[:, None, :], qg, kt, kst, vt, vst)
+    return out.reshape(B, H, D)
+
+
 def decode_attention(
     q: Array,  # (B, H, D) single-position queries
     k: Array,  # (B, L, KVH, D) cache

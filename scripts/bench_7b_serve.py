@@ -51,9 +51,11 @@ def main():
         B, Lp = 2, 64
     else:
         fuse = os.environ.get("BENCH7B_FUSE", "1") == "1"
+        kvq = os.environ.get("BENCH7B_KVQ", "0") == "1"
         cfg = LlavaConfig(
             llm=LlamaConfig.vicuna_7b(
                 quantize=True, quantize_lm_head=False, fuse_proj=fuse,
+                kv_cache_dtype="int8" if kvq else "fp",
                 dtype=dtype, param_dtype=dtype,
             ),
             vision=CLIPVisionConfig(
@@ -124,7 +126,8 @@ def main():
         "vs_baseline": None,
         "detail": {
             "model": ("llava15-7b-geometry int8 (bf16 head)"
-                      + (" fused-proj" if not tiny and fuse else ""))
+                      + (" fused-proj" if not tiny and fuse else "")
+                      + (" kv-int8" if not tiny and kvq else ""))
             if not tiny else "tiny-smoke",
             "batch": B,
             "prompt_len": Lp,

@@ -92,6 +92,42 @@ def main():
         failures += not ok
         print(f"decode kvh={kvh}: fwd={diff:.2e} [{'OK' if ok else 'FAIL'}]")
 
+    # int8 KV cache prefix kernel vs dense-over-dequantized oracle
+    from rlaifv_tpu.ops.decode_attention import (
+        decode_attention_prefix_int8,
+        dequantize_kv,
+        quantize_kv,
+    )
+
+    for kvh in (8, 4):
+        B, L, H, D = 4, 896, 8, 128
+        q = jnp.asarray(rng.normal(size=(B, H, D)), jnp.float32)
+        kf = jnp.asarray(rng.normal(size=(B, L, kvh, D)), jnp.float32)
+        vf = jnp.asarray(rng.normal(size=(B, L, kvh, D)), jnp.float32)
+        kq, ks = quantize_kv(kf)
+        vq, vs = quantize_kv(vf)
+        mask = np.ones((B, L), np.int32)
+        mask[:, 700:] = 0  # valid_len cut — kernel never reads past it
+        mask[2, 13:] = 0
+        mask = jnp.asarray(mask)
+
+        got = decode_attention_prefix_int8(
+            q, kq, ks, vq, vs, mask, jnp.int32(700)
+        )
+        kd = dequantize_kv(kq, ks, jnp.float32)
+        vd = dequantize_kv(vq, vs, jnp.float32)
+        bias = _build_bias(1, L, mask, False, None, B)
+        want = dense_attention(
+            q[:, None], repeat_kv(kd, H // kvh), repeat_kv(vd, H // kvh), bias
+        )[:, 0]
+        # kernel quantizes q and the v-scaled p rows (MXU int8 path):
+        # ~1% relative vs the dequantized oracle
+        rel = float(jnp.abs(got - want).max() / jnp.abs(want).max())
+        ok = rel < 0.035
+        failures += not ok
+        print(f"decode int8 kvh={kvh}: rel={rel:.2e} "
+              f"[{'OK' if ok else 'FAIL'}]")
+
     for dtype, tol_f, tol_g in ((jnp.float32, 3e-4, 2e-3), (jnp.bfloat16, 6e-2, 8e-2)):
         M, H, V = 2048, 1024, 32000
         x = jnp.asarray(rng.normal(size=(M, H)) * 0.3, dtype)
