@@ -31,7 +31,8 @@ class RLAIFV7B:
     """LLaVA-1.5-7B (CLIP-L/14-336 + Vicuna-7B) chat."""
 
     def __init__(self, model_path: str, model_base: Optional[str] = None,
-                 max_new_tokens: int = 1024, load_8bit: bool = False):
+                 max_new_tokens: int = 1024, load_8bit: bool = False,
+                 kv_int8: bool = False):
         import jax
         import numpy as np
 
@@ -45,7 +46,14 @@ class RLAIFV7B:
 
         # load_8bit: weight-only int8 LLM (QuantDense; the TPU answer to the
         # reference loader's bitsandbytes option, builder.py:30-49)
-        overrides = {"llm": {"quantize": True}} if load_8bit else {}
+        llm_over = {}
+        if load_8bit:
+            llm_over["quantize"] = True
+        if kv_int8:
+            # int8 decode cache: ~1% decode-logit quantization error,
+            # half the cache memory/bandwidth (prefill stays exact)
+            llm_over["kv_cache_dtype"] = "int8"
+        overrides = {"llm": llm_over} if llm_over else {}
         cfg = llava_config_from_hf(model_base or model_path, **overrides)
         self.cfg = cfg
         self.model = LlavaForCausalLM(cfg)
@@ -137,7 +145,8 @@ class RLAIFV7B:
 class RLAIFVChat:
     """Pick the model family by path substring (ref chat.py:221-228)."""
 
-    def __init__(self, model_path: str, load_8bit: bool = False):
+    def __init__(self, model_path: str, load_8bit: bool = False,
+                 kv_int8: bool = False):
         if "12B" in model_path:
             from rlaifv_tpu.genai.omni_gen import OmniLMMChat  # noqa: F401
 
@@ -156,7 +165,7 @@ class RLAIFVChat:
                     "RLAIFV_MODEL_BASE", "liuhaotian/llava-v1.5-7b"
                 )
             self.model = RLAIFV7B(model_path, model_base=base,
-                                  load_8bit=load_8bit)
+                                  load_8bit=load_8bit, kv_int8=kv_int8)
 
     def chat(self, input: dict) -> str:
         return self.model.chat(input)
@@ -167,9 +176,13 @@ if __name__ == "__main__":
     ap.add_argument("--model-path", required=True)
     ap.add_argument("--image", default="./examples/test.jpeg")
     ap.add_argument("--question", default="Why did the car in the picture stop?")
+    ap.add_argument("--kv-int8", action="store_true",
+                    help="int8 decode KV cache (half memory, ~1%% decode "
+                         "quantization error)")
     ap.add_argument("--load-8bit", action="store_true",
                     help="weight-only int8 LLM (halves weight HBM)")
     args = ap.parse_args()
 
-    chat_model = RLAIFVChat(args.model_path, load_8bit=args.load_8bit)
+    chat_model = RLAIFVChat(args.model_path, load_8bit=args.load_8bit,
+                            kv_int8=args.kv_int8)
     print(chat_model.chat({"image": args.image, "question": args.question}))

@@ -130,15 +130,19 @@ class ContinuousGenerator:
             start = gt - Lp
 
             def put(glob, sub):
+                # rank-generic (k/v are 4-D; int8-cache scales are 3-D)
+                zeros = (0,) * (glob.ndim - 2)
                 win = jax.lax.dynamic_slice(
-                    glob, (0, start, 0, 0), (B, Lp) + glob.shape[2:]
+                    glob, (0, start) + zeros, (B, Lp) + glob.shape[2:]
                 )
                 win = win.at[slot_ids].set(sub.astype(glob.dtype),
                                            mode="drop")
-                return jax.lax.dynamic_update_slice(glob, win, (0, start, 0, 0))
+                return jax.lax.dynamic_update_slice(
+                    glob, win, (0, start) + zeros
+                )
 
             cache = [
-                {"k": put(c["k"], s["k"]), "v": put(c["v"], s["v"])}
+                {key: put(c[key], s[key]) for key in c}
                 for c, s in zip(cache, sub_cache)
             ]
 
@@ -256,7 +260,7 @@ class ContinuousGenerator:
                 return jnp.roll(a, -shift, axis=1)
 
             cache = [
-                {"k": roll(c["k"]), "v": roll(c["v"])} for c in cache
+                {key: roll(c[key]) for key in c} for c in cache
             ]
             cm = roll(cache_mask)
             cols = jnp.arange(cm.shape[1], dtype=jnp.int32)[None, :]

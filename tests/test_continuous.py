@@ -233,3 +233,31 @@ def test_continuous_multimodal(tiny_llava):
         engine, prompts, sp, max_new, images=images, image_starts=starts
     )
     _check(res, ref_toks, ref_lens, max_new)
+
+
+def test_continuous_with_int8_kv_cache(tiny_lm):
+    """The continuous engine's cache scatter/roll are rank-generic, so the
+    int8 cache ({k, k_scale, v, v_scale} with 3-D scale leaves) schedules
+    identically. Greedy tokens must match the plain-generate int8-cache
+    engine exactly (same cache dtype on both sides — only scheduling
+    differs)."""
+    import dataclasses
+
+    cfg, _, params = tiny_lm
+    qcfg = dataclasses.replace(cfg, kv_cache_dtype="int8")
+    model = LlamaForCausalLM(qcfg)
+    engine = DecodeEngine(model, params)
+    rng = np.random.default_rng(5)
+    prompts = [
+        list(map(int, rng.integers(5, cfg.vocab_size - 1, size=n)))
+        for n in (5, 9, 3, 7, 6)
+    ]
+    sp = SamplingParams.greedy()
+    max_new = 10
+    gen = ContinuousGenerator(
+        engine, slots=2, chunk=2, max_new_tokens=max_new,
+        sampling=sp, prompt_bucket=8,
+    )
+    res = gen.run(prompts)
+    ref_toks, ref_lens = _reference(engine, prompts, sp, max_new)
+    _check(res, ref_toks, ref_lens, max_new)
