@@ -178,7 +178,7 @@ def decode_attention_prefix(
 
 
 def _prefix_kernel_int8(vb_ref, mask_ref, q_ref, k_ref, ks_ref, v_ref, vs_ref,
-                        o_ref, m_s, s_s, acc_s, *, scale, n_l, precision):
+                        o_ref, m_s, s_s, acc_s, *, scale, n_l):
     # int8 cache variant: the k/v tiles stay int8 and feed the MXU's native
     # int8 x int8 -> int32 path. Dequantizing the big tiles in VMEM
     # (int8->f32 elementwise) triggers the Mosaic big-operand relayout —
@@ -186,7 +186,6 @@ def _prefix_kernel_int8(vb_ref, mask_ref, q_ref, k_ref, ks_ref, v_ref, vs_ref,
     # quantized: q per (head, row), and p gets the per-token v scale folded
     # in before its own row quantization (scales on the contracted axis
     # cannot factor out of the matmul; scales on output axes can).
-    del precision
     il = pl.program_id(1)
 
     @pl.when(il == 0)
@@ -331,8 +330,7 @@ def decode_attention_prefix_int8(
         ],
     )
     out = pl.pallas_call(
-        functools.partial(_prefix_kernel_int8, scale=scale, n_l=n_l,
-                          precision=precision),
+        functools.partial(_prefix_kernel_int8, scale=scale, n_l=n_l),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, KVH, n_rep, D), q.dtype),
         interpret=interpret,

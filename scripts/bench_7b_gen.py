@@ -1,0 +1,107 @@
+"""7B int8 continuous diverse-gen on ONE v5e chip (BASELINE data-gen metric).
+
+The reference's diverse-gen runs LLaVA-7B on 8xA100 with fixed batches
+(llava15_diverse_gen.sh: bs 8, T=0.7). Here the full single-chip serving
+stack composes: int8 weights + fused projections + int8 KV cache +
+slot-refill continuous batching, at 7B geometry with ~640-token prompts
+(576 image tokens + question; text ids stand in so the ~20 MB/s tunnel
+image upload doesn't dominate a host-loop benchmark — vision encode is a
+one-time ~7 GFLOP/prompt cost, <2% of a median generation).
+
+Prints ONE JSON line. Random weights never emit EOS, so per-prompt budgets
+(lognormal, median ~90, the empirical answer-length shape) stand in for
+natural stopping — identical workload model to scripts/perf_continuous.py.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from rlaifv_tpu.genai.continuous import ContinuousGenerator
+    from rlaifv_tpu.genai.engine import DecodeEngine
+    from rlaifv_tpu.genai.sampling import SamplingParams
+    from rlaifv_tpu.models.llama import LlamaConfig, LlamaForCausalLM
+
+    on_tpu = jax.devices()[0].platform == "tpu"
+    tiny = os.environ.get("BENCH7B_TINY", "") == "1" or not on_tpu
+    if tiny:
+        cfg = LlamaConfig.tiny(quantize=True, quantize_lm_head=False,
+                               kv_cache_dtype="int8", fuse_proj=True)
+        N, slots, prompt_len, max_new = 6, 2, 16, 12
+    else:
+        cfg = LlamaConfig.vicuna_7b(
+            quantize=True, quantize_lm_head=False, fuse_proj=True,
+            kv_cache_dtype="int8",
+            dtype=jnp.bfloat16, param_dtype=jnp.bfloat16,
+        )
+        N = int(os.environ.get("BENCH7B_N", 32))
+        slots = int(os.environ.get("BENCH7B_SLOTS", 16))
+        prompt_len, max_new = 640, 256
+
+    model = LlamaForCausalLM(cfg)
+    params = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.ones((1, 8), jnp.int32)
+    )["params"]
+    engine = DecodeEngine(model, params, eos_id=-1, pad_id=0)
+
+    rng = np.random.default_rng(0)
+    prompts = [
+        list(map(int, rng.integers(3, cfg.vocab_size - 2, size=prompt_len)))
+        for _ in range(N)
+    ]
+    budgets = np.clip(
+        rng.lognormal(mean=4.45, sigma=0.8, size=N), 8, max_new
+    ).astype(np.int32)
+    sp = SamplingParams(temperature=0.7, do_sample=True)
+
+    gen = ContinuousGenerator(
+        engine, slots=slots, chunk=32 if not tiny else 4,
+        max_new_tokens=max_new, sampling=sp, prompt_bucket=64,
+    )
+    # warm with the FULL workload: refill waves hit distinct program shapes
+    # (R free slots, window advances), and any 7B compile inside the timed
+    # run would dominate it
+    gen.run(prompts, max_new_per_prompt=budgets)
+    t0 = time.perf_counter()
+    res = gen.run(prompts, max_new_per_prompt=budgets)
+    dt = time.perf_counter() - t0
+    assert (np.asarray(res.lengths) == budgets).all()
+
+    tok_s = float(budgets.sum()) / dt
+    samples_s = N / dt
+    print(json.dumps({
+        "metric": "int8_7b_continuous_diverse_gen_tok_per_sec",
+        "value": round(tok_s, 1),
+        "unit": "tok/s",
+        "vs_baseline": None,
+        "detail": {
+            "model": "7b-geometry int8 + fuse_proj + kv-int8 + continuous"
+            if not tiny else "tiny-smoke",
+            "n_prompts": N,
+            "slots": slots,
+            "prompt_len": prompt_len,
+            "budget_median": int(np.median(budgets)),
+            "total_new_tokens": int(budgets.sum()),
+            "wall_s": round(dt, 2),
+            "samples_per_sec": round(samples_s, 2),
+            "platform": jax.devices()[0].platform,
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

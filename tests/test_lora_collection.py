@@ -129,7 +129,6 @@ def test_qlora_train_step():
     fallback here; the dx kernel itself is covered in test_quant_matmul)."""
     import optax
 
-    from rlaifv_tpu.models.clip_vit import CLIPVisionConfig
     from rlaifv_tpu.models.llama import LlamaConfig
     from rlaifv_tpu.models.llava import LlavaConfig as LC
     from rlaifv_tpu.models.llava import LlavaForCausalLM as LM
