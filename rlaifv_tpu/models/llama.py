@@ -369,7 +369,8 @@ class LlamaAttention(nn.Module):
             if L > 1:
                 out = multi_head_attention(
                     q, k, v,
-                    attention_mask=attention_mask[:, :L],
+                    attention_mask=(attention_mask[:, :L]
+                                    if attention_mask is not None else None),
                     causal=True,
                     q_offset=None,
                     impl=cfg.attn_impl,

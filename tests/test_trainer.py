@@ -190,3 +190,49 @@ def test_trainer_auto_picks_compact(setup, tmp_path):
              open(os.path.join(str(tmp_path / "compact"), "metrics.jsonl"))]
     assert any("compact_overflow" in m for m in lines)
     assert all(m.get("compact_overflow", 0) == 0 for m in lines)
+
+
+def test_qlora_trainer_int8_base(setup, tmp_path):
+    """DPOTrainer LoRA path over a frozen int8-quantized base: the full
+    train.py QLoRA configuration (model.quantize + training.use_lora) at
+    trainer level — adapters train, checkpoints resume."""
+    import dataclasses
+
+    from rlaifv_tpu.models.convert import quantize_llm_int8
+
+    cfg, _, ds, coll, params = setup
+    qcfg = dataclasses.replace(
+        cfg,
+        llm=dataclasses.replace(cfg.llm, quantize=True,
+                                quantize_lm_head=False),
+    )
+    qmodel = LlavaForCausalLM(qcfg)
+    base = {k: v for k, v in params.items()}
+    base["llm"] = quantize_llm_int8(params["llm"], include_lm_head=False)
+    base = jax.tree.map(jnp.asarray, base)
+
+    lora = lora_init(jax.random.PRNGKey(3), base, r=4)
+    mesh = create_mesh(dp=1, fsdp=2, tp=1, devices=jax.devices()[:2])
+    out = tmp_path / "qlora"
+    trainer = DPOTrainer(
+        _config(out, steps=3, learning_rate=1e-2, save_steps=2),
+        qmodel, lora, ds, coll, mesh=mesh,
+        base_params=base, lora_alpha=16.0,
+    )
+    state = trainer.train()
+    b = state.params["llm"]["model"]["layer_0"]["attn"]["q_proj"]["b"]
+    assert float(jnp.abs(b).sum()) > 0  # adapters moved through int8 base
+    # int8 base untouched
+    assert trainer.base_params["llm"]["model"]["layer_0"]["attn"]["q_proj"][
+        "kernel"
+    ].dtype == jnp.int8
+
+    # resume continues from the saved adapter state
+    lora2 = lora_init(jax.random.PRNGKey(3), base, r=4)
+    tr2 = DPOTrainer(
+        _config(out, steps=5, learning_rate=1e-2, save_steps=2),
+        qmodel, lora2, ds, coll, mesh=mesh,
+        base_params=base, lora_alpha=16.0,
+    )
+    assert tr2.start_step == 3
+    tr2.train()
