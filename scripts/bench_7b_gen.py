@@ -43,14 +43,22 @@ def main():
                                kv_cache_dtype="int8", fuse_proj=True)
         N, slots, prompt_len, max_new = 6, 2, 16, 12
     else:
-        cfg = LlamaConfig.vicuna_7b(
+        fam = os.environ.get("BENCH7B_MODEL", "vicuna")
+        mk = (LlamaConfig.llama3_8b if fam == "llama3"
+              else LlamaConfig.vicuna_7b)
+        cfg = mk(
             quantize=True, quantize_lm_head=False, fuse_proj=True,
             kv_cache_dtype="int8",
             dtype=jnp.bfloat16, param_dtype=jnp.bfloat16,
         )
         N = int(os.environ.get("BENCH7B_N", 32))
-        slots = int(os.environ.get("BENCH7B_SLOTS", 16))
-        prompt_len, max_new = 640, 256
+        # llama3-8b (divide/changeq geometry) has GQA kv=8 (cache 4x
+        # smaller), but its 14336-wide MLP makes refill-prefill
+        # intermediates the binding constraint: 20 slots fits, 32 OOMs
+        slots = int(os.environ.get(
+            "BENCH7B_SLOTS", 20 if fam == "llama3" else 12
+        ))
+        prompt_len, max_new = (512 if fam == "llama3" else 640), 256
 
     model = LlamaForCausalLM(cfg)
     params = jax.jit(model.init)(
@@ -89,8 +97,8 @@ def main():
         "unit": "tok/s",
         "vs_baseline": None,
         "detail": {
-            "model": "7b-geometry int8 + fuse_proj + kv-int8 + continuous"
-            if not tiny else "tiny-smoke",
+            "model": (f"{fam}-geometry int8 + fuse_proj + kv-int8 + "
+                      "continuous") if not tiny else "tiny-smoke",
             "n_prompts": N,
             "slots": slots,
             "prompt_len": prompt_len,
