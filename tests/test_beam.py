@@ -70,3 +70,26 @@ def test_beam_eos_freezes(lm):
     eos_pos = np.where(row == eos)[0]
     if len(eos_pos):
         assert (row[eos_pos[0] + 1:] == 0).all()
+
+
+def test_beam_with_int8_kv_cache(lm):
+    """Beam search is cache-structure generic (tile/reorder via
+    jax.tree.map), so the int8 KV cache flows through unchanged: beam1
+    must equal greedy under the SAME cache dtype (identical quantized
+    reads on both paths)."""
+    import dataclasses
+
+    cfg, _, params = lm
+    qcfg = dataclasses.replace(cfg, kv_cache_dtype="int8")
+    model = LlamaForCausalLM(qcfg)
+    engine = DecodeEngine(model, params, eos_id=-1, pad_id=0)
+    prompts = [[1, 7, 8, 9], [1, 5, 6]]
+    greedy = engine.generate(prompts, sampling=SamplingParams.greedy(),
+                             max_new_tokens=5, prompt_bucket=4)
+    beam1 = engine.generate_beam(prompts, num_beams=1, max_new_tokens=5,
+                                 prompt_bucket=4)
+    np.testing.assert_array_equal(beam1.tokens, greedy.tokens)
+    beam3 = engine.generate_beam(prompts, num_beams=3, max_new_tokens=5,
+                                 prompt_bucket=4)
+    assert beam3.tokens.shape == greedy.tokens.shape
+    assert (beam3.lengths > 0).all()
