@@ -128,7 +128,10 @@ class RLAIFV7B:
             )
         else:
             ex = expand_image_sentinels(ids, None, self.cfg.num_image_tokens)
-            image = self.image_processor(decode_image(input["image"]))
+            # resize-only uint8, normalized on device (half the upload)
+            image = self.image_processor.resize_uint8(
+                decode_image(input["image"])
+            )
 
             # ref chat.py:169-178: do_sample=False, num_beams=3
             result = self.engine.generate_beam(

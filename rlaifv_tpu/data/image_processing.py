@@ -94,6 +94,20 @@ class ClipImageProcessor:
     def batch(self, images) -> np.ndarray:
         return np.stack([self(im) for im in images])
 
+    def resize_uint8(self, image) -> np.ndarray:
+        """Pad+resize only, normalization deferred to the device
+        (models.llava.encode_images' uint8 path) — ships half the bytes of
+        bf16 over the host->device link and skips the host float pass."""
+        from PIL import Image
+
+        img = decode_image(image)
+        if self.aspect_ratio == "pad":
+            img = expand2square_pil(img, self.background_color)
+        img = img.resize(
+            (self.image_size, self.image_size), Image.Resampling.BICUBIC
+        )
+        return np.asarray(img, dtype=np.uint8)  # (H, W, 3)
+
 
 def select_best_resolution(original_size, possible_resolutions):
     """anyres grid selection (ref mm_utils.py:12-40): maximize effective

@@ -70,13 +70,17 @@ class DecodeEngine:
         self._gen_fns = {}
 
     def _device_images(self, images):
-        """Ship images in the model's compute dtype — halves host->device
-        transfer vs fp32 (the dominant fixed cost of a generate call on
-        slow links; the tower casts to its dtype anyway)."""
+        """Ship images small: uint8 stays uint8 (the resize-only processor
+        path — the model normalizes on device, half the bytes of bf16),
+        floats ship in the model's compute dtype (half of fp32). Transfer
+        is the dominant fixed cost of a generate call on slow links."""
         if images is None:
             return None
+        arr = np.asarray(images)
+        if arr.dtype == np.uint8:
+            return jnp.asarray(arr)
         cfg = self.model.cfg.llm if self._multimodal else self.model.cfg
-        return jnp.asarray(np.asarray(images), dtype=cfg.dtype)
+        return jnp.asarray(arr, dtype=cfg.dtype)
 
     def _llm(self, params, **kw):
         """Apply the language model (multimodal wrapper or bare LM)."""

@@ -83,7 +83,9 @@ class Llava15Generator:
             ex = expand_image_sentinels(ids, None, self.num_patches)
             prompts.append(ex["input_ids"].tolist())
             starts.append(int(ex["image_start"]))
-            images.append(self.processor(decode_image(
+            # resize-only uint8: normalization happens on device
+            # (encode_images), halving the upload vs bf16
+            images.append(self.processor.resize_uint8(decode_image(
                 item.get("image_bytes") or item.get("image")
             )))
         return prompts, np.asarray(starts), np.stack(images)

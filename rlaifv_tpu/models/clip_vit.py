@@ -36,6 +36,12 @@ class CLIPVisionConfig:
     select_feature: str = "patch"  # "patch" drops CLS; "cls_patch" keeps it
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
+    # normalization constants for the on-device uint8 path: hosts ship
+    # resized uint8 (half the bytes of bf16, a quarter of fp32 — transfer
+    # is the dominant fixed cost of a generate call on slow links) and the
+    # model normalizes in fp32 on chip, bit-equal to host preprocessing
+    image_mean: Any = (0.48145466, 0.4578275, 0.40821073)  # OPENAI_CLIP
+    image_std: Any = (0.26862954, 0.26130258, 0.27577711)
 
     @property
     def num_patches_per_side(self) -> int:

@@ -96,7 +96,17 @@ class LlavaForCausalLM(nn.Module):
         self.llm = LlamaForCausalLM(self.cfg.llm, name="llm")
 
     def encode_images(self, images: Array) -> Array:
-        """(B, H, W, 3) -> (B, P, llm_hidden) (ref llava_arch.py:141-147)."""
+        """(B, H, W, 3) -> (B, P, llm_hidden) (ref llava_arch.py:141-147).
+
+        uint8 input = resized-but-unnormalized pixels (the half-bandwidth
+        upload path): normalize on device in fp32 — bit-equal to the host
+        ClipImageProcessor float output."""
+        if images.dtype == jnp.uint8:
+            v = self.cfg.vision
+            mean = jnp.asarray(v.image_mean, jnp.float32)
+            std = jnp.asarray(v.image_std, jnp.float32)
+            images = (images.astype(jnp.float32) / 255.0 - mean) / std
+            images = images.astype(v.dtype)
         return self.mm_projector(self.vision_tower(images))
 
     def build_embeds(

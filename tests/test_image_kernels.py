@@ -40,3 +40,41 @@ def test_device_pipeline_batches_mixed_sizes():
     out = dev(imgs)
     assert out.shape == (4, 336, 336, 3)
     assert np.isfinite(out).all()
+
+
+def test_uint8_device_normalize_matches_host():
+    """The resize-only uint8 upload path: encode_images' on-device
+    normalization must be bit-equal to the host ClipImageProcessor float
+    output (same fp32 elementwise math)."""
+    import jax
+    import jax.numpy as jnp
+
+    from rlaifv_tpu.data.image_processing import ClipImageProcessor
+    from rlaifv_tpu.models.llava import LlavaConfig, LlavaForCausalLM
+    from PIL import Image
+
+    cfg = LlavaConfig.tiny()
+    model = LlavaForCausalLM(cfg)
+    S = cfg.vision.image_size
+    rng = np.random.default_rng(0)
+    raw = Image.fromarray(
+        rng.integers(0, 255, size=(50, 70, 3), dtype=np.uint8)
+    )
+    proc = ClipImageProcessor(
+        image_size=S,
+        mean=cfg.vision.image_mean, std=cfg.vision.image_std,
+    )
+    host = proc(raw)[None]  # (1, S, S, 3) float32, normalized
+    dev_in = proc.resize_uint8(raw)[None]  # (1, S, S, 3) uint8
+    assert dev_in.dtype == np.uint8
+
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.ones((1, cfg.num_image_tokens + 4),
+                                        jnp.int32),
+        images=jnp.asarray(host), image_starts=jnp.asarray([0]),
+    )["params"]
+    f_host = model.apply({"params": params}, jnp.asarray(host),
+                         method=model.encode_images)
+    f_dev = model.apply({"params": params}, jnp.asarray(dev_in),
+                        method=model.encode_images)
+    np.testing.assert_array_equal(np.asarray(f_host), np.asarray(f_dev))
