@@ -182,6 +182,25 @@ class DPODataset:
         return len(self.dataset)
 
     def __getitem__(self, i: int):
+        # Retry neighboring rows on a corrupt sample (bad image bytes,
+        # malformed logps) so one poisoned row out of 83k doesn't kill the
+        # run (ref: muffin/data/datasets.py:196-205, err_count <= 3).
+        err = None
+        for attempt in range(4):
+            try:
+                return self._get_one((i + attempt) % len(self.dataset))
+            except Exception as e:  # noqa: BLE001 — any decode failure
+                err = e
+                print(
+                    f"[data] row {(i + attempt) % len(self.dataset)} failed "
+                    f"({e!r}), trying next row",
+                    flush=True,
+                )
+        raise RuntimeError(
+            f"4 consecutive corrupt rows starting at index {i}"
+        ) from err
+
+    def _get_one(self, i: int):
         source = self.dataset[i]
         source = dict(source)
         source["image"] = source.pop("image_bytes")

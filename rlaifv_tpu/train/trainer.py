@@ -196,6 +196,22 @@ class DPOTrainer:
 
     # ----------------------------------------------------------- loop
 
+    def _check_overflow(self, step: int, overflow) -> None:
+        """Hard-fail when the compact head dropped loss tokens.
+
+        Silently-dropped tokens corrupt the DPO logps; ref_logp.py hard-fails
+        on the same condition, and the trainer must too (a training run with
+        an undersized compact_len is wrong, not just slow).
+        """
+        n = int(overflow)
+        if n > 0:
+            raise ValueError(
+                f"compact head overflow at step {step}: a row has "
+                f"{self.hp.compact_len + n} loss positions but compact_len="
+                f"{self.hp.compact_len}; raise training.compact_len or set "
+                f"training.lm_head_impl='xla'/'fused'"
+            )
+
     def train(self) -> DPOTrainState:
         t = self.config.training
         from rlaifv_tpu.core.distributed import assert_consistent
@@ -212,10 +228,16 @@ class DPOTrainer:
         step = self.start_step
         t0 = time.time()
         micro_total = t.max_steps * self.grad_accum
+        # (step_no, device scalar) from the previous step: checked one step
+        # late so the fetch never blocks on in-flight work (the prior step is
+        # already complete once the next one is dispatched).
+        pending_overflow = None
         with self.mesh:
             for batch in batches:
                 if step >= micro_total:
                     break
+                if pending_overflow is not None:
+                    self._check_overflow(*pending_overflow)
                 sb = shard_batch(batch, self.mesh)
                 if self.use_lora:
                     self.state, metrics = self._step(
@@ -224,6 +246,8 @@ class DPOTrainer:
                 else:
                     self.state, metrics = self._step(self.state, sb)
                 step += 1
+                if "compact_overflow" in metrics:
+                    pending_overflow = (step, metrics["compact_overflow"])
                 if step % t.logging_steps == 0:
                     m = jax.device_get(metrics)
                     # NaN tripwire (ref trainers.py:263-271 prints + exits;
@@ -240,6 +264,8 @@ class DPOTrainer:
                     self.logger.log(step, m)
                 if step % t.save_steps == 0:
                     self.ckpt.save(step, jax.device_get(self._state_tree()))
+            if pending_overflow is not None:
+                self._check_overflow(*pending_overflow)
         if self.ckpt.latest_step() != step:
             self.ckpt.save(step, jax.device_get(self._state_tree()), force=True)
         self.ckpt.wait()

@@ -192,6 +192,18 @@ def test_trainer_auto_picks_compact(setup, tmp_path):
     assert all(m.get("compact_overflow", 0) == 0 for m in lines)
 
 
+def test_compact_overflow_raises(setup, tmp_path):
+    """An undersized compact_len must hard-fail the training run (matching
+    ref_logp.py's hard-fail), not just log dropped-token counts."""
+    cfg, model, ds, coll, params = setup
+    # answer_len=12 -> ~13 loss positions/row; compact_len=4 overflows.
+    c = _config(tmp_path / "overflow", steps=3, compact_len=4)
+    tr = DPOTrainer(c, model, jax.tree_util.tree_map(jnp.copy, params),
+                    ds, coll)
+    with pytest.raises(ValueError, match="compact head overflow"):
+        tr.train()
+
+
 def test_qlora_trainer_int8_base(setup, tmp_path):
     """DPOTrainer LoRA path over a frozen int8-quantized base: the full
     train.py QLoRA configuration (model.quantize + training.use_lora) at
