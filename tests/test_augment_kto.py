@@ -32,6 +32,7 @@ def test_random_augment_deterministic_seed():
     assert a.shape == img.shape
 
 
+@pytest.mark.slow
 def test_kto_collator_emits_per_side_images():
     """task='KTO' wires the config through to per-side image batches
     (ref trainers.py:188-196) without any manual batch surgery."""

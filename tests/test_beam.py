@@ -72,6 +72,7 @@ def test_beam_eos_freezes(lm):
         assert (row[eos_pos[0] + 1:] == 0).all()
 
 
+@pytest.mark.slow
 def test_beam_with_int8_kv_cache(lm):
     """Beam search is cache-structure generic (tile/reorder via
     jax.tree.map), so the int8 KV cache flows through unchanged: beam1

@@ -54,6 +54,7 @@ def tiny_checkpoint(tmp_path_factory):
     return d
 
 
+@pytest.mark.slow
 def test_chat_end_to_end(tiny_checkpoint, tmp_path):
     from PIL import Image
 

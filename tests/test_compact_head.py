@@ -92,7 +92,9 @@ def tiny_setup():
 @pytest.mark.parametrize(
     "hp_kwargs",
     [
-        {},
+        # the base case compiles first (cold cache) and dominates the file's
+        # wall time -> slow tier; the variants reuse most of the cache
+        pytest.param({}, marks=pytest.mark.slow),
         {"dpo_use_average": True},
         {"dpo_token_weighted": True},
         {"dpo_token_weighted": True, "dpo_use_average": True},
@@ -129,6 +131,7 @@ def test_compact_requires_len(tiny_setup):
         dpo_loss_from_batch(adapter, params, batch, hp)
 
 
+@pytest.mark.slow
 def test_score_fn_compact_matches_xla(tiny_setup):
     """Ref-logp precompute: compact scoring returns identical sums/avgs and
     a full-shape per_token identical to the xla path (parquet contract)."""

@@ -7,6 +7,8 @@ advances, and cache compaction.
 """
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow
 import jax
 import jax.numpy as jnp
 

@@ -45,6 +45,7 @@ def test_top_k_top_p():
     assert kept[3] and not kept[0]
 
 
+@pytest.mark.slow
 def test_greedy_matches_manual_rollout(tiny_llava):
     cfg, model, params = tiny_llava
     engine = DecodeEngine(model, params, eos_id=-1, pad_id=0)  # no early stop

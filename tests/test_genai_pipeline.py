@@ -135,6 +135,7 @@ def test_wrap_question(tiny_gen):
 import pytest
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("continuous", [False, True])
 def test_diverse_gen_rows(tiny_gen, continuous):
     cfg, gen, tok = tiny_gen
@@ -165,6 +166,7 @@ def test_autocheck_scores(tiny_gen):
         assert all(0.0 <= v <= 1.0 for v in s.values())
 
 
+@pytest.mark.slow
 def test_run_sharded_files(tiny_gen, tmp_path):
     cfg, gen, tok = tiny_gen
     qa = tmp_path / "qa.jsonl"

@@ -1,6 +1,8 @@
 """Queue-mode generation: order restoration + parity with per-prompt greedy."""
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow
 import jax
 import jax.numpy as jnp
 

@@ -4,6 +4,7 @@ Prefill with an int8 cache attends over the fresh float k/v, so prefill
 logits must be bit-identical to the fp-cache model; decode steps read the
 quantized cache (per-token/head symmetric int8) and carry only the
 quantization error."""
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -78,6 +79,7 @@ def _run_with_cache(model, params, ids, max_len):
     return logits, step_logits
 
 
+@pytest.mark.slow
 def test_model_prefill_exact_decode_close():
     cfg_fp = LlamaConfig.tiny()
     cfg_q = dataclasses_replace(cfg_fp, kv_cache_dtype="int8")

@@ -66,6 +66,7 @@ def test_llama_logits_parity(kv_heads):
     np.testing.assert_allclose(ours[valid], hf_logits[valid], atol=2e-4, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_decode_cache_matches_full_forward():
     cfg = LlamaConfig.tiny(attn_impl="dense")
     model = LlamaForCausalLM(cfg)

@@ -2,6 +2,7 @@
 must equal the merged formulation kernel' = kernel + a@b·(alpha/r)
 (train/lora.py::lora_merge) that the reference's peft merge produces —
 without ever materializing a second param tree."""
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -38,6 +39,7 @@ def _setup():
     return model, params, lora, ids, images, starts
 
 
+@pytest.mark.slow
 def test_collection_matches_merged():
     model, params, lora, ids, images, starts = _setup()
     adapter = LlavaDPOAdapter(model)
@@ -59,6 +61,7 @@ def test_collection_matches_merged():
     assert float(jnp.abs(base - want).max()) > 1e-4  # adapters do something
 
 
+@pytest.mark.slow
 def test_collection_grads_match_merged():
     model, params, lora, ids, images, starts = _setup()
     adapter = LlavaDPOAdapter(model)
@@ -123,6 +126,7 @@ def test_quant_dense_reads_lora():
     assert float(jnp.abs(base - with_lora).max()) > 1e-4
 
 
+@pytest.mark.slow
 def test_qlora_train_step():
     """Full QLoRA DPO train step: frozen int8 base (+bf16 head), adapters in
     the 'lora' collection, gradients flow through the dx kernel path (CPU

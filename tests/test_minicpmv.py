@@ -103,6 +103,7 @@ def test_splice_multi_span():
     np.testing.assert_allclose(got, want, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_minicpmv_tiny_forward():
     cfg = MiniCPMVConfig.tiny()
     model = MiniCPMVForCausalLM(cfg)

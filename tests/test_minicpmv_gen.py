@@ -42,6 +42,7 @@ def _items(n):
     } for i in range(n)]
 
 
+@pytest.mark.slow
 def test_autocheck_with_slicing(gen):
     cfg, g = gen
     rows = g.autocheck(_items(2), batch_size=2)
@@ -130,6 +131,7 @@ def tiny_minicpmv_checkpoint(tmp_path_factory):
     return d
 
 
+@pytest.mark.slow
 def test_minicpmv_chat_from_checkpoint(tiny_minicpmv_checkpoint):
     from rlaifv_tpu.genai.minicpmv_gen import MiniCPMVChat
 

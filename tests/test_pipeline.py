@@ -130,6 +130,7 @@ def test_policy_equals_reference_gives_log2_loss(pipeline):
     )
 
 
+@pytest.mark.slow
 def test_score_rows_fused_head_matches_xla(pipeline):
     """Ref-logp precompute with lm_head_impl='fused' reproduces the XLA
     path (the train step offers the same switch; matching impls keeps the

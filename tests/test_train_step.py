@@ -95,6 +95,7 @@ def test_loss_runs_unsharded(setup):
     assert "rewards_train/accuracies" in metrics
 
 
+@pytest.mark.slow
 def test_fused_head_impl_matches_xla(setup):
     """lm_head_impl='fused' (Pallas fused head, interpret on CPU) must match
     the logits path in loss and in parameter gradients."""
@@ -128,6 +129,7 @@ def test_fused_head_impl_matches_xla(setup):
     DPOHparams(beta=0.1, sft_weight=0.5),
     DPOHparams(beta=0.1, lm_head_impl="fused"),
 ])
+@pytest.mark.slow
 def test_train_step_sharded(setup, hp):
     _, _, adapter, _, batch, params = setup
     mesh = create_mesh(dp=2, fsdp=2, tp=2)

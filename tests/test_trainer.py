@@ -64,6 +64,7 @@ def _config(tmp, steps=4, **kw):
     return c
 
 
+@pytest.mark.slow
 def test_trainer_runs_and_checkpoints(setup, tmp_path):
     cfg, model, ds, coll, params = setup
     mesh = create_mesh(dp=1, fsdp=2, tp=1, devices=jax.devices()[:2])
@@ -86,6 +87,7 @@ def test_trainer_runs_and_checkpoints(setup, tmp_path):
     assert int(state2.step) == 6
 
 
+@pytest.mark.slow
 def test_gradient_accumulation(setup, tmp_path):
     """gradient_accumulation=k: k micro-batches per optimizer update (optax
     MultiSteps); the loop runs max_steps*k micro-steps and params only move
@@ -137,6 +139,7 @@ def test_lora_merge_zero_b_is_identity(setup):
     np.testing.assert_array_equal(np.asarray(k0), np.asarray(k1))
 
 
+@pytest.mark.slow
 def test_lora_trainer_base_frozen(setup, tmp_path):
     cfg, model, ds, coll, params = setup
     mesh = create_mesh(dp=1, fsdp=2, tp=1, devices=jax.devices()[:2])
@@ -173,6 +176,7 @@ def test_lora_save_load_roundtrip(setup, tmp_path):
     np.testing.assert_allclose(np.asarray(a0), np.asarray(a1))
 
 
+@pytest.mark.slow
 def test_trainer_auto_picks_compact(setup, tmp_path):
     """compact_len > 0 flips the auto head selection to the compact path and
     training steps run (overflow metric present and zero)."""
@@ -192,6 +196,7 @@ def test_trainer_auto_picks_compact(setup, tmp_path):
     assert all(m.get("compact_overflow", 0) == 0 for m in lines)
 
 
+@pytest.mark.slow
 def test_compact_overflow_raises(setup, tmp_path):
     """An undersized compact_len must hard-fail the training run (matching
     ref_logp.py's hard-fail), not just log dropped-token counts."""
@@ -204,6 +209,7 @@ def test_compact_overflow_raises(setup, tmp_path):
         tr.train()
 
 
+@pytest.mark.slow
 def test_qlora_trainer_int8_base(setup, tmp_path):
     """DPOTrainer LoRA path over a frozen int8-quantized base: the full
     train.py QLoRA configuration (model.quantize + training.use_lora) at
