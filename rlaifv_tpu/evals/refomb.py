@@ -2,9 +2,11 @@
 
 Rebuild of ref eval/eval_RefoMB_p0.py (judge system prompt loaded verbatim
 from data/refomb_judge_prompt.txt :14-17; [[A]]/[[B]]/[[C]] verdict
-:45-56; A/B randomization and dev-set merge) plus the category win-rate
-report of eval/json_to_excel.py:8-17 and the hallucination-only re-judge
-summary of eval/eval_hallucination.py.
+:45-56), the category win-rate report of eval/json_to_excel.py:8-17, and
+the hallucination-only re-judge (`judge_hallucination` /
+`summarize_hallucination`, ref eval/eval_hallucination.py:16-56,168-173:
+the first pass's review text is re-judged for "which model has fewer
+hallucinations" and scored as mean((score+1)/2)).
 """
 from __future__ import annotations
 
@@ -112,6 +114,85 @@ def judge_pairwise(
 
     with ThreadPoolExecutor(max_workers=max_workers) as pool:
         return list(pool.map(one, zip(items, assignments)))
+
+
+def load_hallucination_msg() -> str:
+    with open(os.path.join(DATA_DIR, "refomb_hallucination_prompt.txt")) as f:
+        return f.read()
+
+
+def build_hallucination_query(review_text: str) -> str:
+    """Re-judge prompt body (ref eval_hallucination.py:33-42)."""
+    system = load_hallucination_msg()
+    return f"""
+    {system}
+
+    [Beginning of the review text]
+    {review_text}
+    [End of the review text]
+
+    """
+
+
+def judge_hallucination(
+    rows: Sequence[dict],
+    chat: Optional[Chat] = None,
+    max_workers: int = 32,
+) -> List[dict]:
+    """Second RefoMB pass (ref eval/eval_hallucination.py:16-56): each
+    first-pass review text is re-judged for which model has FEWER
+    hallucinations only. Rows are `judge_pairwise` outputs; the oriented
+    `hall_score` is positive when our model hallucinates less (the review
+    text names sides A/B, so orientation reuses each row's `model_is_A`).
+    """
+    chat = chat or Chat(model="gpt-4-1106-preview")
+
+    def one(row):
+        out = dict(row)
+        review = row.get("judge_output")
+        if review is None or review == FAIL_SENTINEL:
+            out["hall_score"] = None
+            return out
+        prompt = build_hallucination_query(review)
+        text, _ = chat.chat_completion(
+            [{"role": "user", "content": prompt}], temperature=0
+        )
+        out["hall_judge_output"] = text
+        if text == FAIL_SENTINEL:
+            out["hall_score"] = None
+        else:
+            try:
+                raw, _ = parse_verdict(text)
+                out["hall_score"] = -raw if row.get("model_is_A") else raw
+            except ValueError:
+                out["hall_score"] = None
+        return out
+
+    with ThreadPoolExecutor(max_workers=max_workers) as pool:
+        return list(pool.map(one, rows))
+
+
+def summarize_hallucination(rows: Sequence[dict]) -> dict:
+    """Hallucination score = mean((score+1)/2): 1.0 when our model always
+    has fewer hallucinations, ties count 0.5 (ref eval_hallucination.py:
+    168-173)."""
+    scored = [r for r in rows if r.get("hall_score") is not None]
+    per_cat = defaultdict(list)
+    for r in scored:
+        per_cat[r.get("type_name", "unknown")].append(
+            (r["hall_score"] + 1) / 2.0
+        )
+    return {
+        "total": len(scored),
+        "skipped": len(rows) - len(scored),
+        "hallucination_score": (
+            sum((r["hall_score"] + 1) / 2.0 for r in scored)
+            / max(len(scored), 1)
+        ),
+        "per_category": {
+            cat: sum(v) / len(v) for cat, v in sorted(per_cat.items())
+        },
+    }
 
 
 def summarize(rows: Sequence[dict]) -> dict:

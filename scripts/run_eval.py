@@ -73,10 +73,12 @@ def eval_refomb(answers_path: str, out_dir: str,
                 gpt_model: str = "gpt-4-1106-preview", seed: int = 0):
     from rlaifv_tpu.evals.gpt_client import Chat
     from rlaifv_tpu.evals.refomb import (
+        judge_hallucination,
         judge_pairwise,
         load_dev_set,
         load_gpt4v_answers,
         summarize,
+        summarize_hallucination,
     )
 
     dev = load_dev_set()
@@ -91,12 +93,24 @@ def eval_refomb(answers_path: str, out_dir: str,
                                        ref_row.get("reference", "")),
             "model_answer": ans.get("text", ans.get("answer", "")),
             "baseline_answer": base.get("answer", base.get("text", "")),
-            "type_name": ref_row.get("type_name", "unknown"),
+            "type_name": ref_row.get(
+                "type_name", ref_row.get("type", "unknown")
+            ),
         })
-    rows = judge_pairwise(items, chat=Chat(model=gpt_model), seed=seed)
+    chat = Chat(model=gpt_model)
+    rows = judge_pairwise(items, chat=chat, seed=seed)
     os.makedirs(out_dir, exist_ok=True)
     write_jsonlines(os.path.join(out_dir, "refomb_reviews.jsonl"), rows)
-    summary = summarize(rows)
+    # second pass (ref eval_hallucination.py): re-judge each review for
+    # hallucination count only
+    hall_rows = judge_hallucination(rows, chat=chat)
+    write_jsonlines(
+        os.path.join(out_dir, "refomb_reviews.hall.jsonl"), hall_rows
+    )
+    summary = {
+        "pairwise": summarize(rows),
+        "hallucination": summarize_hallucination(hall_rows),
+    }
     print(json.dumps(summary, indent=2))
     return summary
 

@@ -22,10 +22,12 @@ from rlaifv_tpu.evals.object_halbench import (
 )
 from rlaifv_tpu.evals.refomb import (
     build_query,
+    judge_hallucination,
     judge_pairwise,
     load_dev_set,
     parse_verdict,
     summarize as refomb_summarize,
+    summarize_hallucination,
 )
 from rlaifv_tpu.evals.text_utils import lemmatize, tokenize
 
@@ -166,6 +168,52 @@ def test_refomb_judge_and_summary():
     s = refomb_summarize(rows)
     assert s["total"] == 6
     assert s["win_rate"] + s["tie_rate"] <= 1.0
+
+
+def test_refomb_hallucination_rejudge():
+    """Second pass re-judges the first pass's review text; orientation uses
+    model_is_A; score = mean((s+1)/2) (ref eval_hallucination.py:168-173)."""
+    items = [
+        {"question": f"q{i}", "description": "desc",
+         "model_answer": "good", "baseline_answer": "bad",
+         "type_name": "Description-Simple"}
+        for i in range(6)
+    ]
+    rows = judge_pairwise(
+        items, chat=_stub_chat(lambda m: "[[A]]"), max_workers=2, seed=0
+    )
+
+    # hallucination judge sees the review text, not the answers
+    seen = []
+
+    def hall_reply(msgs):
+        seen.append(msgs[-1]["content"])
+        return "model A made stuff up. [[B]]"
+
+    hall = judge_hallucination(rows, chat=_stub_chat(hall_reply), max_workers=2)
+    assert all("[Beginning of the review text]" in p for p in seen)
+    for r in hall:
+        # verdict B = side B fewer hallucinations -> our model wins iff it
+        # was side B
+        want = -1 if r["model_is_A"] else 1
+        assert r["hall_score"] == want
+    s = summarize_hallucination(hall)
+    assert s["total"] == 6
+    n_b = sum(1 for r in hall if not r["model_is_A"])
+    np.testing.assert_allclose(s["hallucination_score"], n_b / 6)
+    assert "Description-Simple" in s["per_category"]
+
+
+def test_refomb_hallucination_skips_failed_reviews():
+    rows = [{"judge_output": FAIL_SENTINEL, "model_is_A": True},
+            {"judge_output": "review", "model_is_A": False}]
+    hall = judge_hallucination(rows, chat=_stub_chat(lambda m: "[[C]]"),
+                               max_workers=1)
+    assert hall[0]["hall_score"] is None
+    assert hall[1]["hall_score"] == 0
+    s = summarize_hallucination(hall)
+    assert s["skipped"] == 1 and s["total"] == 1
+    np.testing.assert_allclose(s["hallucination_score"], 0.5)
 
 
 def test_gpt_client_fail_sentinel():
