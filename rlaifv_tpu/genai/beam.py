@@ -6,9 +6,20 @@ scores K*V continuations per batch row, takes the global top-K, reorders
 the cache rows by the chosen parent beams (one gather over the batch axis),
 and freezes beams that emit EOS (their only continuation is PAD at frozen
 score). Final pick: highest length-normalized score per row.
+
+Beam+sample mode (`sampling=` with do_sample): the 12B chat config combines
+beams=3 WITH T 0.6 / top-k 30 / top-p 0.9 / rep-pen 1.1 (ref chat.py:
+98-112, HF `beam_sample`). Per step each beam's logits are warped
+(repetition penalty over its own prefix, temperature, top-k, top-p), and
+the K successors are drawn from the flattened (K*V) candidate scores by
+Gumbel top-k — multinomial sampling without replacement, the same family
+as HF's `torch.multinomial(..., 2*K)`. Documented deviation: HF samples
+2K candidates then keeps the K best by score; we sample K directly
+(frozen beams stay noise-free so finished hypotheses never drop out).
 """
 from __future__ import annotations
 
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -31,9 +42,19 @@ def beam_search(
     eos_id: int,
     pad_id: int,
     length_penalty: float = 1.0,
+    sampling=None,  # SamplingParams with do_sample => beam-sample mode
+    rng: Optional[jax.Array] = None,
+    token_seen: Optional[jax.Array] = None,  # (B, V) prompt-token table
 ):
     B, V = prefill_logits.shape
     K = num_beams
+
+    do_sample = sampling is not None and sampling.do_sample
+    use_rep = (
+        sampling is not None and sampling.repetition_penalty != 1.0
+    )
+    if do_sample and rng is None:
+        rng = jax.random.PRNGKey(0)
 
     def tile(x):
         return jnp.repeat(x, K, axis=0)  # (B*K, ...)
@@ -42,19 +63,75 @@ def beam_search(
     cache_mask = tile(cache_mask)
     prompt_len_k = tile(prompt_len)
 
-    logp0 = jax.nn.log_softmax(prefill_logits.astype(jnp.float32), axis=-1)
-    # initialize: beam 0 is live, others -inf so the first step picks the
-    # top-K distinct first tokens
-    init_scores = jnp.full((B, K), NEG_INF, jnp.float32).at[:, 0].set(0.0)
+    def warp(logits, seen):
+        """Per-beam logits warping (HF beam_sample order: processors then
+        warpers — repetition penalty, temperature, top-k, top-p)."""
+        from rlaifv_tpu.genai.sampling import (
+            apply_repetition_penalty,
+            apply_top_k,
+            apply_top_p,
+        )
 
-    top_val, top_tok = jax.lax.top_k(logp0, K)  # (B, K)
-    scores = init_scores[:, :1] + top_val  # (B, K): top-K first tokens
+        if use_rep:
+            logits = apply_repetition_penalty(
+                logits, seen, sampling.repetition_penalty
+            )
+        if sampling.temperature not in (0.0, 1.0):
+            logits = logits / sampling.temperature
+        logits = apply_top_k(logits, sampling.top_k)
+        logits = apply_top_p(logits, sampling.top_p)
+        return logits
+
+    def pick(flat, frozen_mask, key):
+        """(B, K*V) candidate scores -> top/sampled K (scores, idx).
+
+        Deterministic: plain top-k. Sampling: Gumbel top-k = multinomial
+        without replacement over softmax(flat); entries continuing a
+        frozen beam get no noise so finished hypotheses never drop out.
+        """
+        if not do_sample:
+            return jax.lax.top_k(flat, K)
+        gumbel = -jnp.log(-jnp.log(
+            jax.random.uniform(key, flat.shape, jnp.float32, 1e-20, 1.0)
+        ))
+        noisy = jnp.where(frozen_mask | (flat <= NEG_INF), flat, flat + gumbel)
+        _, idx = jax.lax.top_k(noisy, K)
+        return jnp.take_along_axis(flat, idx, axis=-1), idx
+
+    logits0 = prefill_logits.astype(jnp.float32)
+    if token_seen is None:
+        token_seen = jnp.zeros((B, V), jnp.int32)
+    if do_sample:
+        logits0 = warp(logits0, token_seen)
+    logp0 = jax.nn.log_softmax(logits0, axis=-1)
+
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+    rng, k0 = jax.random.split(rng)
+    if do_sample:
+        # first step: K distinct first tokens sampled from one live beam
+        top_val, top_tok = pick(
+            logp0, jnp.zeros((B, V), bool), k0
+        )
+    else:
+        top_val, top_tok = jax.lax.top_k(logp0, K)  # (B, K)
+    scores = top_val  # (B, K): beam 0 expanded into top-K first tokens
     tokens0 = top_tok  # (B, K)
     done0 = tokens0 == eos_id
     lengths0 = jnp.ones((B, K), jnp.int32)
 
+    # per-beam seen-token tables: prompt tokens + each beam's first token
+    # (dummy scalar carry when the penalty is off)
+    if use_rep:
+        token_seen_k = tile(token_seen).reshape(B, K, V)
+        token_seen_k = token_seen_k.at[
+            jnp.arange(B)[:, None], jnp.arange(K)[None, :], tokens0
+        ].add(1)
+    else:
+        token_seen_k = jnp.zeros((1, 1, 1), jnp.int32)
+
     def step(carry, t):
-        cache, cache_mask, scores, last_tok, done, lengths, seqs_parent = carry
+        (cache, cache_mask, scores, last_tok, done, lengths, seen_k,
+         rng) = carry
         # run one decode step for every beam
         flat_tok = last_tok.reshape(B * K, 1)
         cache_mask = cache_mask.at[:, Lp + t].set(1)
@@ -67,9 +144,12 @@ def beam_search(
             cache=cache,
             cache_index=jnp.int32(Lp) + t,
         )
-        logp = jax.nn.log_softmax(
-            logits[:, 0].astype(jnp.float32), axis=-1
-        ).reshape(B, K, V)
+        step_logits = logits[:, 0].astype(jnp.float32)
+        if do_sample:
+            step_logits = warp(
+                step_logits, seen_k.reshape(B * K, V) if use_rep else None
+            )
+        logp = jax.nn.log_softmax(step_logits, axis=-1).reshape(B, K, V)
 
         # frozen beams may only continue with PAD at unchanged score
         frozen = jnp.full((B, K, V), NEG_INF).at[:, :, pad_id].set(0.0)
@@ -77,7 +157,11 @@ def beam_search(
 
         total = scores[..., None] + logp  # (B, K, V)
         flat = total.reshape(B, K * V)
-        new_scores, idx = jax.lax.top_k(flat, K)  # (B, K)
+        frozen_mask = jnp.broadcast_to(
+            done[..., None], (B, K, V)
+        ).reshape(B, K * V)
+        rng, kt = jax.random.split(rng)
+        new_scores, idx = pick(flat, frozen_mask, kt)  # (B, K)
         parent = idx // V  # (B, K)
         tok = (idx % V).astype(jnp.int32)
 
@@ -94,15 +178,23 @@ def beam_search(
             ~parent_done
         ).astype(jnp.int32)
 
+        if use_rep:
+            seen_k = jnp.take_along_axis(
+                seen_k, parent[..., None], axis=1
+            )
+            seen_k = seen_k.at[
+                jnp.arange(B)[:, None], jnp.arange(K)[None, :], tok
+            ].add((~parent_done).astype(jnp.int32))
+
         return (
             (new_cache, cache_mask, new_scores, tok, new_done, new_lengths,
-             parent),
+             seen_k, rng),
             (tok, parent),
         )
 
     carry0 = (cache, cache_mask, scores, tokens0, done0, lengths0,
-              jnp.zeros((B, K), jnp.int32))
-    (cache, cache_mask, scores, _, done, lengths, _), (toks, parents) = (
+              token_seen_k, rng)
+    (cache, cache_mask, scores, _, done, lengths, _, _), (toks, parents) = (
         jax.lax.scan(step, carry0,
                      jnp.arange(1, max_new_tokens, dtype=jnp.int32))
     )

@@ -217,17 +217,19 @@ class DecodeEngine:
         self._gen_fns[key] = run
         return run
 
-    def _build_beam(self, num_beams: int, max_new: int, length_penalty: float):
-        key = ("beam", num_beams, max_new, length_penalty)
+    def _build_beam(self, num_beams: int, max_new: int, length_penalty: float,
+                    sampling=None):
+        key = ("beam", num_beams, max_new, length_penalty, sampling)
         if key in self._gen_fns:
             return self._gen_fns[key]
 
         model = self.model
         eos_id, pad_id = self.eos_id, self.pad_id
+        use_rep = sampling is not None and sampling.repetition_penalty != 1.0
 
         @partial(jax.jit, static_argnames=("max_len",))
         def run(params, ids, mask, images, image_starts, span_features,
-                span_starts, max_len):
+                span_starts, rng, max_len):
             from rlaifv_tpu.genai.beam import beam_search
 
             B, Lp = ids.shape
@@ -263,11 +265,22 @@ class DecodeEngine:
                     cache=cache, cache_index=jnp.int32(0),
                 )
 
+            token_seen = None
+            if use_rep:
+                # prompt tokens count toward the repetition penalty
+                # (HF semantics: penalty over the full sequence so far)
+                # cfg is LlavaConfig (wraps .llm) or a bare LM config
+                V = getattr(model.cfg, "llm", model.cfg).vocab_size
+                token_seen = jnp.zeros((B, V), jnp.int32).at[
+                    jnp.arange(B)[:, None], jnp.maximum(ids, 0)
+                ].max(mask.astype(jnp.int32))
+
             return beam_search(
                 self._llm, params, logits[:, -1, :], cache, cache_mask,
                 mask.sum(axis=1), Lp,
                 num_beams=num_beams, max_new_tokens=max_new,
                 eos_id=eos_id, pad_id=pad_id, length_penalty=length_penalty,
+                sampling=sampling, rng=rng, token_seen=token_seen,
             )
 
         self._gen_fns[key] = run
@@ -369,8 +382,12 @@ class DecodeEngine:
         max_new_tokens: int = 512,
         length_penalty: float = 1.0,
         prompt_bucket: int = 64,
+        sampling=None,  # SamplingParams(do_sample) => HF beam_sample mode
+        seed: int = 0,
     ) -> GenerateResult:
-        """Deterministic beam decode (chat parity, ref chat.py:169-178)."""
+        """Beam decode. Deterministic by default (7B chat parity, ref
+        chat.py:169-178); pass `sampling=SamplingParams.chat_12b()` for the
+        combined beam+sample 12B mode (ref chat.py:98-112)."""
         B = len(prompts)
         Lp = max(len(p) for p in prompts)
         Lp = ((Lp + prompt_bucket - 1) // prompt_bucket) * prompt_bucket
@@ -388,7 +405,8 @@ class DecodeEngine:
             )
             sstarts = np.where(np.asarray(span_starts) < 0, -1, sstarts)
 
-        run = self._build_beam(num_beams, max_new_tokens, length_penalty)
+        run = self._build_beam(num_beams, max_new_tokens, length_penalty,
+                               sampling)
         seqs, scores = run(
             self.params,
             jnp.asarray(ids),
@@ -397,6 +415,7 @@ class DecodeEngine:
             jnp.asarray(starts) if starts is not None else None,
             jnp.asarray(span_features) if span_features is not None else None,
             jnp.asarray(sstarts) if sstarts is not None else None,
+            jax.random.PRNGKey(seed),
             max_len=-(-(Lp + max_new_tokens) // 128) * 128,
         )
         tokens = np.array(seqs)

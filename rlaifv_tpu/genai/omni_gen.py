@@ -117,6 +117,25 @@ class OmniLMMGenerator:
                 rows.append((item, text, res.first_logits[b]))
         return rows
 
+    def generate_beam(self, items: List[dict], *, num_beams: int = 3,
+                      sampling: SamplingParams = None,
+                      max_new_tokens: int = 512, seed: int = 0):
+        """Beam decode, optionally combined with sampling — the 12B chat
+        mode is beams=3 WITH T 0.6/top-k 30/top-p 0.9/rep 1.1
+        (ref chat.py:98-112)."""
+        prompts, starts, images = self._prepare(items)
+        res = self.engine.generate_beam(
+            prompts, images=images, image_starts=starts,
+            num_beams=num_beams, sampling=sampling,
+            max_new_tokens=max_new_tokens, seed=seed,
+        )
+        return [
+            (item, self.tokenizer.decode(
+                res.tokens[b][: res.lengths[b]], skip_special_tokens=True
+            ).strip())
+            for b, item in enumerate(items)
+        ]
+
     def diverse_gen(self, items, *, temperature=0.7, max_new_tokens=512,
                     batch_size=8, seed=0, continuous=False) -> List[dict]:
         sp = SamplingParams(temperature=temperature, do_sample=True)
@@ -195,12 +214,13 @@ class OmniLMMChat:
         self.max_new_tokens = max_new_tokens
 
     def chat(self, input: dict) -> str:
-        # ref chat.py:98-117 sampling params
-        rows = self.gen.generate(
+        # ref chat.py:98-117: beam 3 COMBINED with sampling
+        # (T 0.6/top-k 30/top-p 0.9/rep 1.1)
+        rows = self.gen.generate_beam(
             [{"question": input["question"], "image": input["image"],
               "question_id": 0}],
+            num_beams=3,
             sampling=SamplingParams.chat_12b(),
             max_new_tokens=self.max_new_tokens,
-            batch_size=1,
         )
         return rows[0][1]

@@ -94,3 +94,41 @@ def test_beam_with_int8_kv_cache(lm):
                                  prompt_bucket=4)
     assert beam3.tokens.shape == greedy.tokens.shape
     assert (beam3.lengths > 0).all()
+
+
+def test_beam_sample_reproducible_and_seed_varies(lm):
+    """12B chat mode: beams combined with sampling (ref chat.py:98-112).
+    Same seed -> identical sequences; different seeds -> different draws."""
+    cfg, model, params = lm
+    engine = DecodeEngine(model, params, eos_id=-1, pad_id=0)
+    prompts = [[1, 7, 8, 9], [1, 5, 6]]
+    sp = SamplingParams.chat_12b()
+    a = engine.generate_beam(prompts, num_beams=3, max_new_tokens=6,
+                             prompt_bucket=4, sampling=sp, seed=0)
+    b = engine.generate_beam(prompts, num_beams=3, max_new_tokens=6,
+                             prompt_bucket=4, sampling=sp, seed=0)
+    np.testing.assert_array_equal(a.tokens, b.tokens)
+    outs = {
+        tuple(engine.generate_beam(
+            prompts, num_beams=3, max_new_tokens=6, prompt_bucket=4,
+            sampling=sp, seed=s,
+        ).tokens[0].tolist())
+        for s in range(4)
+    }
+    assert len(outs) > 1, "beam sampling never varied across seeds"
+
+
+def test_beam_sample_low_temperature_matches_greedy(lm):
+    """As T -> 0 each beam's warped distribution collapses onto its argmax,
+    so a single sampled beam must follow the greedy chain. (With K>1 the
+    deterministic and sampled rankings legitimately differ: beam search
+    ranks by true logp, beam-sample by warped score — HF does the same.)"""
+    cfg, model, params = lm
+    engine = DecodeEngine(model, params, eos_id=-1, pad_id=0)
+    prompts = [[1, 7, 8, 9]]
+    greedy = engine.generate(prompts, sampling=SamplingParams.greedy(),
+                             max_new_tokens=5, prompt_bucket=4)
+    sp = SamplingParams(temperature=1e-4, do_sample=True)
+    samp = engine.generate_beam(prompts, num_beams=1, max_new_tokens=5,
+                                prompt_bucket=4, sampling=sp, seed=0)
+    np.testing.assert_array_equal(greedy.tokens, samp.tokens)
