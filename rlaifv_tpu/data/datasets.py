@@ -252,7 +252,11 @@ class GenDataset:
         item["sample_idx"] = flat % self.repeat_time
         item["question_id"] = flat
         raw = item.get("image")
-        if raw is not None and not isinstance(raw, (bytes, bytearray)):
+        if raw is None and item.get("image_path"):
+            # rows may carry only a path (ref llava15_gen_data.py:107-128
+            # loads from image_path when no inline payload exists)
+            item["image"] = item["image_path"]
+        elif raw is not None and not isinstance(raw, (bytes, bytearray)):
             # b64-encoded image payload (gen inputs carry b64 or a path)
             if isinstance(raw, str) and not os.path.exists(raw):
                 item["image_bytes"] = base64.b64decode(raw)

@@ -228,6 +228,11 @@ class MiniCPMVGenerator:
 
     def _row(self, item, **fields):
         meta = item.get("metainfos", item.get("metainfo", {}))
+        if (isinstance(meta, dict) and "image_path" not in meta
+                and item.get("image_path")):
+            # ref GenDataset folds top-level image_path into metainfos
+            # (llava15_gen_data.py:133) -- downstream autocheck needs it
+            meta = {**meta, "image_path": item["image_path"]}
         row = {"question_id": item.get("question_id")}
         if isinstance(meta, dict) and "ds_question_id" in meta:
             row["ds_question_id"] = meta["ds_question_id"]
