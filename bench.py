@@ -37,7 +37,11 @@ def main():
         make_dpo_train_step,
         make_optimizer,
     )
-    from rlaifv_tpu.utils.synth import llava_flops_per_pair, synth_dpo_batch
+    from rlaifv_tpu.utils.synth import (
+        llava_flops_per_pair,
+        llava_flops_per_pair_hw,
+        synth_dpo_batch,
+    )
 
     dev = jax.devices()[0]
     on_tpu = dev.platform == "tpu"
@@ -133,9 +137,12 @@ def main():
 
     pairs_per_sec = n_pairs / dt
     fpp = llava_flops_per_pair(cfg, seq_len)
-    achieved_flops = pairs_per_sec * fpp
+    fpp_hw = llava_flops_per_pair_hw(cfg, seq_len, compact_len)
     peak = 197e12 if on_tpu else 1e12  # v5e bf16 peak
-    mfu = achieved_flops / peak
+    # effective MFU in reference-FLOPs (counts head work the compact head
+    # skips) vs hardware MFU (FLOPs actually executed) — report both
+    mfu_ref = pairs_per_sec * fpp / peak
+    mfu_hw = pairs_per_sec * fpp_hw / peak
 
     # secondary metric: fused on-device image preprocess (BASELINE metric 3)
     preprocess_ms = None
@@ -185,6 +192,7 @@ def main():
         "value": round(pairs_per_sec, 3),
         "unit": "pairs/s",
         "vs_baseline": round(pairs_per_sec / ref_a100, 3),
+        "vs_baseline_kind": "analytic-a100-estimate",
         "detail": {
             "model": "llava15-proxy-470m",
             "seq_len": seq_len,
@@ -192,7 +200,8 @@ def main():
             "lm_head_impl": "compact",
             "compact_len": compact_len,
             "step_ms": round(dt * 1000, 1),
-            "mfu": round(mfu, 3),
+            "mfu_ref_flops": round(mfu_ref, 3),
+            "mfu_hw": round(mfu_hw, 3),
             "preprocess_ms_per_image_640_to_336": preprocess_ms,
             "platform": dev.platform,
             "device": str(dev),

@@ -234,6 +234,52 @@ def llava_config_from_hf(model_dir: str, **overrides):
     )
 
 
+def llama_config_from_hf(model_dir: str, **overrides):
+    """LlamaConfig from a bare HF LLaMA/Vicuna/Mistral checkpoint dir
+    (for text-only loads and the real-checkpoint goldens gate)."""
+    import json as _json
+
+    from rlaifv_tpu.models.llama import LlamaConfig
+
+    with open(os.path.join(model_dir, "config.json")) as f:
+        raw = _json.load(f)
+    return LlamaConfig(
+        vocab_size=raw.get("vocab_size", 32000),
+        hidden_size=raw.get("hidden_size", 4096),
+        intermediate_size=raw.get("intermediate_size", 11008),
+        num_layers=raw.get("num_hidden_layers", 32),
+        num_heads=raw.get("num_attention_heads", 32),
+        num_kv_heads=raw.get(
+            "num_key_value_heads", raw.get("num_attention_heads", 32)
+        ),
+        max_position_embeddings=raw.get("max_position_embeddings", 4096),
+        rope_theta=raw.get("rope_theta", 10000.0),
+        rms_norm_eps=raw.get("rms_norm_eps", 1e-6),
+        tie_word_embeddings=raw.get("tie_word_embeddings", False),
+        **overrides,
+    )
+
+
+def clip_config_from_hf(model_dir: str, **overrides):
+    """CLIPVisionConfig from a bare HF CLIPVisionModel checkpoint dir."""
+    import json as _json
+
+    from rlaifv_tpu.models.clip_vit import CLIPVisionConfig
+
+    with open(os.path.join(model_dir, "config.json")) as f:
+        raw = _json.load(f)
+    raw = raw.get("vision_config", raw)
+    return CLIPVisionConfig(
+        image_size=raw.get("image_size", 336),
+        patch_size=raw.get("patch_size", 14),
+        hidden_size=raw.get("hidden_size", 1024),
+        intermediate_size=raw.get("intermediate_size", 4096),
+        num_layers=raw.get("num_hidden_layers", 24),
+        num_heads=raw.get("num_attention_heads", 16),
+        **overrides,
+    )
+
+
 def load_image_newline(model_dir: str) -> Optional[np.ndarray]:
     """LLaVA-1.6 checkpoints carry a learnable `model.image_newline` (D,)
     used by the spatial_unpad anyres merge. Lazy single-tensor read."""
