@@ -1,0 +1,608 @@
+"""Multi-layer fused decode step: ONE Pallas kernel per generated token.
+
+The round-1 serve bench showed 7B int8 decode at 1.21x the HBM floor with
+the remaining gap split between per-call Mosaic launch latency (~5 calls/
+layer x 32 layers) and fusion boundaries (PARITY.md round-2 plan #1). This
+kernel walks ALL layers inside one pallas_call: grid = (n_layers, phases),
+the hidden state lives in VMEM scratch across the whole grid (TPU grids
+are sequential), and every weight/cache block is DMA'd exactly once per
+token — the step's HBM traffic is the true floor: int8 weights + live
+int8 KV prefix.
+
+Per layer the phase schedule is static:
+
+  [0, nq)              ln_attn + x@Wqkv col-blocks      (int8 MXU)
+  nq                   rope, quantize fresh k/v (out), init online softmax
+                       with the fresh column
+  [nq+1, nq+1+natt)    attention over int8 cache blocks (clamped to the
+                       live prefix like ops/decode_attention.py)
+  nq+1+natt            softmax finalize -> attnout, quantize per head row
+  [o0, o0+no)          x += attnout@Wo col-blocks (residual in scratch)
+  [m0, m0+3*nI)        per I-block: gate, up (+silu*), down (+residual)
+
+Mosaic layout rules shape the design (lane-dim reshapes are illegal):
+q/k/v live in HEAD-MAJOR (heads*B, Dh) scratches filled by per-head-chunk
+stores straight out of the qkv matmul blocks; the cache is stacked
+h-major (n_layers, KVH, B, L, Dh) so cache blocks merge to the same row
+order with a leading reshape; rotate-half rope uses a lane roll + sign
+mask instead of lane slicing; the o projection contracts per head
+((H, B, Dh) x (H, Dh, bn) batched over H, per-(head,row) scales applied
+before the head sum, which keeps activation quantization exact).
+
+The fresh k/v never touch the cache inside the kernel: they are emitted
+as outputs and scattered by one XLA dynamic_update_slice over the stacked
+cache — so the kernel reads the cache strictly below `cache_index`.
+
+Requires cfg.quantize + cfg.fuse_proj + kv_cache_dtype="int8" and MHA
+(num_heads == num_kv_heads — vicuna-7B; GQA models keep the per-layer
+path). Activation quantization matches QuantDense (per-row symmetric) and
+attention matches decode_attention_prefix_int8 (quantize the small side;
+fold contracted-axis v scales into p).
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Array = jax.Array
+
+NEG_INF = -1e30
+
+
+@dataclasses.dataclass(frozen=True)
+class FusedDecodeDims:
+    n_layers: int
+    D: int          # hidden
+    H: int          # query heads
+    KVH: int        # kv heads (must equal H)
+    Dh: int         # head dim
+    I: int          # intermediate
+    L: int          # cache max length
+    eps: float      # rms norm epsilon
+    bn_qkv: int
+    bl: int
+    bn_o: int
+    bi: int
+
+    @property
+    def Nq(self) -> int:
+        return (self.H + 2 * self.KVH) * self.Dh
+
+    @property
+    def nq(self) -> int:
+        return self.Nq // self.bn_qkv
+
+    @property
+    def natt(self) -> int:
+        return self.L // self.bl
+
+    @property
+    def no(self) -> int:
+        return self.D // self.bn_o
+
+    @property
+    def nI(self) -> int:
+        return self.I // self.bi
+
+    @property
+    def att_prep(self) -> int:
+        return self.nq
+
+    @property
+    def att0(self) -> int:
+        return self.nq + 1
+
+    @property
+    def att_fin(self) -> int:
+        return self.att0 + self.natt
+
+    @property
+    def o0(self) -> int:
+        return self.att_fin + 1
+
+    @property
+    def m0(self) -> int:
+        return self.o0 + self.no
+
+    @property
+    def phases(self) -> int:
+        return self.m0 + 3 * self.nI
+
+
+def _pick_block(n: int, targets) -> int:
+    for t in targets:
+        if n % t == 0:
+            return t
+    raise ValueError(f"no block divides {n} among {targets}")
+
+
+def default_dims(cfg, L: int) -> FusedDecodeDims:
+    D, H, KVH, Dh = (cfg.hidden_size, cfg.num_heads, cfg.num_kv_heads,
+                     cfg.head_size)
+    Nq = (H + 2 * KVH) * Dh
+    # bn_qkv must divide the q and k sections so each phase's chunks land
+    # in one tensor
+    qkv_targets = [t for t in (2048, 1024, 512, 256, 128, Dh)
+                   if H * Dh % t == 0 and KVH * Dh % t == 0 and Nq % t == 0]
+    return FusedDecodeDims(
+        n_layers=cfg.num_layers, D=D, H=H, KVH=KVH, Dh=Dh,
+        I=cfg.intermediate_size, L=L, eps=cfg.rms_norm_eps,
+        bn_qkv=qkv_targets[0],
+        bl=_pick_block(L, (128, 256, L)),
+        bn_o=_pick_block(D, (2048, 1024, 512, 256, 128, D)),
+        bi=_pick_block(
+            cfg.intermediate_size,
+            (1376, 688, 2048, 1024, 512, 344, 256, 128,
+             cfg.intermediate_size),
+        ),
+    )
+
+
+def stack_llama_params(llm_params: dict, cfg) -> dict:
+    """Per-layer tree (quantize+fuse_proj layout) -> stacked arrays."""
+    model = llm_params["model"]
+    n = cfg.num_layers
+
+    def stack(path_fn):
+        return jnp.stack([path_fn(model[f"layer_{i}"]) for i in range(n)])
+
+    return {
+        "wqkv": stack(lambda l: l["attn"]["qkv_proj"]["kernel"]),
+        "sqkv": stack(lambda l: l["attn"]["qkv_proj"]["scale"])[:, None],
+        "wo": stack(lambda l: l["attn"]["o_proj"]["kernel"]),
+        "so": stack(lambda l: l["attn"]["o_proj"]["scale"])[:, None],
+        "wgu": stack(lambda l: l["mlp"]["gate_up_proj"]["kernel"]),
+        "sgu": stack(lambda l: l["mlp"]["gate_up_proj"]["scale"])[:, None],
+        "wdown": stack(lambda l: l["mlp"]["down_proj"]["kernel"]),
+        "sdown": stack(lambda l: l["mlp"]["down_proj"]["scale"])[:, None],
+        "ln": jnp.stack([
+            jnp.stack([model[f"layer_{i}"]["ln_attn"]["scale"],
+                       model[f"layer_{i}"]["ln_mlp"]["scale"]])
+            for i in range(n)
+        ]).astype(jnp.float32),
+    }
+
+
+def stack_cache(cache_list) -> dict:
+    """list of per-layer int8 cache dicts (B, L, KVH, Dh) -> stacked
+    HEAD-MAJOR (n_layers, KVH, B, L, Dh) kernel layout."""
+    k = jnp.stack([c["k"] for c in cache_list]).transpose(0, 3, 1, 2, 4)
+    v = jnp.stack([c["v"] for c in cache_list]).transpose(0, 3, 1, 2, 4)
+    ks = jnp.stack([c["k_scale"] for c in cache_list]).transpose(0, 3, 1, 2)
+    vs = jnp.stack([c["v_scale"] for c in cache_list]).transpose(0, 3, 1, 2)
+    return {"k": k, "k_scale": ks, "v": v, "v_scale": vs}
+
+
+def unstack_cache(stacked: dict):
+    n = stacked["k"].shape[0]
+    return [
+        {
+            "k": stacked["k"][i].transpose(1, 2, 0, 3),
+            "k_scale": stacked["k_scale"][i].transpose(1, 2, 0),
+            "v": stacked["v"][i].transpose(1, 2, 0, 3),
+            "v_scale": stacked["v_scale"][i].transpose(1, 2, 0),
+        }
+        for i in range(n)
+    ]
+
+
+def _quant_rows(x):
+    """(..., N) f32 -> int8 with per-row scales (..., 1); QuantDense/
+    decode_attention activation scheme."""
+    s = jnp.maximum(jnp.max(jnp.abs(x), axis=-1, keepdims=True), 1e-20) / 127.0
+    q = jnp.clip(jnp.round(x / s), -127, 127).astype(jnp.int8)
+    return q, s
+
+
+def _rms(x, scale, eps):
+    x = x.astype(jnp.float32)
+    r = jax.lax.rsqrt(jnp.mean(x * x, axis=-1, keepdims=True) + eps)
+    return x * r * scale.astype(jnp.float32)
+
+
+def _kernel(
+    scalars_ref,  # [valid_blocks, cache_index]
+    # inputs
+    x_in_ref, cossin_ref, mask_ref, ln_ref,
+    wqkv_ref, sqkv_ref, kc_ref, ksc_ref, vc_ref, vsc_ref,
+    wo_ref, so_ref, wgu_ref, sgu_ref, wdown_ref, sdown_ref,
+    # outputs
+    xout_ref, nk_ref, nks_ref, nv_ref, nvs_ref,
+    # scratch
+    x_s, x8_s, xs_s, qh_s, kh_s, vh_s, q8_s, qs_s,
+    m_s, l_s, acc_s, ao8_s, aos_s, g_s, a8_s, as_s,
+    *, dims: FusedDecodeDims, scale: float,
+):
+    d = dims
+    B = x_s.shape[0]
+    N = d.H * B  # == d.KVH * B (MHA)
+    layer = pl.program_id(0)
+    p = pl.program_id(1)
+    chunks = d.bn_qkv // d.Dh
+    nq_q = d.H * d.Dh // d.bn_qkv       # phases in the q section
+    nq_k = d.KVH * d.Dh // d.bn_qkv
+
+    # ---------------- qkv phases: matmul one col-block, store per head
+    @pl.when(p < d.nq)
+    def _qkv():
+        @pl.when(p == 0)
+        def _ln1():
+            @pl.when(layer == 0)
+            def _init_x():
+                x_s[...] = x_in_ref[...].astype(jnp.float32)
+
+            xn = _rms(x_s[...], ln_ref[0, 0], d.eps)
+            q8, qs = _quant_rows(xn)
+            x8_s[...] = q8
+            xs_s[...] = qs
+
+        acc = jax.lax.dot_general(
+            x8_s[...], wqkv_ref[0],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )  # (B, bn)
+        y = acc.astype(jnp.float32) * xs_s[...] * sqkv_ref[0, 0][None, :]
+
+        # bn_qkv divides the q/k/v sections, so a whole phase belongs to
+        # exactly one of them; chunk j is head (local_phase*chunks + j)
+        for j in range(chunks):
+            blk = y[:, j * d.Dh : (j + 1) * d.Dh]  # (B, Dh)
+
+            @pl.when(p < nq_q)
+            def _to_q(blk=blk, j=j):
+                h = p * chunks + j
+                qh_s[pl.ds(h * B, B), :] = blk
+
+            @pl.when((p >= nq_q) & (p < nq_q + nq_k))
+            def _to_k(blk=blk, j=j):
+                h = (p - nq_q) * chunks + j
+                kh_s[pl.ds(h * B, B), :] = blk
+
+            @pl.when(p >= nq_q + nq_k)
+            def _to_v(blk=blk, j=j):
+                h = (p - nq_q - nq_k) * chunks + j
+                vh_s[pl.ds(h * B, B), :] = blk
+
+    # ---------------- attention prep: rope + fresh kv + softmax init
+    @pl.when(p == d.att_prep)
+    def _prep():
+        cos = jnp.broadcast_to(
+            cossin_ref[0][None], (d.H, B, d.Dh)
+        ).reshape(N, d.Dh)
+        sin = jnp.broadcast_to(
+            cossin_ref[1][None], (d.H, B, d.Dh)
+        ).reshape(N, d.Dh)
+        half = d.Dh // 2
+        # rotate-half without lane slicing: roll by half + sign mask
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, d.Dh), 1)
+        sign = jnp.where(lane < half, -1.0, 1.0)
+
+        def rope(x):  # (rows, Dh)
+            rot = pltpu.roll(x, half, 1) * sign
+            return x * cos[: x.shape[0]] + rot * sin[: x.shape[0]]
+
+        q = rope(qh_s[...])
+        k = rope(kh_s[...])
+        v = vh_s[...]
+        qh_s[...] = q
+        kh_s[...] = k
+
+        # fresh k/v out (scattered into the cache by the caller)
+        k8, ks = _quant_rows(k)
+        v8, vs = _quant_rows(v)
+        nk_ref[0] = k8.reshape(d.KVH, B, d.Dh)
+        nv_ref[0] = v8.reshape(d.KVH, B, d.Dh)
+        ones8 = jnp.ones((1, 1, 8), jnp.float32)
+        nks_ref[0] = ks.reshape(d.KVH, B, 1) * ones8
+        nvs_ref[0] = vs.reshape(d.KVH, B, 1) * ones8
+
+        q8, qs = _quant_rows(q)
+        q8_s[:, 0, :] = q8
+        qs_s[...] = qs
+
+        # softmax init with the always-live fresh column
+        s_new = jnp.sum(q * k, axis=-1, keepdims=True) * scale  # (N, 1)
+        m_s[...] = s_new
+        l_s[...] = jnp.ones_like(s_new)
+        acc_s[...] = v
+
+    # ---------------- attention cache blocks
+    il = p - d.att0
+
+    @pl.when((p >= d.att0) & (p < d.att_fin) & (il < scalars_ref[0]))
+    def _att():
+        kblk = kc_ref[0].reshape(N, d.bl, d.Dh)
+        vblk = vc_ref[0].reshape(N, d.bl, d.Dh)
+        ks = ksc_ref[0].reshape(N, d.bl)
+        vs = vsc_ref[0].reshape(N, d.bl)
+
+        s3 = jax.lax.dot_general(
+            q8_s[...], kblk,
+            (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.int32,
+        )  # (N, 1, bl)
+        s = s3[:, 0, :].astype(jnp.float32) * qs_s[...] * ks * scale
+        # mask: engine validity AND strictly below cache_index (the fresh
+        # column is handled separately; its cache slot is still unwritten)
+        col = il * d.bl + jax.lax.broadcasted_iota(jnp.int32, (1, d.bl), 1)
+        live = jnp.broadcast_to(
+            (mask_ref[...] != 0)[None], (d.H, B, d.bl)
+        ).reshape(N, d.bl) & (col < scalars_ref[1])
+        s = jnp.where(live, s, NEG_INF)
+
+        m_old = m_s[...]
+        m_new = jnp.maximum(
+            m_old, jnp.maximum(jnp.max(s, axis=1, keepdims=True), NEG_INF / 2)
+        )
+        pmat = jnp.exp(s - m_new)
+        corr = jnp.exp(m_old - m_new)
+        l_s[...] = l_s[...] * corr + jnp.sum(pmat, axis=1, keepdims=True)
+
+        pv = pmat * vs
+        p8, ps = _quant_rows(pv)
+        accv = jax.lax.dot_general(
+            p8[:, None, :], vblk,
+            (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.int32,
+        )  # (N, 1, Dh)
+        acc_s[...] = acc_s[...] * corr + accv[:, 0, :].astype(jnp.float32) * ps
+        m_s[...] = m_new
+
+    # ---------------- attention finalize: per-(head,row) quantization
+    @pl.when(p == d.att_fin)
+    def _fin():
+        out = acc_s[...] / jnp.maximum(l_s[...], 1e-30)  # (N, Dh)
+        a8, asc = _quant_rows(out)
+        ao8_s[...] = a8
+        aos_s[...] = asc
+
+    # ---------------- o projection col blocks (+ residual), batched per
+    # head: scales are per (head, row) so dequant happens before the sum
+    io = p - d.o0
+
+    @pl.when((p >= d.o0) & (p < d.m0))
+    def _o():
+        a8 = ao8_s[...].reshape(d.H, B, d.Dh)
+        w = wo_ref[0].reshape(d.H, d.Dh, d.bn_o)
+        part = jax.lax.dot_general(
+            a8, w, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.int32,
+        )  # (H, B, bn)
+        part = part.astype(jnp.float32) * aos_s[...].reshape(d.H, B, 1)
+        y = jnp.sum(part, axis=0) * so_ref[0, 0][None, :]
+        sl = pl.ds(io * d.bn_o, d.bn_o)
+        x_s[:, sl] = x_s[:, sl] + y
+
+    # ---------------- mlp: (gate, up+act, down) per I block
+    pm = p - d.m0
+    i_blk = pm // 3
+    sub = pm - i_blk * 3
+
+    @pl.when((p >= d.m0) & (sub == 0))
+    def _gate():
+        @pl.when(pm == 0)
+        def _ln2():
+            xn = _rms(x_s[...], ln_ref[0, 1], d.eps)
+            q8, qs = _quant_rows(xn)
+            x8_s[...] = q8
+            xs_s[...] = qs
+
+        acc = jax.lax.dot_general(
+            x8_s[...], wgu_ref[0],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        g_s[...] = acc.astype(jnp.float32) * xs_s[...] * sgu_ref[0, 0][None, :]
+
+    @pl.when((p >= d.m0) & (sub == 1))
+    def _up():
+        acc = jax.lax.dot_general(
+            x8_s[...], wgu_ref[0],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        up = acc.astype(jnp.float32) * xs_s[...] * sgu_ref[0, 0][None, :]
+        g = g_s[...]
+        a = (g * jax.nn.sigmoid(g)) * up  # silu(gate) * up
+        a8, asc = _quant_rows(a)
+        a8_s[...] = a8
+        as_s[...] = asc
+
+    @pl.when((p >= d.m0) & (sub == 2))
+    def _down():
+        acc = jax.lax.dot_general(
+            a8_s[...], wdown_ref[0],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        y = acc.astype(jnp.float32) * as_s[...] * sdown_ref[0, 0][None, :]
+        x_s[...] = x_s[...] + y
+
+        @pl.when((layer == d.n_layers - 1) & (pm == 3 * d.nI - 1))
+        def _emit():
+            xout_ref[...] = x_s[...].astype(xout_ref.dtype)
+
+
+def fused_decode_step(
+    stacked: dict,
+    cache: dict,  # stacked h-major int8 cache (see stack_cache)
+    x: Array,  # (B, D) hidden after embedding
+    mask: Array,  # (B, L) validity of cache columns
+    positions: Array,  # (B,) rope positions of the fresh token
+    cache_index,  # scalar int32: cache column to write / prefix length
+    dims: FusedDecodeDims,
+    *,
+    rope_theta: float = 10000.0,
+    interpret: bool = False,
+):
+    """One full decode layer-stack step -> (x_out (B, D) f32, new_kv dict).
+
+    The caller scatters new_kv into the stacked cache at `cache_index`
+    (scatter_new_kv) and runs the final norm + lm_head on x_out.
+    """
+    d = dims
+    assert d.H == d.KVH, "fused decode kernel requires MHA (n_rep == 1)"
+    B = x.shape[0]
+    scale = 1.0 / (d.Dh ** 0.5)
+
+    inv = 1.0 / (
+        rope_theta
+        ** (jnp.arange(0, d.Dh, 2, dtype=jnp.float32) / d.Dh)
+    )
+    ang = positions.astype(jnp.float32)[:, None] * inv[None, :]
+    ang = jnp.concatenate([ang, ang], axis=-1)  # (B, Dh) HF duplicated layout
+    cossin = jnp.stack([jnp.cos(ang), jnp.sin(ang)])  # (2, B, Dh)
+
+    valid_blocks = jnp.maximum((cache_index + d.bl - 1) // d.bl, 0)
+    scalars = jnp.asarray(
+        [jnp.int32(valid_blocks), jnp.int32(cache_index)], jnp.int32
+    )
+
+    nq, att0, o0, m0 = d.nq, d.att0, d.o0, d.m0
+
+    def qkv_map(l, p, s):
+        return (l, 0, jnp.clip(p, 0, nq - 1))
+
+    def sqkv_map(l, p, s):
+        return (l, 0, jnp.clip(p, 0, nq - 1))
+
+    def cache_map(l, p, s):
+        blk = jnp.clip(p - att0, 0, jnp.maximum(s[0] - 1, 0))
+        return (l, 0, 0, blk, 0)
+
+    def cache_s_map(l, p, s):
+        blk = jnp.clip(p - att0, 0, jnp.maximum(s[0] - 1, 0))
+        return (l, 0, 0, blk)
+
+    def mask_map(l, p, s):
+        return (0, jnp.clip(p - att0, 0, jnp.maximum(s[0] - 1, 0)))
+
+    def o_map(l, p, s):
+        return (l, 0, jnp.clip(p - o0, 0, d.no - 1))
+
+    def so_map(l, p, s):
+        return (l, 0, jnp.clip(p - o0, 0, d.no - 1))
+
+    def gu_map(l, p, s):
+        pm = jnp.maximum(p - m0, 0)
+        i = pm // 3
+        sub = pm - i * 3
+        blk = jnp.where(sub == 0, i, d.nI + i)
+        return (l, 0, jnp.clip(blk, 0, 2 * d.nI - 1))
+
+    def sgu_map(l, p, s):
+        pm = jnp.maximum(p - m0, 0)
+        i = pm // 3
+        sub = pm - i * 3
+        blk = jnp.where(sub == 0, i, d.nI + i)
+        return (l, 0, jnp.clip(blk, 0, 2 * d.nI - 1))
+
+    def down_map(l, p, s):
+        pm = p - m0
+        return (l, jnp.clip((pm - 2) // 3, 0, d.nI - 1), 0)
+
+    def sdown_map(l, p, s):
+        return (l, 0, 0)
+
+    def const0(l, p, s):
+        return (0, 0)
+
+    N = d.H * B
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(d.n_layers, d.phases),
+        in_specs=[
+            pl.BlockSpec((B, d.D), const0),                       # x_in
+            pl.BlockSpec((2, B, d.Dh), lambda l, p, s: (0, 0, 0)),  # cossin
+            pl.BlockSpec((B, d.bl), mask_map),                    # mask
+            pl.BlockSpec((1, 2, d.D), lambda l, p, s: (l, 0, 0)),  # ln
+            pl.BlockSpec((1, d.D, d.bn_qkv), qkv_map),            # wqkv
+            pl.BlockSpec((1, 1, d.bn_qkv), sqkv_map),             # sqkv
+            pl.BlockSpec((1, d.KVH, B, d.bl, d.Dh), cache_map),   # k cache
+            pl.BlockSpec((1, d.KVH, B, d.bl), cache_s_map),       # k scale
+            pl.BlockSpec((1, d.KVH, B, d.bl, d.Dh), cache_map),   # v cache
+            pl.BlockSpec((1, d.KVH, B, d.bl), cache_s_map),       # v scale
+            pl.BlockSpec((1, d.H * d.Dh, d.bn_o), o_map),         # wo
+            pl.BlockSpec((1, 1, d.bn_o), so_map),                 # so
+            pl.BlockSpec((1, d.D, d.bi), gu_map),                 # wgu
+            pl.BlockSpec((1, 1, d.bi), sgu_map),                  # sgu
+            pl.BlockSpec((1, d.bi, d.D), down_map),               # wdown
+            pl.BlockSpec((1, 1, d.D), sdown_map),                 # sdown
+        ],
+        out_specs=[
+            pl.BlockSpec((B, d.D), const0),                       # x_out
+            pl.BlockSpec((1, d.KVH, B, d.Dh),
+                         lambda l, p, s: (l, 0, 0, 0)),           # new k
+            pl.BlockSpec((1, d.KVH, B, 8),
+                         lambda l, p, s: (l, 0, 0, 0)),           # new ks
+            pl.BlockSpec((1, d.KVH, B, d.Dh),
+                         lambda l, p, s: (l, 0, 0, 0)),           # new v
+            pl.BlockSpec((1, d.KVH, B, 8),
+                         lambda l, p, s: (l, 0, 0, 0)),           # new vs
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((B, d.D), jnp.float32),        # x residual
+            pltpu.VMEM((B, d.D), jnp.int8),           # x quantized
+            pltpu.VMEM((B, 1), jnp.float32),          # x row scales
+            pltpu.VMEM((N, d.Dh), jnp.float32),       # q (head-major rows)
+            pltpu.VMEM((N, d.Dh), jnp.float32),       # k fresh
+            pltpu.VMEM((N, d.Dh), jnp.float32),       # v fresh
+            pltpu.VMEM((N, 1, d.Dh), jnp.int8),       # q8
+            pltpu.VMEM((N, 1), jnp.float32),          # q scales
+            pltpu.VMEM((N, 1), jnp.float32),          # m
+            pltpu.VMEM((N, 1), jnp.float32),          # l
+            pltpu.VMEM((N, d.Dh), jnp.float32),       # acc
+            pltpu.VMEM((N, d.Dh), jnp.int8),          # attnout int8
+            pltpu.VMEM((N, 1), jnp.float32),          # attnout scales
+            pltpu.VMEM((B, d.bi), jnp.float32),       # gate block
+            pltpu.VMEM((B, d.bi), jnp.int8),          # act int8
+            pltpu.VMEM((B, 1), jnp.float32),          # act scales
+        ],
+    )
+
+    x_out, nk, nks, nv, nvs = pl.pallas_call(
+        functools.partial(_kernel, dims=d, scale=scale),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((B, d.D), jnp.float32),
+            jax.ShapeDtypeStruct((d.n_layers, d.KVH, B, d.Dh), jnp.int8),
+            jax.ShapeDtypeStruct((d.n_layers, d.KVH, B, 8), jnp.float32),
+            jax.ShapeDtypeStruct((d.n_layers, d.KVH, B, d.Dh), jnp.int8),
+            jax.ShapeDtypeStruct((d.n_layers, d.KVH, B, 8), jnp.float32),
+        ],
+        interpret=interpret,
+    )(
+        scalars,
+        x.astype(jnp.float32), cossin, mask.astype(jnp.int32),
+        stacked["ln"],
+        stacked["wqkv"], stacked["sqkv"],
+        cache["k"], cache["k_scale"], cache["v"], cache["v_scale"],
+        stacked["wo"], stacked["so"],
+        stacked["wgu"], stacked["sgu"],
+        stacked["wdown"], stacked["sdown"],
+    )
+    new_kv = {"k": nk, "k_scale": nks[..., 0], "v": nv,
+              "v_scale": nvs[..., 0]}
+    return x_out, new_kv
+
+
+def scatter_new_kv(cache: dict, new_kv: dict, cache_index) -> dict:
+    """Write the kernel's fresh per-layer k/v into the stacked h-major
+    cache at column `cache_index` (one dynamic_update_slice per array)."""
+    def upd(buf, val):
+        # buf (n_layers, KVH, B, L[, Dh]); val (n_layers, KVH, B[, Dh])
+        val = jnp.expand_dims(val, 3).astype(buf.dtype)
+        start = (0, 0, 0, cache_index) + ((0,) if buf.ndim == 5 else ())
+        return jax.lax.dynamic_update_slice(buf, val, start)
+
+    return {
+        "k": upd(cache["k"], new_kv["k"]),
+        "k_scale": upd(cache["k_scale"], new_kv["k_scale"]),
+        "v": upd(cache["v"], new_kv["v"]),
+        "v_scale": upd(cache["v_scale"], new_kv["v_scale"]),
+    }
