@@ -38,6 +38,12 @@ Requires cfg.quantize + cfg.fuse_proj + kv_cache_dtype="int8" and MHA
 path). Activation quantization matches QuantDense (per-row symmetric) and
 attention matches decode_attention_prefix_int8 (quantize the small side;
 fold contracted-axis v scales into p).
+
+VMEM: at 7B geometry the double-buffered weight/cache blocks total ~90MB,
+over XLA's default 16MB scoped-vmem budget (a flag default, not the v5e
+hardware limit). Processes running this kernel must set
+`--xla_tpu_scoped_vmem_limit_kib=101376` in XLA_FLAGS before jax
+initializes (see ensure_vmem_budget()).
 """
 from __future__ import annotations
 
@@ -61,7 +67,9 @@ class FusedDecodeDims:
     H: int          # query heads
     KVH: int        # kv heads (must equal H)
     Dh: int         # head dim
-    I: int          # intermediate
+    I: int          # true intermediate (model config)
+    Ip: int         # padded intermediate the kernel runs (128-multiple
+                    # with a legal lane block; zero-padded cols are exact)
     L: int          # cache max length
     eps: float      # rms norm epsilon
     bn_qkv: int
@@ -87,7 +95,7 @@ class FusedDecodeDims:
 
     @property
     def nI(self) -> int:
-        return self.I // self.bi
+        return self.Ip // self.bi
 
     @property
     def att_prep(self) -> int:
@@ -121,6 +129,24 @@ def _pick_block(n: int, targets) -> int:
     raise ValueError(f"no block divides {n} among {targets}")
 
 
+def _pick_intermediate(I: int):
+    """(Ip, bi): pad I up to a 128-multiple that admits a lane-legal MLP
+    block. Mosaic requires lane-dim block sizes be multiples of 128 (or
+    the full dim) — vicuna-7B's I=11008 = 128x86 has no 128-multiple
+    divisor in the VMEM-friendly [512, 2048] range, so 2 lanes of zero
+    padding (11264 = 8x1408) buy a legal bi=1408 at 2.3% extra MLP
+    traffic. Zero-padded columns are numerically exact (gate=up=0 =>
+    silu(0)*0 = 0 contribution through down)."""
+    base = -(-I // 128) * 128
+    lo = min(512, base)
+    for pad in range(0, 9):
+        Ip = base + pad * 128
+        for t in range(min(2048, Ip), lo - 1, -128):
+            if Ip % t == 0:
+                return Ip, t
+    return base, 128
+
+
 def default_dims(cfg, L: int) -> FusedDecodeDims:
     D, H, KVH, Dh = (cfg.hidden_size, cfg.num_heads, cfg.num_kv_heads,
                      cfg.head_size)
@@ -129,36 +155,51 @@ def default_dims(cfg, L: int) -> FusedDecodeDims:
     # in one tensor
     qkv_targets = [t for t in (2048, 1024, 512, 256, 128, Dh)
                    if H * Dh % t == 0 and KVH * Dh % t == 0 and Nq % t == 0]
+    Ip, bi = _pick_intermediate(cfg.intermediate_size)
     return FusedDecodeDims(
         n_layers=cfg.num_layers, D=D, H=H, KVH=KVH, Dh=Dh,
-        I=cfg.intermediate_size, L=L, eps=cfg.rms_norm_eps,
+        I=cfg.intermediate_size, Ip=Ip, L=L, eps=cfg.rms_norm_eps,
         bn_qkv=qkv_targets[0],
         bl=_pick_block(L, (128, 256, L)),
         bn_o=_pick_block(D, (2048, 1024, 512, 256, 128, D)),
-        bi=_pick_block(
-            cfg.intermediate_size,
-            (1376, 688, 2048, 1024, 512, 344, 256, 128,
-             cfg.intermediate_size),
-        ),
+        bi=bi,
     )
 
 
 def stack_llama_params(llm_params: dict, cfg) -> dict:
-    """Per-layer tree (quantize+fuse_proj layout) -> stacked arrays."""
+    """Per-layer tree (quantize+fuse_proj layout) -> stacked arrays.
+
+    MLP arrays are zero-padded from I to the kernel's Ip (same
+    `_pick_intermediate` choice as `default_dims`) so lane-dim blocks are
+    Mosaic-legal; padded columns contribute exactly zero."""
     model = llm_params["model"]
     n = cfg.num_layers
+    I = cfg.intermediate_size
+    Ip, _ = _pick_intermediate(I)
 
     def stack(path_fn):
         return jnp.stack([path_fn(model[f"layer_{i}"]) for i in range(n)])
+
+    def pad_gu(a):  # (n, [1,] 2I) or (n, D, 2I) -> ... 2Ip
+        if Ip == I:
+            return a
+        z = jnp.zeros(a.shape[:-1] + (Ip - I,), a.dtype)
+        return jnp.concatenate([a[..., :I], z, a[..., I:], z], axis=-1)
+
+    def pad_down(a):  # (n, I, D) -> (n, Ip, D)
+        if Ip == I:
+            return a
+        z = jnp.zeros((a.shape[0], Ip - I, a.shape[2]), a.dtype)
+        return jnp.concatenate([a, z], axis=1)
 
     return {
         "wqkv": stack(lambda l: l["attn"]["qkv_proj"]["kernel"]),
         "sqkv": stack(lambda l: l["attn"]["qkv_proj"]["scale"])[:, None],
         "wo": stack(lambda l: l["attn"]["o_proj"]["kernel"]),
         "so": stack(lambda l: l["attn"]["o_proj"]["scale"])[:, None],
-        "wgu": stack(lambda l: l["mlp"]["gate_up_proj"]["kernel"]),
-        "sgu": stack(lambda l: l["mlp"]["gate_up_proj"]["scale"])[:, None],
-        "wdown": stack(lambda l: l["mlp"]["down_proj"]["kernel"]),
+        "wgu": pad_gu(stack(lambda l: l["mlp"]["gate_up_proj"]["kernel"])),
+        "sgu": pad_gu(stack(lambda l: l["mlp"]["gate_up_proj"]["scale"])[:, None]),
+        "wdown": pad_down(stack(lambda l: l["mlp"]["down_proj"]["kernel"])),
         "sdown": stack(lambda l: l["mlp"]["down_proj"]["scale"])[:, None],
         "ln": jnp.stack([
             jnp.stack([model[f"layer_{i}"]["ln_attn"]["scale"],

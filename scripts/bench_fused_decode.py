@@ -23,6 +23,13 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
 def main():
+    # the multi-layer kernel double-buffers ~45MB of weight/cache blocks;
+    # the default 16MB scoped-vmem budget is an XLA flag, not the v5e
+    # hardware limit — raise it (see ops/fused_decode.py docstring)
+    os.environ["LIBTPU_INIT_ARGS"] = (
+        os.environ.get("LIBTPU_INIT_ARGS", "")
+        + " --xla_tpu_scoped_vmem_limit_kib=101376"
+    ).strip()
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
@@ -56,7 +63,7 @@ def main():
         t0 = int(os.environ.get("BENCHFD_T0", 640))
 
     d = default_dims(cfg, L)
-    n, D, KVH, Dh, I = d.n_layers, d.D, d.KVH, d.Dh, d.I
+    n, D, KVH, Dh, I = d.n_layers, d.D, d.KVH, d.Dh, d.Ip
     Nq = d.Nq
 
     stacked = {
@@ -79,15 +86,16 @@ def main():
     mask = jnp.zeros((B, L), jnp.int32).at[:, :t0].set(1)
     x0 = jnp.ones((B, D), jnp.float32) * 0.01
 
-    @partial(jax.jit, static_argnames=("k",))
-    def run(x, cache, k):
+    # weights/mask as arguments (not closed-over constants: captured
+    # consts are re-materialized into the executable — 6.5GB of them)
+    @partial(jax.jit, static_argnames=("k",), donate_argnums=(1,))
+    def run(x, cache, stacked, mask, k):
         def body(i, carry):
             x, cache = carry
             ci = t0 + i
             pos = jnp.full((B,), ci, jnp.int32)
-            m = mask  # static prefix; live length rides cache_index
             x_out, new_kv = fused_decode_step(
-                stacked, cache, x, m, pos, ci, d,
+                stacked, cache, x, mask, pos, ci, d,
                 rope_theta=cfg.rope_theta, interpret=not on_tpu,
             )
             cache = scatter_new_kv(cache, new_kv, ci)
@@ -95,11 +103,18 @@ def main():
             return x_out * 0.01, cache
 
         x, cache = jax.lax.fori_loop(0, k, body, (x, cache))
-        return x.sum()
+        return x.sum(), cache
+
+    # donated cache threads through: each timed call consumes the previous
+    # call's output buffer (timing is value-independent — zero weights)
+    state = {"c": jax.device_put(cache)}
 
     def timed(k):
+        jax.block_until_ready(state["c"])
         t = time.perf_counter()
-        float(run(x0, cache, k))
+        s, c2 = run(x0, state["c"], stacked, mask, k)
+        float(s)
+        state["c"] = c2
         return time.perf_counter() - t
 
     k_small, k_big = (1, 2) if tiny else (4, 36)

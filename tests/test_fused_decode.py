@@ -33,6 +33,10 @@ def _setup(B=2, L=128, prompt_len=5):
                            num_kv_heads=4)
     base_cfg = LlamaConfig.tiny(quantize=True, quantize_lm_head=False,
                                 kv_cache_dtype="int8", num_kv_heads=4)
+    return _setup_from(cfg, base_cfg, B=B, L=L, prompt_len=prompt_len)
+
+
+def _setup_from(cfg, base_cfg, B=2, L=128, prompt_len=5):
     ids = jnp.asarray(
         np.random.default_rng(0).integers(1, 200, size=(B, prompt_len)),
         jnp.int32,
@@ -176,6 +180,64 @@ def test_fused_decode_multi_step_greedy():
         xtok = jnp.argmax(lg[:, 0], -1).astype(jnp.int32)
         np.testing.assert_array_equal(np.asarray(xtok), np.asarray(ftok),
                                       err_msg=f"step {step}")
+
+
+def test_pick_intermediate_lane_legal():
+    """Chosen MLP blocks are Mosaic lane-legal; vicuna-7B pads 11008 to
+    11264 = 8 x 1408 (the bug the real-TPU bench caught: bi=1376 is not
+    a 128-multiple)."""
+    from rlaifv_tpu.ops.fused_decode import _pick_intermediate
+
+    for I in (128, 512, 11008, 11264, 14336, 13824, 8192, 384):
+        Ip, bi = _pick_intermediate(I)
+        assert Ip >= I and Ip % 128 == 0 and Ip % bi == 0 and bi % 128 == 0
+    assert _pick_intermediate(11008) == (11264, 1408)
+    assert _pick_intermediate(128) == (128, 128)
+
+
+def test_fused_decode_padded_intermediate():
+    """I=96 pads to Ip=128: padded columns must contribute exactly zero
+    (parity vs the flax path at the true intermediate size)."""
+    cfg, model, params, cache, mask, tok, t = _setup_I(96)
+    B, L = mask.shape
+    mask_t = mask.at[:, t].set(1)
+    want_logits, _ = model.apply(
+        {"params": params}, tok[:, None],
+        attention_mask=mask_t,
+        position_ids=jnp.full((B, 1), t, jnp.int32),
+        cache=cache, cache_index=jnp.int32(t),
+    )
+    dims = default_dims(cfg, L)
+    assert dims.Ip > dims.I  # padding actually exercised
+    stacked = stack_llama_params(params, cfg)
+    assert stacked["wgu"].shape[-1] == 2 * dims.Ip
+    scache = stack_cache(cache)
+    x = model.apply({"params": params}, tok[:, None], method=model.embed)[:, 0]
+    x_out, _ = fused_decode_step(
+        stacked, scache, x, mask, jnp.full((B,), t, jnp.int32),
+        jnp.int32(t), dims, rope_theta=cfg.rope_theta, interpret=True,
+    )
+    normed = model.apply(
+        {"params": params}, x_out[:, None].astype(cfg.dtype),
+        method=lambda m, h: m.model.ln_f(h),
+    )
+    got_logits = model.apply({"params": params}, normed,
+                             method=lambda m, h: m.logits(h))
+    np.testing.assert_allclose(
+        np.asarray(got_logits[:, 0], np.float32),
+        np.asarray(want_logits[:, 0], np.float32),
+        rtol=2e-2, atol=2e-2,
+    )
+
+
+def _setup_I(intermediate):
+    cfg = LlamaConfig.tiny(quantize=True, quantize_lm_head=False,
+                           fuse_proj=True, kv_cache_dtype="int8",
+                           num_kv_heads=4, intermediate_size=intermediate)
+    base_cfg = LlamaConfig.tiny(quantize=True, quantize_lm_head=False,
+                                kv_cache_dtype="int8", num_kv_heads=4,
+                                intermediate_size=intermediate)
+    return _setup_from(cfg, base_cfg)
 
 
 def test_fused_decode_rejects_gqa():
