@@ -9,6 +9,10 @@ vs_baseline: the reference publishes no throughput numbers
 the reference stack's A100 throughput on the SAME model config: A100 peak
 312 bf16 TFLOP/s at 45% MFU (a generous DeepSpeed ZeRO-2 + flash-attn
 figure), i.e. vs_baseline = ours_pairs_per_sec / (0.45*312e12/flops_per_pair).
+
+BENCH7B_SHARDED=1 instead runs the multi-chip readiness bench: AOT-compile
+the full 7B full-FT DPO step over the dp2xfsdp2xtp2 virtual mesh + execute
+a reduced-depth step (scripts/bench_7b_sharded.py — VERDICT r1 next #3).
 """
 from __future__ import annotations
 
@@ -21,6 +25,15 @@ import numpy as np
 
 
 def main():
+    if os.environ.get("BENCH7B_SHARDED", "") == "1":
+        import sys
+
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__), "scripts"))
+        from bench_7b_sharded import main as sharded_main
+
+        sharded_main()
+        return
+
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")

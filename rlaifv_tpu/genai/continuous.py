@@ -75,6 +75,9 @@ class ContinuousGenerator:
         self.headroom = headroom or max(2 * chunk, 128)
         self.use_rep = sampling.repetition_penalty != 1.0
         self._fns = engine._gen_fns  # share the engine's compile cache
+        # fused multi-layer decode (ops/fused_decode.py): the global cache
+        # lives in the kernel's stacked h-major layout the whole run
+        self.fused = getattr(engine, "fused_decode", False)
 
     # ------------------------------------------------------------- jitted
 
@@ -85,66 +88,73 @@ class ContinuousGenerator:
     def _build_refill(self, R: int, Lp: int, mode: str):
         """mode: 'text' | 'images' (encode+single-span splice, LLaVA/OmniLMM)
         | 'spans' (pre-encoded multi-span features, MiniCPM-V slices)."""
-        key = ("cont_refill", R, Lp, mode, self.use_rep)
+        key = ("cont_refill", R, Lp, mode, self.use_rep, self.fused)
         if key in self._fns:
             return self._fns[key]
 
         engine, model, use_rep = self.engine, self.model, self.use_rep
+        fused = self.fused
 
-        @partial(jax.jit, donate_argnums=(1, 2, 3, 4, 5, 6, 7, 8))
-        def refill(params, cache, cache_mask, token_seen, last_logits,
-                   cur_pos, emitted, done, budget, ids, mask, slot_ids, gt,
-                   media, starts, budgets_r):
+        @partial(jax.jit, donate_argnums=(2, 3, 4, 5, 6, 7, 8, 9))
+        def refill(params, stacked, cache, cache_mask, token_seen,
+                   last_logits, cur_pos, emitted, done, budget, ids, mask,
+                   slot_ids, gt, media, starts, budgets_r):
             B = cache_mask.shape[0]
             pos = jnp.maximum(jnp.cumsum(mask, axis=1) - 1, 0)
-            sub_cache = model.init_cache(R, Lp)
-
-            if mode != "text":
-                embeds = model.apply(
-                    {"params": params}, jnp.maximum(ids, 0),
-                    method=lambda m, i: m.llm.embed(i),
-                )
-                if mode == "spans":
-                    from rlaifv_tpu.models.minicpmv import splice_multi_span
-
-                    embeds = splice_multi_span(embeds, media, starts)
-                else:
-                    from rlaifv_tpu.models.llava import splice_image_features
-
-                    feats = model.apply(
-                        {"params": params}, media, method=model.encode_images
-                    )
-                    embeds = splice_image_features(embeds, feats, starts)
-                logits, sub_cache = engine._llm(
-                    params, inputs_embeds=embeds, attention_mask=mask,
-                    position_ids=pos, cache=sub_cache,
-                    cache_index=jnp.int32(0),
-                )
-            else:
-                logits, sub_cache = engine._llm(
-                    params, input_ids=jnp.maximum(ids, 0),
-                    attention_mask=mask, position_ids=pos, cache=sub_cache,
-                    cache_index=jnp.int32(0),
-                )
-
             start = gt - Lp
 
-            def put(glob, sub):
-                # rank-generic (k/v are 4-D; int8-cache scales are 3-D)
-                zeros = (0,) * (glob.ndim - 2)
-                win = jax.lax.dynamic_slice(
-                    glob, (0, start) + zeros, (B, Lp) + glob.shape[2:]
+            if fused:
+                # write-through tower prefill: per-layer kernels restored
+                # from the stacked arrays, window KV scattered straight
+                # into the donated stacked h-major cache at the finished
+                # slots (engine._fused_prefill_tower)
+                embeds = engine._embed_spliced(
+                    params, ids,
+                    media if mode == "images" else None, starts,
+                    media if mode == "spans" else None, starts,
                 )
-                win = win.at[slot_ids].set(sub.astype(glob.dtype),
-                                           mode="drop")
-                return jax.lax.dynamic_update_slice(
-                    glob, win, (0, start) + zeros
+                x, cache = engine._fused_prefill_tower(
+                    params, stacked, cache, embeds, mask, pos, start,
+                    slot_ids=slot_ids, n_slots=B,
                 )
+                first = engine._head(params, x[:, -1])
+            else:
+                sub_cache = model.init_cache(R, Lp)
+                if mode != "text":
+                    embeds = engine._embed_spliced(
+                        params, ids,
+                        media if mode == "images" else None, starts,
+                        media if mode == "spans" else None, starts,
+                    )
+                    logits, sub_cache = engine._llm(
+                        params, inputs_embeds=embeds, attention_mask=mask,
+                        position_ids=pos, cache=sub_cache,
+                        cache_index=jnp.int32(0),
+                    )
+                else:
+                    logits, sub_cache = engine._llm(
+                        params, input_ids=jnp.maximum(ids, 0),
+                        attention_mask=mask, position_ids=pos,
+                        cache=sub_cache, cache_index=jnp.int32(0),
+                    )
+                first = logits[:, -1, :]
 
-            cache = [
-                {key: put(c[key], s[key]) for key in c}
-                for c, s in zip(cache, sub_cache)
-            ]
+                def put(glob, sub):
+                    # rank-generic (k/v are 4-D; int8-cache scales 3-D)
+                    zeros = (0,) * (glob.ndim - 2)
+                    win = jax.lax.dynamic_slice(
+                        glob, (0, start) + zeros, (B, Lp) + glob.shape[2:]
+                    )
+                    win = win.at[slot_ids].set(sub.astype(glob.dtype),
+                                               mode="drop")
+                    return jax.lax.dynamic_update_slice(
+                        glob, win, (0, start) + zeros
+                    )
+
+                cache = [
+                    {key: put(c[key], s[key]) for key in c}
+                    for c, s in zip(cache, sub_cache)
+                ]
 
             cm = cache_mask.at[slot_ids].set(0, mode="drop")
             win = jax.lax.dynamic_slice(cm, (0, start), (B, Lp))
@@ -162,7 +172,6 @@ class ContinuousGenerator:
                 token_seen = token_seen.at[slot_ids].set(0, mode="drop")
                 token_seen = token_seen.at[slot_ids].set(sub_seen, mode="drop")
 
-            first = logits[:, -1, :]
             last_logits = last_logits.at[slot_ids].set(
                 first.astype(last_logits.dtype), mode="drop"
             )
@@ -178,18 +187,27 @@ class ContinuousGenerator:
         self._fns[key] = refill
         return refill
 
-    def _build_chunk(self):
-        key = ("cont_chunk", self.sp, self.T, self.max_new, self.use_rep)
+    def _build_chunk(self, max_len: int):
+        # max_len keys the fused variant (kernel dims are static per cache
+        # length); the per-layer path retraces on shape change anyway
+        key = ("cont_chunk", self.sp, self.T, self.max_new, self.use_rep,
+               self.fused and max_len)
         if key in self._fns:
             return self._fns[key]
 
         engine, sp, T = self.engine, self.sp, self.T
         use_rep = self.use_rep
         eos_id, pad_id = engine.eos_id, engine.pad_id
+        fused = self.fused
+        if fused:
+            from rlaifv_tpu.ops.fused_decode import default_dims
 
-        @partial(jax.jit, donate_argnums=(1, 2, 3, 4, 5, 6, 7))
-        def chunk(params, cache, cache_mask, token_seen, last_logits,
-                  cur_pos, emitted, done, budget, gt, rng):
+            dims = default_dims(engine._llm_cfg(), max_len)
+            interp = jax.default_backend() != "tpu"
+
+        @partial(jax.jit, donate_argnums=(2, 3, 4, 5, 6, 7, 8))
+        def chunk(params, stacked, cache, cache_mask, token_seen,
+                  last_logits, cur_pos, emitted, done, budget, gt, rng):
             B = cache_mask.shape[0]
             buf = jnp.full((T, B), pad_id, jnp.int32)
 
@@ -212,19 +230,26 @@ class ContinuousGenerator:
                     jnp.logical_not(done).astype(jnp.int32)[:, None],
                     (0, gt),
                 )
-                step_logits, cache = engine._llm(
-                    params, input_ids=tok[:, None],
-                    attention_mask=cache_mask,
-                    position_ids=cur_pos[:, None], cache=cache,
-                    cache_index=gt,
-                )
+                if fused:
+                    last, cache = engine._fused_token_step(
+                        params, stacked, cache, tok, cache_mask,
+                        cur_pos.astype(jnp.int32), gt, dims, interp,
+                    )
+                else:
+                    step_logits, cache = engine._llm(
+                        params, input_ids=tok[:, None],
+                        attention_mask=cache_mask,
+                        position_ids=cur_pos[:, None], cache=cache,
+                        cache_index=gt,
+                    )
+                    last = step_logits[:, 0]
                 if use_rep:
                     token_seen = token_seen.at[
                         jnp.arange(B, dtype=jnp.int32), tok
                     ].add(jnp.logical_not(done).astype(jnp.int32))
                 cur_pos = cur_pos + jnp.logical_not(done)
                 return (t + 1, cache, cache_mask, token_seen,
-                        step_logits[:, 0], cur_pos, emitted, new_done,
+                        last, cur_pos, emitted, new_done,
                         gt + 1, rng, buf)
 
             state = (jnp.int32(0), cache, cache_mask, token_seen,
@@ -250,18 +275,27 @@ class ContinuousGenerator:
         return chunk
 
     def _build_compact(self):
-        key = ("cont_compact",)
+        key = ("cont_compact", self.fused)
         if key in self._fns:
             return self._fns[key]
 
+        fused = self.fused
+
         @partial(jax.jit, donate_argnums=(0, 1))
         def compact(cache, cache_mask, gt, shift):
-            def roll(a):
-                return jnp.roll(a, -shift, axis=1)
+            def roll(a, axis=1):
+                return jnp.roll(a, -shift, axis=axis)
 
-            cache = [
-                {key: roll(c[key]) for key in c} for c in cache
-            ]
+            if fused:  # stacked h-major layout: columns on axis 3
+                from rlaifv_tpu.ops.fused_decode import compact_stacked
+
+                # per-layer rolls: a whole-array roll of the multi-GB
+                # stacked buffer would need a second full-size allocation
+                cache = compact_stacked(cache, shift)
+            else:
+                cache = [
+                    {key: roll(c[key]) for key in c} for c in cache
+                ]
             cm = roll(cache_mask)
             cols = jnp.arange(cm.shape[1], dtype=jnp.int32)[None, :]
             cm = jnp.where(cols < gt - shift, cm, 0)
@@ -304,7 +338,12 @@ class ContinuousGenerator:
         # 128-aligned so the prefix decode-attention kernel engages
         max_len = -(-(Lp0 + self.max_new + self.headroom) // 128) * 128
 
-        cache = self.model.init_cache(B, max_len)
+        if self.fused:
+            from rlaifv_tpu.ops.fused_decode import init_stacked_cache
+
+            cache = init_stacked_cache(engine._llm_cfg(), B, max_len)
+        else:
+            cache = self.model.init_cache(B, max_len)
         cache_mask = jnp.zeros((B, max_len), jnp.int32)
         token_seen = jnp.zeros((B, engine.vocab_size), jnp.int32)
         last_logits = jnp.zeros((B, engine.vocab_size), self._logits_dtype())
@@ -393,7 +432,8 @@ class ContinuousGenerator:
             fn = self._build_refill(R, Lp_r, mode)
             (cache, cache_mask, token_seen, last_logits, cur_pos, emitted,
              done, budget, first) = fn(
-                engine.params, cache, cache_mask, token_seen, last_logits,
+                engine.params, engine._fused_stacked, cache, cache_mask,
+                token_seen, last_logits,
                 cur_pos, emitted, done, budget, jnp.asarray(ids),
                 jnp.asarray(mask), jnp.asarray(slot_ids), jnp.int32(gt_host),
                 (engine._device_images(media) if mode == "images"
@@ -409,7 +449,7 @@ class ContinuousGenerator:
                 for r, p in enumerate(group):
                     first_logits[p] = fl[r]
 
-        chunk_fn = self._build_chunk()
+        chunk_fn = self._build_chunk(max_len)
         compact_fn = self._build_compact()
 
         refill()
@@ -430,8 +470,9 @@ class ContinuousGenerator:
             rng, sub = jax.random.split(rng)
             (cache, cache_mask, token_seen, last_logits, cur_pos, emitted,
              done, packed) = chunk_fn(
-                engine.params, cache, cache_mask, token_seen, last_logits,
-                cur_pos, emitted, done, budget, jnp.int32(gt_host), sub,
+                engine.params, engine._fused_stacked, cache, cache_mask,
+                token_seen, last_logits, cur_pos, emitted, done, budget,
+                jnp.int32(gt_host), sub,
             )
             packed_h = np.asarray(packed)  # single fetch: one RPC
             buf_h = packed_h[:T]

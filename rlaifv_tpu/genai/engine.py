@@ -59,6 +59,8 @@ class DecodeEngine:
         eos_id: int = 2,
         pad_id: int = 0,
         vocab_size: Optional[int] = None,
+        fused_decode: bool = False,
+        consume_params: bool = True,
     ):
         self.model = model
         self.params = params
@@ -68,6 +70,155 @@ class DecodeEngine:
         llm_cfg = model.cfg.llm if self._multimodal else model.cfg
         self.vocab_size = vocab_size or llm_cfg.vocab_size
         self._gen_fns = {}
+        self.fused_decode = fused_decode
+        self._fused_stacked = None
+        if fused_decode:
+            # one Pallas kernel walks the whole layer stack per decoded
+            # token (ops/fused_decode.py) — int8 fused-proj MHA models only
+            ok = (llm_cfg.quantize and llm_cfg.fuse_proj
+                  and llm_cfg.kv_cache_dtype == "int8"
+                  and llm_cfg.num_heads == llm_cfg.num_kv_heads)
+            if not ok:
+                raise ValueError(
+                    "fused_decode requires quantize + fuse_proj + int8 KV "
+                    "cache + MHA (num_heads == num_kv_heads)"
+                )
+            from rlaifv_tpu.ops.fused_decode import (
+                stack_llama_params,
+                strip_llm_kernels,
+            )
+
+            llm_params = params["llm"] if self._multimodal else params
+            # the per-layer kernels move INTO the stacked arrays: holding
+            # both layouts of a 7B int8 model OOMs a 16G chip, so with
+            # consume_params (default) the stacking DONATES the per-layer
+            # kernel buffers (the caller's tree keeps only the small
+            # non-kernel leaves — drop any other reference to it). The
+            # flax prefill paths rebuild per-layer kernel views from the
+            # stacked arrays inside jit (_fused_prefill_tower).
+            self._fused_stacked = stack_llama_params(
+                llm_params, llm_cfg, consume=consume_params
+            )
+            stripped = strip_llm_kernels(llm_params, llm_cfg)
+            self.params = ({**params, "llm": stripped} if self._multimodal
+                           else stripped)
+
+    def _fused_prefill_tower(self, params, stacked, scache, embeds, mask,
+                             pos, col_start, slot_ids=None, n_slots=0):
+        """Run a prompt window through the layer stack, writing each
+        layer's int8 KV straight into the stacked h-major cache (the
+        write-through prefill: the per-layer cache layout never exists
+        beyond one layer's (R, Lp) window, so prefill peak memory is
+        weights + ONE stacked cache, not two cache layouts).
+
+        Returns (final hidden states (R, Lp, D) pre-ln_f, scache). Call
+        inside jit with `scache` donated."""
+        from rlaifv_tpu.models.llama import rope_cos_sin
+        from rlaifv_tpu.ops.fused_decode import (
+            restore_layer_kernels,
+            write_prefill_window,
+        )
+
+        cfg = self._llm_cfg()
+        mm = self._multimodal
+        llm_params = params["llm"] if mm else params
+        R, Lp = mask.shape
+        KVH, Dh = cfg.num_kv_heads, cfg.head_size
+        cos, sin = rope_cos_sin(pos, Dh, cfg.rope_theta, cfg.dtype)
+
+        x = embeds
+        for i in range(cfg.num_layers):
+            layer = restore_layer_kernels(
+                llm_params["model"][f"layer_{i}"], stacked, i, cfg
+            )
+            tree = {"model": {f"layer_{i}": layer}}
+            if mm:
+                tree = {"llm": tree}
+            mini = {
+                "k": jnp.zeros((R, Lp, KVH, Dh), jnp.int8),
+                "k_scale": jnp.zeros((R, Lp, KVH), jnp.float32),
+                "v": jnp.zeros((R, Lp, KVH, Dh), jnp.int8),
+                "v_scale": jnp.zeros((R, Lp, KVH), jnp.float32),
+            }
+            if mm:
+                method = (lambda m, *a, idx=i:
+                          m.llm.model.blocks[idx](*a))
+            else:
+                method = lambda m, *a, idx=i: m.model.blocks[idx](*a)
+            x, mini = self.model.apply(
+                {"params": tree}, x, cos, sin, mask, mini, jnp.int32(0),
+                method=method,
+            )
+            scache = write_prefill_window(
+                scache, i, mini, col_start, slot_ids, n_slots
+            )
+        return x, scache
+
+    def _embed_spliced(self, params, ids, images, image_starts,
+                       span_features, span_starts):
+        """Token embeddings with vision features spliced in (None-media
+        falls through to plain embeddings)."""
+        embeds = self._embed(params, jnp.maximum(ids, 0))
+        if span_features is not None:
+            from rlaifv_tpu.models.minicpmv import splice_multi_span
+
+            return splice_multi_span(embeds, span_features, span_starts)
+        if images is not None:
+            from rlaifv_tpu.models.llava import splice_image_features
+
+            feats = self.model.apply(
+                {"params": params}, images, method=self.model.encode_images
+            )
+            return splice_image_features(embeds, feats, image_starts)
+        return embeds
+
+    def _llm_cfg(self):
+        return self.model.cfg.llm if self._multimodal else self.model.cfg
+
+    def _embed(self, params, ids):
+        if self._multimodal:
+            return self.model.apply(
+                {"params": params}, ids, method=lambda m, i: m.llm.embed(i)
+            )
+        return self.model.apply({"params": params}, ids,
+                                method=self.model.embed)
+
+    def _head(self, params, x):
+        """Final norm + lm head on a (B, D) post-stack hidden -> (B, V)."""
+        cfg = self._llm_cfg()
+        h = x[:, None].astype(cfg.dtype)
+        if self._multimodal:
+            normed = self.model.apply(
+                {"params": params}, h, method=lambda m, v: m.llm.model.ln_f(v)
+            )
+            return self.model.apply(
+                {"params": params}, normed,
+                method=lambda m, v: m.llm.logits(v),
+            )[:, 0]
+        normed = self.model.apply(
+            {"params": params}, h, method=lambda m, v: m.model.ln_f(v)
+        )
+        return self.model.apply(
+            {"params": params}, normed, method=lambda m, v: m.logits(v)
+        )[:, 0]
+
+    def _fused_token_step(self, params, stacked, scache, tok, cache_mask,
+                          positions, cache_index, dims, interp):
+        """One fused decode step: embed -> layer-stack kernel -> head.
+        Returns ((B, V) logits, updated stacked cache)."""
+        from rlaifv_tpu.ops.fused_decode import (
+            fused_decode_step,
+            scatter_new_kv,
+        )
+
+        cfg = self._llm_cfg()
+        x = self._embed(params, tok[:, None])[:, 0].astype(jnp.float32)
+        x_out, new_kv = fused_decode_step(
+            stacked, scache, x, cache_mask, positions, cache_index, dims,
+            rope_theta=cfg.rope_theta, interpret=interp,
+        )
+        scache = scatter_new_kv(scache, new_kv, cache_index)
+        return self._head(params, x_out), scache
 
     def _device_images(self, images):
         """Ship images small: uint8 stays uint8 (the resize-only processor
@@ -100,12 +251,13 @@ class DecodeEngine:
         model = self.model
         eos_id, pad_id, V = self.eos_id, self.pad_id, self.vocab_size
         use_rep = sp.repetition_penalty != 1.0
+        fused = self.fused_decode
+        interp = jax.default_backend() != "tpu"
 
         @partial(jax.jit, static_argnames=("max_len",))
-        def run(params, ids, mask, images, image_starts, span_features,
-                span_starts, rng, max_len):
+        def run(params, stacked, ids, mask, images, image_starts,
+                span_features, span_starts, rng, max_len):
             B, Lp = ids.shape
-            cache = model.init_cache(B, max_len)
 
             pos = jnp.cumsum(mask, axis=1) - 1  # left-pad aware positions
             pos = jnp.maximum(pos, 0)
@@ -113,46 +265,51 @@ class DecodeEngine:
             cache_mask = jnp.zeros((B, max_len), jnp.int32)
             cache_mask = cache_mask.at[:, :Lp].set(mask)
 
-            if images is not None or span_features is not None:
-                embeds = model.apply(
-                    {"params": params},
-                    jnp.maximum(ids, 0),
-                    method=lambda m, i: m.llm.embed(i),
+            if fused:
+                # write-through prefill: the per-layer kernels were stripped
+                # at engine init, so the tower restores per-layer views from
+                # the stacked arrays and lands int8 KV straight in the
+                # stacked h-major cache
+                from rlaifv_tpu.ops.fused_decode import (
+                    default_dims,
+                    init_stacked_cache,
                 )
-                if span_features is not None:
-                    from rlaifv_tpu.models.minicpmv import splice_multi_span
 
-                    embeds = splice_multi_span(
-                        embeds, span_features, span_starts
+                dims = default_dims(self._llm_cfg(), max_len)
+                embeds = self._embed_spliced(
+                    params, ids, images, image_starts, span_features,
+                    span_starts,
+                )
+                cache = init_stacked_cache(self._llm_cfg(), B, max_len)
+                x, cache = self._fused_prefill_tower(
+                    params, stacked, cache, embeds, mask, pos, jnp.int32(0)
+                )
+                first_logits = self._head(params, x[:, -1])
+            else:
+                cache = model.init_cache(B, max_len)
+                if images is not None or span_features is not None:
+                    embeds = self._embed_spliced(
+                        params, ids, images, image_starts, span_features,
+                        span_starts,
+                    )
+                    logits, cache = self._llm(
+                        params,
+                        inputs_embeds=embeds,
+                        attention_mask=cache_mask,
+                        position_ids=pos,
+                        cache=cache,
+                        cache_index=jnp.int32(0),
                     )
                 else:
-                    from rlaifv_tpu.models.llava import splice_image_features
-
-                    feats = model.apply(
-                        {"params": params}, images,
-                        method=model.encode_images,
+                    logits, cache = self._llm(
+                        params,
+                        input_ids=jnp.maximum(ids, 0),
+                        attention_mask=cache_mask,
+                        position_ids=pos,
+                        cache=cache,
+                        cache_index=jnp.int32(0),
                     )
-                    embeds = splice_image_features(
-                        embeds, feats, image_starts
-                    )
-                logits, cache = self._llm(
-                    params,
-                    inputs_embeds=embeds,
-                    attention_mask=cache_mask,
-                    position_ids=pos,
-                    cache=cache,
-                    cache_index=jnp.int32(0),
-                )
-            else:
-                logits, cache = self._llm(
-                    params,
-                    input_ids=jnp.maximum(ids, 0),
-                    attention_mask=cache_mask,
-                    position_ids=pos,
-                    cache=cache,
-                    cache_index=jnp.int32(0),
-                )
-            first_logits = logits[:, -1, :]  # last prompt index (left-pad)
+                first_logits = logits[:, -1, :]  # last prompt (left-pad)
 
             token_seen = jnp.zeros((B, V), jnp.int32)
             if use_rep:
@@ -192,20 +349,28 @@ class DecodeEngine:
                     (~done).astype(jnp.int32)[:, None],
                     (0, Lp + t),
                 )
-                pos_t = (prompt_len + t)[:, None]
-                step_logits, cache = self._llm(
-                    params,
-                    input_ids=tok[:, None],
-                    attention_mask=cache_mask,
-                    position_ids=pos_t,
-                    cache=cache,
-                    cache_index=jnp.int32(Lp) + t,
-                )
+                pos_t = prompt_len + t
+                if fused:
+                    last, cache = self._fused_token_step(
+                        params, stacked, cache, tok, cache_mask,
+                        pos_t.astype(jnp.int32), jnp.int32(Lp) + t, dims,
+                        interp,
+                    )
+                else:
+                    step_logits, cache = self._llm(
+                        params,
+                        input_ids=tok[:, None],
+                        attention_mask=cache_mask,
+                        position_ids=pos_t[:, None],
+                        cache=cache,
+                        cache_index=jnp.int32(Lp) + t,
+                    )
+                    last = step_logits[:, 0]
                 if use_rep:
                     token_seen = token_seen.at[jnp.arange(B), tok].add(
                         (~done).astype(jnp.int32)
                     )
-                return (t + 1, cache, cache_mask, step_logits[:, 0],
+                return (t + 1, cache, cache_mask, last,
                         token_seen, rng, new_done, tokens_buf)
 
             state = (jnp.int32(0), cache, cache_mask, first_logits,
@@ -214,8 +379,14 @@ class DecodeEngine:
             tokens = state[-1]
             return tokens.T, first_logits  # (B, max_new)
 
-        self._gen_fns[key] = run
-        return run
+        def call(params, *args, **kw):
+            # external signature unchanged: the stacked fused-decode
+            # weights ride as a traced argument (capturing them would bake
+            # 6.5GB of constants into the executable)
+            return run(params, self._fused_stacked, *args, **kw)
+
+        self._gen_fns[key] = call
+        return call
 
     def _build_beam(self, num_beams: int, max_new: int, length_penalty: float,
                     sampling=None):

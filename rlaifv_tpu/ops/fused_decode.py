@@ -59,6 +59,21 @@ Array = jax.Array
 
 NEG_INF = -1e30
 
+VMEM_LIMIT_KIB = 101376  # 99MB of the v5e's VMEM for the kernel pipeline
+
+
+def ensure_vmem_budget():
+    """Raise the scoped-vmem flag the 7B kernel needs. Must run before the
+    TPU backend initializes (libtpu parses LIBTPU_INIT_ARGS once); call it
+    at process start in anything that serves with fused decode."""
+    import os
+
+    args = os.environ.get("LIBTPU_INIT_ARGS", "")
+    if "xla_tpu_scoped_vmem_limit_kib" not in args:
+        os.environ["LIBTPU_INIT_ARGS"] = (
+            args + f" --xla_tpu_scoped_vmem_limit_kib={VMEM_LIMIT_KIB}"
+        ).strip()
+
 
 @dataclasses.dataclass(frozen=True)
 class FusedDecodeDims:
@@ -166,47 +181,70 @@ def default_dims(cfg, L: int) -> FusedDecodeDims:
     )
 
 
-def stack_llama_params(llm_params: dict, cfg) -> dict:
+def stack_llama_params(llm_params: dict, cfg, *, consume: bool = False) -> dict:
     """Per-layer tree (quantize+fuse_proj layout) -> stacked arrays.
 
     MLP arrays are zero-padded from I to the kernel's Ip (same
     `_pick_intermediate` choice as `default_dims`) so lane-dim blocks are
-    Mosaic-legal; padded columns contribute exactly zero."""
+    Mosaic-legal; padded columns contribute exactly zero.
+
+    consume=True DONATES the per-layer kernel buffers to the stacking
+    program (jit + donate): XLA reuses their HBM for the stacked outputs,
+    so both layouts of a 6.6GB int8 7B kernel set never coexist — eager
+    stacking peaks at ~15.7G on a 16G chip. The donated per-layer kernel
+    arrays are dead afterwards (on backends that honor donation)."""
     model = llm_params["model"]
     n = cfg.num_layers
     I = cfg.intermediate_size
     Ip, _ = _pick_intermediate(I)
 
-    def stack(path_fn):
-        return jnp.stack([path_fn(model[f"layer_{i}"]) for i in range(n)])
+    kernels = [
+        [model[f"layer_{i}"][grp][name]["kernel"] for i in range(n)]
+        for grp, name in _KERNEL_PATHS
+    ]
+    scales = [
+        [model[f"layer_{i}"][grp][name]["scale"] for i in range(n)]
+        for grp, name in _KERNEL_PATHS
+    ]
+    ln = [
+        [model[f"layer_{i}"]["ln_attn"]["scale"],
+         model[f"layer_{i}"]["ln_mlp"]["scale"]]
+        for i in range(n)
+    ]
 
-    def pad_gu(a):  # (n, [1,] 2I) or (n, D, 2I) -> ... 2Ip
-        if Ip == I:
-            return a
-        z = jnp.zeros(a.shape[:-1] + (Ip - I,), a.dtype)
-        return jnp.concatenate([a[..., :I], z, a[..., I:], z], axis=-1)
+    def build(kernels, scales, ln):
+        wqkv, wo, wgu, wdown = kernels
+        sqkv, so, sgu, sdown = scales
 
-    def pad_down(a):  # (n, I, D) -> (n, Ip, D)
-        if Ip == I:
-            return a
-        z = jnp.zeros((a.shape[0], Ip - I, a.shape[2]), a.dtype)
-        return jnp.concatenate([a, z], axis=1)
+        def pad_gu(a):  # (n, [1,] 2I) or (n, D, 2I) -> ... 2Ip
+            if Ip == I:
+                return a
+            z = jnp.zeros(a.shape[:-1] + (Ip - I,), a.dtype)
+            return jnp.concatenate([a[..., :I], z, a[..., I:], z], axis=-1)
 
-    return {
-        "wqkv": stack(lambda l: l["attn"]["qkv_proj"]["kernel"]),
-        "sqkv": stack(lambda l: l["attn"]["qkv_proj"]["scale"])[:, None],
-        "wo": stack(lambda l: l["attn"]["o_proj"]["kernel"]),
-        "so": stack(lambda l: l["attn"]["o_proj"]["scale"])[:, None],
-        "wgu": pad_gu(stack(lambda l: l["mlp"]["gate_up_proj"]["kernel"])),
-        "sgu": pad_gu(stack(lambda l: l["mlp"]["gate_up_proj"]["scale"])[:, None]),
-        "wdown": pad_down(stack(lambda l: l["mlp"]["down_proj"]["kernel"])),
-        "sdown": stack(lambda l: l["mlp"]["down_proj"]["scale"])[:, None],
-        "ln": jnp.stack([
-            jnp.stack([model[f"layer_{i}"]["ln_attn"]["scale"],
-                       model[f"layer_{i}"]["ln_mlp"]["scale"]])
-            for i in range(n)
-        ]).astype(jnp.float32),
-    }
+        def pad_down(a):  # (n, I, D) -> (n, Ip, D)
+            if Ip == I:
+                return a
+            z = jnp.zeros((a.shape[0], Ip - I, a.shape[2]), a.dtype)
+            return jnp.concatenate([a, z], axis=1)
+
+        return {
+            "wqkv": jnp.stack(wqkv),
+            "sqkv": jnp.stack(sqkv)[:, None],
+            "wo": jnp.stack(wo),
+            "so": jnp.stack(so)[:, None],
+            "wgu": pad_gu(jnp.stack(wgu)),
+            "sgu": pad_gu(jnp.stack(sgu)[:, None]),
+            "wdown": pad_down(jnp.stack(wdown)),
+            "sdown": jnp.stack(sdown)[:, None],
+            "ln": jnp.stack([jnp.stack(pair) for pair in ln]).astype(
+                jnp.float32
+            ),
+        }
+
+    if consume:
+        return jax.jit(build, donate_argnums=(0,))(kernels, scales, ln)
+    return build(kernels, scales, ln)
 
 
 def stack_cache(cache_list) -> dict:
@@ -217,6 +255,120 @@ def stack_cache(cache_list) -> dict:
     ks = jnp.stack([c["k_scale"] for c in cache_list]).transpose(0, 3, 1, 2)
     vs = jnp.stack([c["v_scale"] for c in cache_list]).transpose(0, 3, 1, 2)
     return {"k": k, "k_scale": ks, "v": v, "v_scale": vs}
+
+
+_KERNEL_PATHS = (("attn", "qkv_proj"), ("attn", "o_proj"),
+                 ("mlp", "gate_up_proj"), ("mlp", "down_proj"))
+
+
+def strip_llm_kernels(llm_params: dict, cfg) -> dict:
+    """Drop the big per-layer kernels from the flax tree — after
+    stack_llama_params they live ONLY in the stacked arrays (int8 7B
+    kernels are 6.6GB; holding both layouts OOMs a 16G chip).
+    restore_llm_kernels rebuilds per-layer views inside jit for the flax
+    prefill path (XLA reads slices of the stacked operands — no duplicate
+    residency)."""
+    model = {**llm_params["model"]}
+    for i in range(cfg.num_layers):
+        layer = {**model[f"layer_{i}"]}
+        for grp, name in _KERNEL_PATHS:
+            g = {**layer[grp]}
+            mod = {**g[name]}
+            mod.pop("kernel")
+            g[name] = mod
+            layer[grp] = g
+        model[f"layer_{i}"] = layer
+    return {**llm_params, "model": model}
+
+
+def restore_layer_kernels(layer_params: dict, stacked: dict, i: int,
+                          cfg) -> dict:
+    """Rebuild ONE layer's full param dict from the stacked arrays (unpads
+    the MLP). Call inside jit, per layer, as the prefill loop reaches layer
+    i — restoring all layers at once keeps every unpadding-concat copy
+    alive simultaneously."""
+    I = cfg.intermediate_size
+    Ip, _ = _pick_intermediate(I)
+    layer = {**layer_params}
+    attn = {**layer["attn"]}
+    attn["qkv_proj"] = {**attn["qkv_proj"], "kernel": stacked["wqkv"][i]}
+    attn["o_proj"] = {**attn["o_proj"], "kernel": stacked["wo"][i]}
+    mlp = {**layer["mlp"]}
+    wgu = stacked["wgu"][i]
+    if Ip != I:
+        wgu = jnp.concatenate([wgu[:, :I], wgu[:, Ip:Ip + I]], axis=-1)
+    mlp["gate_up_proj"] = {**mlp["gate_up_proj"], "kernel": wgu}
+    mlp["down_proj"] = {**mlp["down_proj"], "kernel": stacked["wdown"][i][:I]}
+    layer["attn"], layer["mlp"] = attn, mlp
+    return layer
+
+
+def write_prefill_window(scache: dict, i: int, mini: dict, col_start,
+                         slot_ids=None, n_slots: int = 0) -> dict:
+    """Write one layer's prefill window cache (model layout (R, Lp, KVH
+    [, Dh])) into the stacked h-major cache at columns [col_start,
+    col_start + Lp).
+
+    slot_ids=None: the window rows ARE the batch rows (engine prefill,
+    R == B). Otherwise rows scatter to `slot_ids` slots of the n_slots
+    batch; ids >= n_slots drop (continuous-batching dummy rows).
+
+    This is the write-through half of the fused-decode memory plan: the
+    per-layer (B, L) cache layout never exists at full (max_len x n_layers)
+    size — each layer's (R, Lp) window transposes (one ~100MB transient)
+    and lands in the donated stacked buffer immediately."""
+    def to_hmajor(a):  # (R, Lp, KVH[, Dh]) -> (KVH, R, Lp[, Dh])
+        perm = (2, 0, 1, 3) if a.ndim == 4 else (2, 0, 1)
+        return a.transpose(perm)
+
+    def put(glob, sub):
+        sub = to_hmajor(sub).astype(glob.dtype)[None]  # (1, KVH, R, Lp[, Dh])
+        Lp = sub.shape[3]
+        lead = (i, 0, 0, col_start) + (0,) * (glob.ndim - 4)
+        if slot_ids is None:
+            return jax.lax.dynamic_update_slice(glob, sub, lead)
+        size = (1,) + glob.shape[1:2] + (n_slots, Lp) + glob.shape[4:]
+        win = jax.lax.dynamic_slice(glob, lead, size)
+        win = win.at[:, :, slot_ids].set(sub, mode="drop")
+        return jax.lax.dynamic_update_slice(glob, win, lead)
+
+    return {
+        "k": put(scache["k"], mini["k"]),
+        "k_scale": put(scache["k_scale"], mini["k_scale"]),
+        "v": put(scache["v"], mini["v"]),
+        "v_scale": put(scache["v_scale"], mini["v_scale"]),
+    }
+
+
+def compact_stacked(scache: dict, shift) -> dict:
+    """Roll every cache column left by `shift` (continuous-batching
+    compaction), one layer at a time: a whole-array jnp.roll of a 4.8GB
+    donated buffer needs a second 4.8GB allocation; per-layer rolls bound
+    the transient to ~2 layer slices."""
+    n = scache["k"].shape[0]
+
+    def body(i, sc):
+        def roll_layer(a):
+            lead = (i,) + (0,) * (a.ndim - 1)
+            sl = jax.lax.dynamic_slice(a, lead, (1,) + a.shape[1:])
+            sl = jnp.roll(sl, -shift, axis=3)
+            return jax.lax.dynamic_update_slice(a, sl, lead)
+
+        return {k: roll_layer(v) for k, v in sc.items()}
+
+    return jax.lax.fori_loop(0, n, body, scache)
+
+
+def init_stacked_cache(cfg, batch: int, max_len: int) -> dict:
+    """Fresh all-zero stacked h-major int8 cache (the layout stack_cache
+    produces) — for engines that keep the cache stacked from the start."""
+    n, KVH, Dh = cfg.num_layers, cfg.num_kv_heads, cfg.head_size
+    return {
+        "k": jnp.zeros((n, KVH, batch, max_len, Dh), jnp.int8),
+        "k_scale": jnp.zeros((n, KVH, batch, max_len), jnp.float32),
+        "v": jnp.zeros((n, KVH, batch, max_len, Dh), jnp.int8),
+        "v_scale": jnp.zeros((n, KVH, batch, max_len), jnp.float32),
+    }
 
 
 def unstack_cache(stacked: dict):

@@ -25,6 +25,12 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
 def main():
+    fused = os.environ.get("BENCH7B_FUSED", "") == "1"
+    if fused:
+        # must precede backend init (libtpu parses its args once)
+        from rlaifv_tpu.ops.fused_decode import ensure_vmem_budget
+
+        ensure_vmem_budget()
     import jax
     import jax.numpy as jnp
 
@@ -39,8 +45,10 @@ def main():
     on_tpu = jax.devices()[0].platform == "tpu"
     tiny = os.environ.get("BENCH7B_TINY", "") == "1" or not on_tpu
     if tiny:
+        hw = (dict(hidden_size=256, intermediate_size=512, num_heads=2,
+                   num_kv_heads=2, head_dim=128) if fused else {})
         cfg = LlamaConfig.tiny(quantize=True, quantize_lm_head=False,
-                               kv_cache_dtype="int8", fuse_proj=True)
+                               kv_cache_dtype="int8", fuse_proj=True, **hw)
         N, slots, prompt_len, max_new = 6, 2, 16, 12
     else:
         fam = os.environ.get("BENCH7B_MODEL", "vicuna")
@@ -64,7 +72,8 @@ def main():
     params = jax.jit(model.init)(
         jax.random.PRNGKey(0), jnp.ones((1, 8), jnp.int32)
     )["params"]
-    engine = DecodeEngine(model, params, eos_id=-1, pad_id=0)
+    engine = DecodeEngine(model, params, eos_id=-1, pad_id=0,
+                          fused_decode=fused)
 
     rng = np.random.default_rng(0)
     prompts = [
@@ -98,7 +107,9 @@ def main():
         "vs_baseline": None,
         "detail": {
             "model": (f"{fam}-geometry int8 + fuse_proj + kv-int8 + "
-                      "continuous") if not tiny else "tiny-smoke",
+                      "continuous"
+                      + (" + fused-decode" if fused else ""))
+            if not tiny else "tiny-smoke",
             "n_prompts": N,
             "slots": slots,
             "prompt_len": prompt_len,

@@ -26,6 +26,12 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
 def main():
+    fused = os.environ.get("BENCH7B_FUSED", "") == "1"
+    if fused:
+        # must precede backend init (libtpu parses its args once)
+        from rlaifv_tpu.ops.fused_decode import ensure_vmem_budget
+
+        ensure_vmem_budget()
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
@@ -44,8 +50,15 @@ def main():
 
     if tiny:
         cfg = LlavaConfig.tiny()
+        llm_kw = dict(quantize=True, quantize_lm_head=False)
+        if fused:  # fused kernel needs fuse_proj + int8 KV + MHA, and
+            # hardware-legal lanes (head_dim 128) when the smoke lands on
+            # the real chip (the axon hook forces the TPU platform)
+            llm_kw.update(fuse_proj=True, kv_cache_dtype="int8",
+                          hidden_size=256, intermediate_size=512,
+                          num_heads=2, num_kv_heads=2, head_dim=128)
         cfg = LlavaConfig(
-            llm=LlamaConfig.tiny(quantize=True, quantize_lm_head=False),
+            llm=LlamaConfig.tiny(**llm_kw),
             vision=cfg.vision,
         )
         B, Lp = 2, 64
@@ -87,7 +100,7 @@ def main():
         image_starts=jnp.asarray(image_starts[:2]),
     )["params"]
 
-    engine = DecodeEngine(model, params)
+    engine = DecodeEngine(model, params, fused_decode=fused)
     mask = np.ones((B, Lp), np.int32)
     ids_d = jnp.asarray(ids)
     mask_d = jnp.asarray(mask)
@@ -129,7 +142,8 @@ def main():
         "detail": {
             "model": ("llava15-7b-geometry int8 (bf16 head)"
                       + (" fused-proj" if not tiny and fuse else "")
-                      + (" kv-int8" if not tiny and kvq else ""))
+                      + (" kv-int8" if not tiny and kvq else "")
+                      + (" fused-decode" if fused else ""))
             if not tiny else "tiny-smoke",
             "batch": B,
             "prompt_len": Lp,

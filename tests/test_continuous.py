@@ -263,3 +263,35 @@ def test_continuous_with_int8_kv_cache(tiny_lm):
     res = gen.run(prompts)
     ref_toks, ref_lens = _reference(engine, prompts, sp, max_new)
     _check(res, ref_toks, ref_lens, max_new)
+
+
+def test_continuous_fused_decode():
+    """Fused multi-layer decode under continuous batching: refills scatter
+    into the stacked h-major cache, compaction rolls its column axis, and
+    greedy tokens match the per-layer continuous engine exactly (CPU
+    interpret; hardware parity in run_tpu_checks/bench_7b_gen)."""
+    cfg = LlamaConfig.tiny(quantize=True, quantize_lm_head=False,
+                           fuse_proj=True, kv_cache_dtype="int8",
+                           num_kv_heads=4)
+    model = LlamaForCausalLM(cfg)
+    params = model.init(jax.random.PRNGKey(0), jnp.ones((1, 8), jnp.int32))[
+        "params"]
+    rng = np.random.default_rng(7)
+    prompts = [
+        list(map(int, rng.integers(5, cfg.vocab_size - 1, size=n)))
+        for n in (5, 9, 3, 7, 6)
+    ]
+    sp = SamplingParams.greedy()
+    max_new = 8
+    base = DecodeEngine(model, params)
+    want = ContinuousGenerator(
+        base, slots=2, chunk=2, max_new_tokens=max_new, sampling=sp,
+        prompt_bucket=8,
+    ).run(prompts)
+    fused = DecodeEngine(model, params, fused_decode=True)
+    got = ContinuousGenerator(
+        fused, slots=2, chunk=2, max_new_tokens=max_new, sampling=sp,
+        prompt_bucket=8,
+    ).run(prompts)
+    np.testing.assert_array_equal(got.tokens, want.tokens)
+    np.testing.assert_array_equal(got.lengths, want.lengths)

@@ -121,3 +121,39 @@ def test_sampling_reproducible(tiny_llava):
                          prompt_bucket=4)
     np.testing.assert_array_equal(r1.tokens, r2.tokens)
     assert not np.array_equal(r1.tokens, r3.tokens) or True  # may collide
+
+
+@pytest.mark.slow
+def test_fused_decode_engine_matches_per_layer():
+    """Engine with fused_decode=True reproduces the per-layer greedy tokens
+    (tiny MHA int8 fused-proj config; kernel runs in interpret on CPU)."""
+    from rlaifv_tpu.models.llama import LlamaConfig, LlamaForCausalLM
+
+    cfg = LlamaConfig.tiny(quantize=True, quantize_lm_head=False,
+                           fuse_proj=True, kv_cache_dtype="int8",
+                           num_kv_heads=4)
+    model = LlamaForCausalLM(cfg)
+    ids = jnp.ones((1, 8), jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), ids)["params"]
+
+    prompts = [[1, 7, 8, 9, 3], [1, 5, 6]]
+    kw = dict(sampling=SamplingParams.greedy(), max_new_tokens=6,
+              prompt_bucket=4)
+    base = DecodeEngine(model, params, eos_id=-1, pad_id=0)
+    want = base.generate(prompts, **kw)
+    fused = DecodeEngine(model, params, eos_id=-1, pad_id=0,
+                         fused_decode=True)
+    got = fused.generate(prompts, **kw)
+    np.testing.assert_array_equal(got.tokens, want.tokens)
+    np.testing.assert_array_equal(got.lengths, want.lengths)
+
+
+def test_fused_decode_engine_rejects_unsupported():
+    from rlaifv_tpu.models.llama import LlamaConfig, LlamaForCausalLM
+
+    cfg = LlamaConfig.tiny()  # no quantize / GQA
+    model = LlamaForCausalLM(cfg)
+    params = model.init(jax.random.PRNGKey(0), jnp.ones((1, 4), jnp.int32))[
+        "params"]
+    with pytest.raises(ValueError, match="fused_decode"):
+        DecodeEngine(model, params, fused_decode=True)
