@@ -150,22 +150,41 @@ def construct_question_yesno(path: str, save_path: str) -> List[dict]:
 
 def make_llama3_backend(model_path: str, *, temperature: float = 0.2,
                         top_p: float = 0.9, max_new_tokens: int = 256,
-                        continuous: bool = False, slots: int = 8):
-    """Converted Llama3-8B + jitted decode engine as the generate_fn."""
+                        continuous: bool = False, slots: int = 8,
+                        int8: bool = False, fused_decode: bool = False):
+    """Converted Llama3-8B + jitted decode engine as the generate_fn.
+
+    int8: weight-only int8 LLM + fused projections + int8 KV cache (the
+    single-chip 8B serving config). fused_decode additionally runs the
+    whole GQA layer stack as one Pallas kernel per token (implies int8)."""
     from transformers import AutoTokenizer
 
     from rlaifv_tpu.genai.engine import DecodeEngine
     from rlaifv_tpu.genai.sampling import SamplingParams
-    from rlaifv_tpu.models.convert import convert_llama, load_state_dict_dir
+    from rlaifv_tpu.models.convert import (
+        convert_llama,
+        fuse_llm_projections,
+        load_state_dict_dir,
+        quantize_llm_int8,
+    )
     from rlaifv_tpu.models.llama import LlamaConfig, LlamaForCausalLM
 
     tokenizer = AutoTokenizer.from_pretrained(model_path)
-    cfg = LlamaConfig.llama3_8b()
+    int8 = int8 or fused_decode
+    cfg = LlamaConfig.llama3_8b(
+        **(dict(quantize=True, quantize_lm_head=False, fuse_proj=True,
+                kv_cache_dtype="int8") if int8 else {})
+    )
     model = LlamaForCausalLM(cfg)
     params = convert_llama(load_state_dict_dir(model_path))
+    if int8:
+        params = fuse_llm_projections(
+            quantize_llm_int8(params, include_lm_head=False)
+        )
     eot = tokenizer.convert_tokens_to_ids("<|eot_id|>")
     engine = DecodeEngine(
-        model, params, eos_id=eot, pad_id=tokenizer.eos_token_id
+        model, params, eos_id=eot, pad_id=tokenizer.eos_token_id,
+        fused_decode=fused_decode,
     )
     sp = SamplingParams(temperature=temperature, top_p=top_p)
 

@@ -74,14 +74,15 @@ class DecodeEngine:
         self._fused_stacked = None
         if fused_decode:
             # one Pallas kernel walks the whole layer stack per decoded
-            # token (ops/fused_decode.py) — int8 fused-proj MHA models only
+            # token (ops/fused_decode.py) — int8 fused-proj models (MHA or
+            # GQA) with an int8 KV cache
             ok = (llm_cfg.quantize and llm_cfg.fuse_proj
                   and llm_cfg.kv_cache_dtype == "int8"
-                  and llm_cfg.num_heads == llm_cfg.num_kv_heads)
+                  and llm_cfg.num_heads % llm_cfg.num_kv_heads == 0)
             if not ok:
                 raise ValueError(
                     "fused_decode requires quantize + fuse_proj + int8 KV "
-                    "cache + MHA (num_heads == num_kv_heads)"
+                    "cache (num_heads must be a multiple of num_kv_heads)"
                 )
             from rlaifv_tpu.ops.fused_decode import (
                 stack_llama_params,
@@ -109,50 +110,20 @@ class DecodeEngine:
         layer's int8 KV straight into the stacked h-major cache (the
         write-through prefill: the per-layer cache layout never exists
         beyond one layer's (R, Lp) window, so prefill peak memory is
-        weights + ONE stacked cache, not two cache layouts).
+        weights + ONE stacked cache, not two cache layouts). Runs as one
+        lax.scan over the stacked weights — temps bounded to one layer's
+        (ops/fused_decode.py::stacked_prefill_tower, bit-identical to the
+        per-layer flax prefill).
 
         Returns (final hidden states (R, Lp, D) pre-ln_f, scache). Call
         inside jit with `scache` donated."""
-        from rlaifv_tpu.models.llama import rope_cos_sin
-        from rlaifv_tpu.ops.fused_decode import (
-            restore_layer_kernels,
-            write_prefill_window,
+        del params  # the layer stack reads only the stacked arrays
+        from rlaifv_tpu.ops.fused_decode import stacked_prefill_tower
+
+        return stacked_prefill_tower(
+            stacked, scache, embeds, mask, pos, self._llm_cfg(), col_start,
+            slot_ids=slot_ids, n_slots=n_slots,
         )
-
-        cfg = self._llm_cfg()
-        mm = self._multimodal
-        llm_params = params["llm"] if mm else params
-        R, Lp = mask.shape
-        KVH, Dh = cfg.num_kv_heads, cfg.head_size
-        cos, sin = rope_cos_sin(pos, Dh, cfg.rope_theta, cfg.dtype)
-
-        x = embeds
-        for i in range(cfg.num_layers):
-            layer = restore_layer_kernels(
-                llm_params["model"][f"layer_{i}"], stacked, i, cfg
-            )
-            tree = {"model": {f"layer_{i}": layer}}
-            if mm:
-                tree = {"llm": tree}
-            mini = {
-                "k": jnp.zeros((R, Lp, KVH, Dh), jnp.int8),
-                "k_scale": jnp.zeros((R, Lp, KVH), jnp.float32),
-                "v": jnp.zeros((R, Lp, KVH, Dh), jnp.int8),
-                "v_scale": jnp.zeros((R, Lp, KVH), jnp.float32),
-            }
-            if mm:
-                method = (lambda m, *a, idx=i:
-                          m.llm.model.blocks[idx](*a))
-            else:
-                method = lambda m, *a, idx=i: m.model.blocks[idx](*a)
-            x, mini = self.model.apply(
-                {"params": tree}, x, cos, sin, mask, mini, jnp.int32(0),
-                method=method,
-            )
-            scache = write_prefill_window(
-                scache, i, mini, col_start, slot_ids, n_slots
-            )
-        return x, scache
 
     def _embed_spliced(self, params, ids, images, image_starts,
                        span_features, span_starts):

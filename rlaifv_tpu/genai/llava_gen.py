@@ -62,15 +62,19 @@ class Llava15Generator:
     """Batched generation over a converted LLaVA-1.5 checkpoint."""
 
     def __init__(self, model, params, tokenizer, num_patches: int,
-                 image_size: int = 336, checkpoint_name: str = ""):
+                 image_size: int = 336, checkpoint_name: str = "",
+                 fused_decode: bool = False):
         self.model = model
         self.tokenizer = tokenizer
         self.num_patches = num_patches
         self.processor = ClipImageProcessor(image_size=image_size)
+        # fused_decode: whole-layer-stack Pallas decode kernel (needs an
+        # int8 fuse_proj checkpoint with int8 KV cache, ops/fused_decode.py)
         self.engine = DecodeEngine(
             model, params,
             eos_id=tokenizer.eos_token_id,
             pad_id=tokenizer.pad_token_id or 0,
+            fused_decode=fused_decode,
         )
         self.checkpoint_name = checkpoint_name
 

@@ -33,9 +33,13 @@ The fresh k/v never touch the cache inside the kernel: they are emitted
 as outputs and scattered by one XLA dynamic_update_slice over the stacked
 cache — so the kernel reads the cache strictly below `cache_index`.
 
-Requires cfg.quantize + cfg.fuse_proj + kv_cache_dtype="int8" and MHA
-(num_heads == num_kv_heads — vicuna-7B; GQA models keep the per-layer
-path). Activation quantization matches QuantDense (per-row symmetric) and
+Requires cfg.quantize + cfg.fuse_proj + kv_cache_dtype="int8". MHA
+(vicuna-7B) and GQA (llama3-8B, num_heads a multiple of num_kv_heads)
+both supported: attention state lives in (kv-head, batch, rep) row order
+so each cache block batches one matmul per kv row over all its rep q
+rows — no cache expansion; q reorders once per layer at rope time and
+back at finalize (identity reshapes under MHA).
+Activation quantization matches QuantDense (per-row symmetric) and
 attention matches decode_attention_prefix_int8 (quantize the small side;
 fold contracted-axis v scales into p).
 
@@ -243,7 +247,20 @@ def stack_llama_params(llm_params: dict, cfg, *, consume: bool = False) -> dict:
         }
 
     if consume:
-        return jax.jit(build, donate_argnums=(0,))(kernels, scales, ln)
+        out = jax.jit(build, donate_argnums=(0,))(kernels, scales, ln)
+        # donation can't alias here (many buffers -> one stacked array), and
+        # on some backends unaliased donated buffers stay alive as long as
+        # the CALLER still references them — a 7B int8 kernel set is 6.6GB
+        # of dead weight. Enforce the ownership transfer: materialize the
+        # stacked arrays, then delete the per-layer kernel buffers.
+        jax.block_until_ready(out)
+        for group in kernels:
+            for arr in group:
+                try:
+                    arr.delete()
+                except Exception:
+                    pass  # already deleted by a donation-honoring backend
+        return out
     return build(kernels, scales, ln)
 
 
@@ -281,26 +298,76 @@ def strip_llm_kernels(llm_params: dict, cfg) -> dict:
     return {**llm_params, "model": model}
 
 
-def restore_layer_kernels(layer_params: dict, stacked: dict, i: int,
-                          cfg) -> dict:
-    """Rebuild ONE layer's full param dict from the stacked arrays (unpads
-    the MLP). Call inside jit, per layer, as the prefill loop reaches layer
-    i — restoring all layers at once keeps every unpadding-concat copy
-    alive simultaneously."""
-    I = cfg.intermediate_size
-    Ip, _ = _pick_intermediate(I)
-    layer = {**layer_params}
-    attn = {**layer["attn"]}
-    attn["qkv_proj"] = {**attn["qkv_proj"], "kernel": stacked["wqkv"][i]}
-    attn["o_proj"] = {**attn["o_proj"], "kernel": stacked["wo"][i]}
-    mlp = {**layer["mlp"]}
-    wgu = stacked["wgu"][i]
-    if Ip != I:
-        wgu = jnp.concatenate([wgu[:, :I], wgu[:, Ip:Ip + I]], axis=-1)
-    mlp["gate_up_proj"] = {**mlp["gate_up_proj"], "kernel": wgu}
-    mlp["down_proj"] = {**mlp["down_proj"], "kernel": stacked["wdown"][i][:I]}
-    layer["attn"], layer["mlp"] = attn, mlp
-    return layer
+def stacked_prefill_tower(stacked, scache, embeds, mask, pos, cfg,
+                          col_start, slot_ids=None, n_slots: int = 0):
+    """Run a prompt window through the whole layer stack directly on the
+    STACKED weights under one lax.scan, writing each layer's int8 KV into
+    the stacked h-major cache at columns [col_start, col_start + Lp)
+    (write-through prefill; see write_prefill_window for slot scatter).
+
+    Bit-identical to the flax per-layer prefill: the same primitives run
+    with the same dtypes (int8_matmul_grad / QuantDense-fallback,
+    apply_rope, multi_head_attention, quantize_kv), and the zero-padded
+    MLP columns are exact — integer matmul contributions of zero rows are
+    zero, and padded gate/up columns produce silu(0)*0 = 0, without
+    changing the per-row activation quantization scales. vs the unrolled
+    restore-per-layer formulation this keeps HLO temps bounded to ONE
+    layer's (no 32x unpad-concat copies — the 7B serve prefill OOMed on
+    those) and compiles a single layer body.
+
+    Returns (final hidden states (R, Lp, D) pre-ln_f, scache)."""
+    from rlaifv_tpu.models.llama import apply_rope, rope_cos_sin
+    from rlaifv_tpu.ops.attention import multi_head_attention
+    from rlaifv_tpu.ops.decode_attention import quantize_kv
+
+    R, Lp = mask.shape
+    D, H, KVH, Dh = (cfg.hidden_size, cfg.num_heads, cfg.num_kv_heads,
+                     cfg.head_size)
+    Ip, _ = _pick_intermediate(cfg.intermediate_size)
+    eps = cfg.rms_norm_eps
+    cos, sin = rope_cos_sin(pos, Dh, cfg.rope_theta, cfg.dtype)
+
+    if jax.default_backend() == "tpu":
+        from rlaifv_tpu.ops.quant_matmul import int8_matmul_grad as _mm
+    else:
+        def _mm(x, w, s):  # QuantDense's CPU fallback, bit-for-bit
+            wd = w.astype(x.dtype) * s.astype(x.dtype)[None, :]
+            return x @ wd
+
+    def rms(x, scale):  # models.llama.RMSNorm, bit-for-bit
+        xf = x.astype(jnp.float32)
+        xf = xf * jax.lax.rsqrt(jnp.mean(xf * xf, -1, keepdims=True) + eps)
+        return (xf * scale.astype(jnp.float32)).astype(x.dtype)
+
+    def body(carry, wl):
+        x, sc, i = carry
+        xn = rms(x, wl["ln"][0])
+        qkv = _mm(xn, wl["wqkv"], wl["sqkv"][0])
+        q = qkv[..., : H * Dh].reshape(R, Lp, H, Dh)
+        k = qkv[..., H * Dh : (H + KVH) * Dh].reshape(R, Lp, KVH, Dh)
+        v = qkv[..., (H + KVH) * Dh :].reshape(R, Lp, KVH, Dh)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+        kq, ks = quantize_kv(k)
+        vq, vs = quantize_kv(v)
+        out = multi_head_attention(
+            q, k, v, attention_mask=mask, causal=True, q_offset=None,
+            impl=cfg.attn_impl,
+        ).reshape(R, Lp, H * Dh)
+        x = x + _mm(out, wl["wo"], wl["so"][0])
+        xn2 = rms(x, wl["ln"][1])
+        gu = _mm(xn2, wl["wgu"], wl["sgu"][0])
+        gate, up = gu[..., :Ip], gu[..., Ip:]
+        act = jax.nn.silu(gate) * up
+        x = x + _mm(act, wl["wdown"], wl["sdown"][0])
+        mini = {"k": kq, "k_scale": ks, "v": vq, "v_scale": vs}
+        sc = write_prefill_window(sc, i, mini, col_start, slot_ids, n_slots)
+        return (x, sc, i + 1), None
+
+    (x, scache, _), _ = jax.lax.scan(
+        body, (embeds, scache, jnp.int32(0)), stacked
+    )
+    return x, scache
 
 
 def write_prefill_window(scache: dict, i: int, mini: dict, col_start,
@@ -413,7 +480,9 @@ def _kernel(
 ):
     d = dims
     B = x_s.shape[0]
-    N = d.H * B  # == d.KVH * B (MHA)
+    N = d.H * B          # q rows, head-major (h*B + b)
+    n_rep = d.H // d.KVH
+    Nkv = d.KVH * B      # kv rows, kv-head-major (g*B + b)
     layer = pl.program_id(0)
     p = pl.program_id(1)
     chunks = d.bn_qkv // d.Dh
@@ -494,37 +563,50 @@ def _kernel(
         nks_ref[0] = ks.reshape(d.KVH, B, 1) * ones8
         nvs_ref[0] = vs.reshape(d.KVH, B, 1) * ones8
 
-        q8, qs = _quant_rows(q)
-        q8_s[:, 0, :] = q8
+        # attention state lives in (kv-head, batch, rep) row order so GQA
+        # cache blocks batch per kv row without expansion; reorder q once
+        # here and back at finalize (both identities when n_rep == 1)
+        q_gbj = q.reshape(d.KVH, n_rep, B, d.Dh).swapaxes(1, 2).reshape(
+            N, d.Dh
+        )
+        q8, qs = _quant_rows(q_gbj)
+        q8_s[...] = q8.reshape(Nkv, n_rep, d.Dh)
         qs_s[...] = qs
 
         # softmax init with the always-live fresh column
-        s_new = jnp.sum(q * k, axis=-1, keepdims=True) * scale  # (N, 1)
+        s_new = jnp.sum(
+            q_gbj.reshape(Nkv, n_rep, d.Dh) * k[:, None, :], axis=-1
+        ).reshape(N, 1) * scale
         m_s[...] = s_new
         l_s[...] = jnp.ones_like(s_new)
-        acc_s[...] = v
+        acc_s[...] = jnp.broadcast_to(
+            v[:, None, :], (Nkv, n_rep, d.Dh)
+        ).reshape(N, d.Dh)
 
     # ---------------- attention cache blocks
     il = p - d.att0
 
     @pl.when((p >= d.att0) & (p < d.att_fin) & (il < scalars_ref[0]))
     def _att():
-        kblk = kc_ref[0].reshape(N, d.bl, d.Dh)
-        vblk = vc_ref[0].reshape(N, d.bl, d.Dh)
-        ks = ksc_ref[0].reshape(N, d.bl)
-        vs = vsc_ref[0].reshape(N, d.bl)
+        kblk = kc_ref[0].reshape(Nkv, d.bl, d.Dh)
+        vblk = vc_ref[0].reshape(Nkv, d.bl, d.Dh)
+        ks = ksc_ref[0].reshape(Nkv, d.bl)
+        vs = vsc_ref[0].reshape(Nkv, d.bl)
 
         s3 = jax.lax.dot_general(
             q8_s[...], kblk,
             (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.int32,
-        )  # (N, 1, bl)
-        s = s3[:, 0, :].astype(jnp.float32) * qs_s[...] * ks * scale
+        )  # (Nkv, n_rep, bl) — per kv row, all its rep q rows at once
+        ks_r = jnp.broadcast_to(
+            ks[:, None, :], (Nkv, n_rep, d.bl)
+        ).reshape(N, d.bl)
+        s = s3.reshape(N, d.bl).astype(jnp.float32) * qs_s[...] * ks_r * scale
         # mask: engine validity AND strictly below cache_index (the fresh
         # column is handled separately; its cache slot is still unwritten)
         col = il * d.bl + jax.lax.broadcasted_iota(jnp.int32, (1, d.bl), 1)
         live = jnp.broadcast_to(
-            (mask_ref[...] != 0)[None], (d.H, B, d.bl)
+            (mask_ref[...] != 0)[None, :, None], (d.KVH, B, n_rep, d.bl)
         ).reshape(N, d.bl) & (col < scalars_ref[1])
         s = jnp.where(live, s, NEG_INF)
 
@@ -536,20 +618,28 @@ def _kernel(
         corr = jnp.exp(m_old - m_new)
         l_s[...] = l_s[...] * corr + jnp.sum(pmat, axis=1, keepdims=True)
 
-        pv = pmat * vs
+        vs_r = jnp.broadcast_to(
+            vs[:, None, :], (Nkv, n_rep, d.bl)
+        ).reshape(N, d.bl)
+        pv = pmat * vs_r
         p8, ps = _quant_rows(pv)
         accv = jax.lax.dot_general(
-            p8[:, None, :], vblk,
+            p8.reshape(Nkv, n_rep, d.bl), vblk,
             (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.int32,
-        )  # (N, 1, Dh)
-        acc_s[...] = acc_s[...] * corr + accv[:, 0, :].astype(jnp.float32) * ps
+        )  # (Nkv, n_rep, Dh)
+        acc_s[...] = (acc_s[...] * corr
+                      + accv.reshape(N, d.Dh).astype(jnp.float32) * ps)
         m_s[...] = m_new
 
     # ---------------- attention finalize: per-(head,row) quantization
     @pl.when(p == d.att_fin)
     def _fin():
-        out = acc_s[...] / jnp.maximum(l_s[...], 1e-30)  # (N, Dh)
+        out = acc_s[...] / jnp.maximum(l_s[...], 1e-30)  # (N, Dh) gbj order
+        # back to head-major rows for the per-head o contraction
+        out = out.reshape(d.KVH, B, n_rep, d.Dh).swapaxes(1, 2).reshape(
+            N, d.Dh
+        )
         a8, asc = _quant_rows(out)
         ao8_s[...] = a8
         aos_s[...] = asc
@@ -639,7 +729,7 @@ def fused_decode_step(
     (scatter_new_kv) and runs the final norm + lm_head on x_out.
     """
     d = dims
-    assert d.H == d.KVH, "fused decode kernel requires MHA (n_rep == 1)"
+    assert d.H % d.KVH == 0, "num_heads must be a multiple of num_kv_heads"
     B = x.shape[0]
     scale = 1.0 / (d.Dh ** 0.5)
 
@@ -743,13 +833,13 @@ def fused_decode_step(
             pltpu.VMEM((B, d.D), jnp.int8),           # x quantized
             pltpu.VMEM((B, 1), jnp.float32),          # x row scales
             pltpu.VMEM((N, d.Dh), jnp.float32),       # q (head-major rows)
-            pltpu.VMEM((N, d.Dh), jnp.float32),       # k fresh
-            pltpu.VMEM((N, d.Dh), jnp.float32),       # v fresh
-            pltpu.VMEM((N, 1, d.Dh), jnp.int8),       # q8
-            pltpu.VMEM((N, 1), jnp.float32),          # q scales
+            pltpu.VMEM((d.KVH * B, d.Dh), jnp.float32),  # k fresh
+            pltpu.VMEM((d.KVH * B, d.Dh), jnp.float32),  # v fresh
+            pltpu.VMEM((d.KVH * B, d.H // d.KVH, d.Dh), jnp.int8),  # q8 gbj
+            pltpu.VMEM((N, 1), jnp.float32),          # q scales (gbj order)
             pltpu.VMEM((N, 1), jnp.float32),          # m
             pltpu.VMEM((N, 1), jnp.float32),          # l
-            pltpu.VMEM((N, d.Dh), jnp.float32),       # acc
+            pltpu.VMEM((N, d.Dh), jnp.float32),       # acc (gbj order)
             pltpu.VMEM((N, d.Dh), jnp.int8),          # attnout int8
             pltpu.VMEM((N, 1), jnp.float32),          # attnout scales
             pltpu.VMEM((B, d.bi), jnp.float32),       # gate block

@@ -170,6 +170,12 @@ def main():
     ap.add_argument("--start", type=int, default=0)
     ap.add_argument("--end", type=int, default=-1)
     ap.add_argument("--sample-num", type=int, default=2)
+    ap.add_argument("--llm-int8", action="store_true",
+                    help="serve the Llama3-8B divide/changeq models "
+                         "weight-only int8 + fused proj + int8 KV cache")
+    ap.add_argument("--llm-fused-decode", action="store_true",
+                    help="decode Llama3-8B with the whole-layer-stack "
+                         "Pallas kernel (implies --llm-int8)")
     args = ap.parse_args()
 
     from transformers import AutoTokenizer
@@ -200,8 +206,10 @@ def main():
 
     out = run_pipeline(
         generator, labeler,
-        make_llama3_backend(args.divide_model),
-        make_llama3_backend(args.changeq_model),
+        make_llama3_backend(args.divide_model, int8=args.llm_int8,
+                            fused_decode=args.llm_fused_decode),
+        make_llama3_backend(args.changeq_model, int8=args.llm_int8,
+                            fused_decode=args.llm_fused_decode),
         args.ques_file, args.ans_dir,
         start=args.start, end=args.end, sample_num=args.sample_num,
     )

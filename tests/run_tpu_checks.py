@@ -177,47 +177,54 @@ def main():
         stack_llama_params,
     )
 
-    # hardware-legal tiny geometry (lane dims must be 128-multiples on the
-    # chip; the pytest tiny config's head_dim=16 only works in interpret)
-    hw = dict(quantize=True, quantize_lm_head=False, kv_cache_dtype="int8",
-              hidden_size=256, intermediate_size=512, num_heads=2,
-              num_kv_heads=2, head_dim=128)
-    cfg, model, params, cache, mask, tok, t = _setup_from(
-        LlamaConfig.tiny(fuse_proj=True, **hw), LlamaConfig.tiny(**hw)
-    )
-    B, L = mask.shape
-    mask_t = mask.at[:, t].set(1)
-    want_logits, _ = model.apply(
-        {"params": params}, tok[:, None],
-        attention_mask=mask_t,
-        position_ids=jnp.full((B, 1), t, jnp.int32),
-        cache=cache, cache_index=jnp.int32(t),
-    )
-    dims = default_dims(cfg, L)
-    stacked = stack_llama_params(params, cfg)
-    scache = stack_cache(cache)
-    x = model.apply({"params": params}, tok[:, None], method=model.embed)[:, 0]
-    x_out, new_kv = fused_decode_step(
-        stacked, scache, x, mask, jnp.full((B,), t, jnp.int32),
-        jnp.int32(t), dims, rope_theta=cfg.rope_theta,
-    )
-    scatter_new_kv(scache, new_kv, jnp.int32(t))  # exercises the scatter
-    normed = model.apply(
-        {"params": params}, x_out[:, None].astype(cfg.dtype),
-        method=lambda m, h: m.model.ln_f(h),
-    )
-    got_logits = model.apply({"params": params}, normed,
-                             method=lambda m, h: m.logits(h))
-    diff = float(jnp.abs(got_logits[:, 0].astype(jnp.float32)
-                         - want_logits[:, 0].astype(jnp.float32)).max())
-    top_ok = bool(
-        (jnp.argmax(got_logits[:, 0], -1) == jnp.argmax(want_logits[:, 0], -1))
-        .all()
-    )
-    ok = diff < 2e-2 and top_ok
-    failures += not ok
-    print(f"fused_decode: logits={diff:.2e} top1={top_ok} "
-          f"[{'OK' if ok else 'FAIL'}]")
+    # hardware-legal tiny geometries (lane dims must be 128-multiples on
+    # the chip; the pytest tiny config's head_dim=16 only works in
+    # interpret): MHA (vicuna-7B shape) and GQA (llama3-8B shape, n_rep=2)
+    for label, hw in (
+        ("mha", dict(hidden_size=256, intermediate_size=512, num_heads=2,
+                     num_kv_heads=2, head_dim=128)),
+        ("gqa", dict(hidden_size=512, intermediate_size=512, num_heads=4,
+                     num_kv_heads=2, head_dim=128)),
+    ):
+        hw = dict(quantize=True, quantize_lm_head=False,
+                  kv_cache_dtype="int8", **hw)
+        cfg, model, params, cache, mask, tok, t = _setup_from(
+            LlamaConfig.tiny(fuse_proj=True, **hw), LlamaConfig.tiny(**hw)
+        )
+        B, L = mask.shape
+        mask_t = mask.at[:, t].set(1)
+        want_logits, _ = model.apply(
+            {"params": params}, tok[:, None],
+            attention_mask=mask_t,
+            position_ids=jnp.full((B, 1), t, jnp.int32),
+            cache=cache, cache_index=jnp.int32(t),
+        )
+        dims = default_dims(cfg, L)
+        stacked = stack_llama_params(params, cfg)
+        scache = stack_cache(cache)
+        x = model.apply({"params": params}, tok[:, None],
+                        method=model.embed)[:, 0]
+        x_out, new_kv = fused_decode_step(
+            stacked, scache, x, mask, jnp.full((B,), t, jnp.int32),
+            jnp.int32(t), dims, rope_theta=cfg.rope_theta,
+        )
+        scatter_new_kv(scache, new_kv, jnp.int32(t))  # exercises the scatter
+        normed = model.apply(
+            {"params": params}, x_out[:, None].astype(cfg.dtype),
+            method=lambda m, h: m.model.ln_f(h),
+        )
+        got_logits = model.apply({"params": params}, normed,
+                                 method=lambda m, h: m.logits(h))
+        diff = float(jnp.abs(got_logits[:, 0].astype(jnp.float32)
+                             - want_logits[:, 0].astype(jnp.float32)).max())
+        top_ok = bool(
+            (jnp.argmax(got_logits[:, 0], -1)
+             == jnp.argmax(want_logits[:, 0], -1)).all()
+        )
+        ok = diff < 2e-2 and top_ok
+        failures += not ok
+        print(f"fused_decode[{label}]: logits={diff:.2e} top1={top_ok} "
+              f"[{'OK' if ok else 'FAIL'}]")
 
     print("TPU kernel checks:", "PASS" if failures == 0 else f"{failures} FAILURES")
     return 1 if failures else 0

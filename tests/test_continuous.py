@@ -265,14 +265,14 @@ def test_continuous_with_int8_kv_cache(tiny_lm):
     _check(res, ref_toks, ref_lens, max_new)
 
 
+@pytest.mark.slow
 def test_continuous_fused_decode():
     """Fused multi-layer decode under continuous batching: refills scatter
     into the stacked h-major cache, compaction rolls its column axis, and
     greedy tokens match the per-layer continuous engine exactly (CPU
     interpret; hardware parity in run_tpu_checks/bench_7b_gen)."""
     cfg = LlamaConfig.tiny(quantize=True, quantize_lm_head=False,
-                           fuse_proj=True, kv_cache_dtype="int8",
-                           num_kv_heads=4)
+                           fuse_proj=True, kv_cache_dtype="int8")  # GQA
     model = LlamaForCausalLM(cfg)
     params = model.init(jax.random.PRNGKey(0), jnp.ones((1, 8), jnp.int32))[
         "params"]

@@ -240,14 +240,57 @@ def _setup_I(intermediate):
     return _setup_from(cfg, base_cfg)
 
 
-def test_fused_decode_rejects_gqa():
+def test_fused_decode_gqa_matches_flax():
+    """GQA (tiny default: 4 heads, 2 kv heads) through the (kv-head,
+    batch, rep) attention ordering reproduces the per-layer flax step."""
+    cfg = LlamaConfig.tiny(quantize=True, quantize_lm_head=False,
+                           fuse_proj=True, kv_cache_dtype="int8")
+    base_cfg = LlamaConfig.tiny(quantize=True, quantize_lm_head=False,
+                                kv_cache_dtype="int8")
+    assert cfg.num_heads != cfg.num_kv_heads  # GQA actually exercised
+    cfg, model, params, cache, mask, tok, t = _setup_from(cfg, base_cfg)
+    B, L = mask.shape
+    mask_t = mask.at[:, t].set(1)
+    want_logits, _ = model.apply(
+        {"params": params}, tok[:, None],
+        attention_mask=mask_t,
+        position_ids=jnp.full((B, 1), t, jnp.int32),
+        cache=cache, cache_index=jnp.int32(t),
+    )
+    dims = default_dims(cfg, L)
+    stacked = stack_llama_params(params, cfg)
+    scache = stack_cache(cache)
+    x = model.apply({"params": params}, tok[:, None], method=model.embed)[:, 0]
+    x_out, _ = fused_decode_step(
+        stacked, scache, x, mask, jnp.full((B,), t, jnp.int32),
+        jnp.int32(t), dims, rope_theta=cfg.rope_theta, interpret=True,
+    )
+    normed = model.apply(
+        {"params": params}, x_out[:, None].astype(cfg.dtype),
+        method=lambda m, h: m.model.ln_f(h),
+    )
+    got_logits = model.apply({"params": params}, normed,
+                             method=lambda m, h: m.logits(h))
+    np.testing.assert_allclose(
+        np.asarray(got_logits[:, 0], np.float32),
+        np.asarray(want_logits[:, 0], np.float32),
+        rtol=2e-2, atol=2e-2,
+    )
+    np.testing.assert_array_equal(
+        np.argmax(np.asarray(got_logits[:, 0]), -1),
+        np.argmax(np.asarray(want_logits[:, 0]), -1),
+    )
+
+
+def test_fused_decode_rejects_ragged_heads():
     from rlaifv_tpu.ops.fused_decode import default_dims as dd
 
     cfg = LlamaConfig.tiny(quantize=True, fuse_proj=True,
-                           kv_cache_dtype="int8")  # GQA default
+                           kv_cache_dtype="int8", num_heads=4,
+                           num_kv_heads=3)
     dims = dd(cfg, 128)
     import jax.numpy as _jnp
-    with pytest.raises(AssertionError, match="MHA"):
+    with pytest.raises(AssertionError, match="multiple"):
         from rlaifv_tpu.ops.fused_decode import fused_decode_step as f
         f({}, {}, _jnp.zeros((2, cfg.hidden_size)), _jnp.zeros((2, 128)),
           _jnp.zeros((2,), _jnp.int32), 0, dims)
