@@ -64,6 +64,7 @@ def test_kto_collator_emits_per_side_images():
     assert np.isfinite(float(loss))
 
 
+@pytest.mark.slow
 def test_kto_path_uses_per_side_images():
     cfg = LlavaConfig.tiny()
     model = LlavaForCausalLM(cfg)

@@ -96,6 +96,7 @@ def test_beam_with_int8_kv_cache(lm):
     assert (beam3.lengths > 0).all()
 
 
+@pytest.mark.slow
 def test_beam_sample_reproducible_and_seed_varies(lm):
     """12B chat mode: beams combined with sampling (ref chat.py:98-112).
     Same seed -> identical sequences; different seeds -> different draws."""
@@ -118,6 +119,7 @@ def test_beam_sample_reproducible_and_seed_varies(lm):
     assert len(outs) > 1, "beam sampling never varied across seeds"
 
 
+@pytest.mark.slow
 def test_beam_sample_low_temperature_matches_greedy(lm):
     """As T -> 0 each beam's warped distribution collapses onto its argmax,
     so a single sampled beam must follow the greedy chain. (With K>1 the

@@ -107,6 +107,7 @@ def tiny_anyres_checkpoint(tmp_path_factory, tiny_checkpoint):
     return d
 
 
+@pytest.mark.slow
 def test_chat_anyres_end_to_end(tiny_anyres_checkpoint, tmp_path):
     from PIL import Image
 

@@ -95,7 +95,7 @@ def tiny_setup():
         # the base case compiles first (cold cache) and dominates the file's
         # wall time -> slow tier; the variants reuse most of the cache
         pytest.param({}, marks=pytest.mark.slow),
-        {"dpo_use_average": True},
+        pytest.param({"dpo_use_average": True}, marks=pytest.mark.slow),
         {"dpo_token_weighted": True},
         {"dpo_token_weighted": True, "dpo_use_average": True},
         {"sft_weight": 0.5},

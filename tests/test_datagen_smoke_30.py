@@ -9,6 +9,7 @@ import sys
 import zlib
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -42,6 +43,7 @@ def _fact_backend(n_facts=3):
     return gen, tmpl
 
 
+@pytest.mark.slow
 def test_30_item_pipeline_smoke(tmp_path, monkeypatch):
     monkeypatch.chdir(os.path.join(os.path.dirname(__file__), ".."))
     rows = read_jsonlines(QUES)

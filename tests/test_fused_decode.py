@@ -26,8 +26,8 @@ from rlaifv_tpu.ops.fused_decode import (
 
 
 def _setup(B=2, L=128, prompt_len=5):
-    # the fused kernel is MHA-only (vicuna-7B geometry); tiny() default
-    # is GQA, so pin kv heads = heads here
+    # MHA geometry (vicuna-7B shape); GQA covered by
+    # test_fused_decode_gqa_matches_flax
     cfg = LlamaConfig.tiny(quantize=True, quantize_lm_head=False,
                            fuse_proj=True, kv_cache_dtype="int8",
                            num_kv_heads=4)
@@ -139,6 +139,7 @@ def test_fused_decode_matches_flax():
             )
 
 
+@pytest.mark.slow
 def test_fused_decode_multi_step_greedy():
     """Three consecutive fused steps reproduce the flax greedy tokens."""
     cfg, model, params, cache, mask, tok, t = _setup()

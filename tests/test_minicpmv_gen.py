@@ -52,6 +52,7 @@ def test_autocheck_with_slicing(gen):
         assert r["model_path"] == "tiny"
 
 
+@pytest.mark.slow
 def test_diverse_gen(gen):
     cfg, g = gen
     rows = g.diverse_gen(_items(2), max_new_tokens=3, batch_size=2)

@@ -59,6 +59,7 @@ def test_tp_serving_matches_single_device():
     )
 
 
+@pytest.mark.slow
 def test_tp_continuous_serving_matches_single_device():
     """Slot-refill continuous batching composes with the tp mesh."""
     cfg = LlamaConfig.tiny()
@@ -104,6 +105,7 @@ def test_tp_beam_serving_matches_single_device():
     np.testing.assert_array_equal(got.lengths, want.lengths)
 
 
+@pytest.mark.slow
 def test_tp_multimodal_serving_matches_single_device():
     """LLaVA engine (vision tower + projector + splice) under the tp mesh:
     the PARAM_RULES cover the CLIP fc1/fc2/attention kernels too."""
