@@ -60,11 +60,17 @@ def main():
             dtype=jnp.bfloat16, param_dtype=jnp.bfloat16,
         )
         N = int(os.environ.get("BENCH7B_N", 32))
-        # llama3-8b (divide/changeq geometry) has GQA kv=8 (cache 4x
-        # smaller), but its 14336-wide MLP makes refill-prefill
-        # intermediates the binding constraint: 20 slots fits, 32 OOMs
+        # slots defaults = measured sweet spots. Per-layer path: llama3
+        # (GQA kv=8, cache 4x smaller) fits 20, 32 OOMs on refill-prefill
+        # intermediates; vicuna fits 12. Fused decode keeps ONE weight
+        # layout and scans the prefill (temps bounded to one layer), which
+        # buys vicuna 16 slots (435.9 vs 385.7 tok/s; 20 OOMs).
+        # Fused + GQA's small cache fits 32 slots for llama3 (5.67 vs
+        # 4.85 samples/s at N=32).
         slots = int(os.environ.get(
-            "BENCH7B_SLOTS", 20 if fam == "llama3" else 12
+            "BENCH7B_SLOTS",
+            ((32 if fused else 20) if fam == "llama3"
+             else (16 if fused else 12)),
         ))
         prompt_len, max_new = (512 if fam == "llama3" else 640), 256
 

@@ -99,8 +99,11 @@ def main():
     fsdp = n_devices // (dp * tp)
     mesh = create_mesh(dp=dp, fsdp=fsdp, tp=tp)
 
-    seq_len = 1024
-    n_pairs = 8
+    # BASELINE's recipe is seq 2048 (llava15_train.sh:38); 1024 keeps the
+    # default AOT compile fast on this 1-vCPU host — set BENCH7B_SEQ=2048
+    # for the exact reference geometry
+    seq_len = int(os.environ.get("BENCH7B_SEQ", 1024))
+    n_pairs = int(os.environ.get("BENCH7B_PAIRS", 8))
     compact_len = 320
     hp = DPOHparams(beta=0.1, lm_head_impl="compact", compact_len=compact_len)
 
