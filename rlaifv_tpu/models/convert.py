@@ -595,6 +595,38 @@ def quantize_llm_int8(llm_params: Tree, include_lm_head: bool = True) -> Tree:
     return walk(llm_params, "")
 
 
+_VISION_QUANT = re.compile(
+    r"^(qkv|q_proj|k_proj|v_proj|proj|out_proj|w1|w2|w3|fc1|fc2)$"
+)
+
+
+def quantize_vision_int8(params: Tree) -> Tree:
+    """Weight-only int8 for ViT projection/MLP kernels (EVA02/CLIP/SigLIP
+    naming). Matches QuantDense(use_bias=...) layout: {kernel: int8,
+    scale: f32 per-out-channel[, bias: float]}. Patch-embed convs,
+    norms, cls/pos embeds stay float. EVA02-enormous: 8.8G bf16 -> 4.4G,
+    the enabler for 12B OmniLMM serving on one 16G chip next to its int8
+    LM (ref runs the 12B labeler on A100-80G, omnilmm_autocheck.sh)."""
+    from rlaifv_tpu.models.llama import quantize_kernel_int8
+
+    def walk(node, name):
+        if isinstance(node, dict):
+            if (
+                _VISION_QUANT.match(name or "")
+                and "kernel" in node
+                and np.ndim(node["kernel"]) == 2
+            ):
+                q, s = quantize_kernel_int8(node["kernel"])
+                out = {"kernel": q, "scale": s}
+                if "bias" in node:
+                    out["bias"] = node["bias"]
+                return out
+            return {k: walk(v, k) for k, v in node.items()}
+        return node
+
+    return walk(params, "")
+
+
 def fuse_llm_projections(llm_params: Tree) -> Tree:
     """Rewrite a Llama param tree for LlamaConfig.fuse_proj: q/k/v kernels
     concat into qkv_proj, gate/up into gate_up_proj (out axis). Works on

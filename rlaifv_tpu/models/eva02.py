@@ -49,6 +49,9 @@ class EvaConfig:
     use_post_norm: bool = False
     ln_eps: float = 1e-6
     num_prefix_tokens: int = 1  # cls token
+    quantize: bool = False  # weight-only int8 projections (QuantDense):
+    # EVA02-enormous bf16 is 8.8G — int8 (4.4G) is what lets the 12B
+    # OmniLMM serve next to its int8 LM on one 16G chip
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
 
@@ -70,6 +73,16 @@ class EvaConfig:
         return EvaConfig(**base)
 
 
+def _dense(features: int, use_bias: bool, cfg: EvaConfig, name: str):
+    if cfg.quantize:
+        from rlaifv_tpu.models.llama import QuantDense
+
+        return QuantDense(features, dtype=cfg.dtype, use_bias=use_bias,
+                          param_dtype=cfg.param_dtype, name=name)
+    return nn.Dense(features, use_bias=use_bias, dtype=cfg.dtype,
+                    param_dtype=cfg.param_dtype, name=name)
+
+
 class EvaAttention(nn.Module):
     cfg: EvaConfig
 
@@ -81,19 +94,13 @@ class EvaAttention(nn.Module):
         hd = D // H
 
         if cfg.qkv_fused:
-            qkv = nn.Dense(
-                3 * D, use_bias=True, dtype=cfg.dtype,
-                param_dtype=cfg.param_dtype, name="qkv",
-            )(x)
+            qkv = _dense(3 * D, True, cfg, "qkv")(x)
             q, k, v = jnp.split(qkv, 3, axis=-1)
         else:
             # EVA02 convention: q/v have bias, k does not
-            q = nn.Dense(D, use_bias=True, dtype=cfg.dtype,
-                         param_dtype=cfg.param_dtype, name="q_proj")(x)
-            k = nn.Dense(D, use_bias=False, dtype=cfg.dtype,
-                         param_dtype=cfg.param_dtype, name="k_proj")(x)
-            v = nn.Dense(D, use_bias=True, dtype=cfg.dtype,
-                         param_dtype=cfg.param_dtype, name="v_proj")(x)
+            q = _dense(D, True, cfg, "q_proj")(x)
+            k = _dense(D, False, cfg, "k_proj")(x)
+            v = _dense(D, True, cfg, "v_proj")(x)
 
         q = q.reshape(B, L, H, hd)
         k = k.reshape(B, L, H, hd)
@@ -120,10 +127,7 @@ class EvaAttention(nn.Module):
         out = jnp.einsum(
             "bhqk,bkhd->bqhd", probs, v, preferred_element_type=jnp.float32
         ).reshape(B, L, D).astype(cfg.dtype)
-        return nn.Dense(
-            D, use_bias=True, dtype=cfg.dtype, param_dtype=cfg.param_dtype,
-            name="proj",
-        )(out)
+        return _dense(D, True, cfg, "proj")(out)
 
 
 class EvaMlp(nn.Module):
@@ -133,21 +137,16 @@ class EvaMlp(nn.Module):
     def __call__(self, x: Array) -> Array:
         cfg = self.cfg
         if cfg.use_swiglu:
-            gate = nn.Dense(cfg.mlp_hidden, dtype=cfg.dtype,
-                            param_dtype=cfg.param_dtype, name="w1")(x)
-            up = nn.Dense(cfg.mlp_hidden, dtype=cfg.dtype,
-                          param_dtype=cfg.param_dtype, name="w2")(x)
+            gate = _dense(cfg.mlp_hidden, True, cfg, "w1")(x)
+            up = _dense(cfg.mlp_hidden, True, cfg, "w2")(x)
             h = nn.silu(gate) * up
             if cfg.subln:
                 h = nn.LayerNorm(epsilon=cfg.ln_eps, dtype=cfg.dtype,
                                  param_dtype=cfg.param_dtype, name="ffn_ln")(h)
-            return nn.Dense(cfg.embed_dim, dtype=cfg.dtype,
-                            param_dtype=cfg.param_dtype, name="w3")(h)
-        h = nn.Dense(cfg.mlp_hidden, dtype=cfg.dtype,
-                     param_dtype=cfg.param_dtype, name="fc1")(x)
+            return _dense(cfg.embed_dim, True, cfg, "w3")(h)
+        h = _dense(cfg.mlp_hidden, True, cfg, "fc1")(x)
         h = nn.gelu(h, approximate=False)
-        return nn.Dense(cfg.embed_dim, dtype=cfg.dtype,
-                        param_dtype=cfg.param_dtype, name="fc2")(h)
+        return _dense(cfg.embed_dim, True, cfg, "fc2")(h)
 
 
 class EvaBlock(nn.Module):

@@ -203,6 +203,8 @@ class QuantDense(nn.Module):
 
     features: int
     dtype: Any = jnp.bfloat16
+    use_bias: bool = False  # vision towers (EVA02/CLIP) use biased Dense
+    param_dtype: Any = jnp.float32  # bias dtype only; kernel is int8
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
@@ -235,6 +237,12 @@ class QuantDense(nn.Module):
             a = self.get_variable("lora", "a").astype(self.dtype)
             b = self.get_variable("lora", "b").astype(self.dtype)
             y = y + (x @ a) @ b
+        if self.use_bias:
+            bias = self.param(
+                "bias", nn.initializers.zeros_init(),
+                (self.features,), self.param_dtype,
+            )
+            y = y + bias.astype(self.dtype)
         return y
 
 

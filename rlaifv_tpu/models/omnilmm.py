@@ -60,6 +60,24 @@ class OmniLMMConfig:
         )
 
     @staticmethod
+    def omnilmm_12b_int8(dtype=jnp.bfloat16,
+                         param_dtype=jnp.bfloat16) -> "OmniLMMConfig":
+        """Single-chip 12B serving: int8 LM + int8 KV cache + int8 EVA
+        tower (4.4G instead of 8.8G — bf16 12B cannot load on 16G at
+        all; the reference labels with this model on A100-80G,
+        script/data_gen/omnilmm/omnilmm_autocheck.sh)."""
+        return OmniLMMConfig(
+            llm=LlamaConfig.mistral_7b(
+                dtype=dtype, param_dtype=param_dtype, quantize=True,
+                quantize_lm_head=False, kv_cache_dtype="int8",
+            ),
+            vision=EvaConfig.enormous(
+                dtype=dtype, param_dtype=param_dtype, quantize=True,
+            ),
+            num_query=64,
+        )
+
+    @staticmethod
     def tiny(**kw) -> "OmniLMMConfig":
         return OmniLMMConfig(
             llm=LlamaConfig.tiny(num_kv_heads=2),

@@ -90,3 +90,96 @@ def test_omni_preprocess_generation_prompt():
     out = omni_preprocess([source], tok, generation=True)
     text = tok.decode(out["input_ids"][0])
     assert text.rstrip().endswith("<|assistant|>")
+
+
+def test_int8_vision_tower_close_to_float():
+    """quantize_vision_int8 + EvaConfig(quantize=True): the int8 tower
+    tracks the float tower within weight-quantization error, biases kept."""
+    import dataclasses
+
+    from rlaifv_tpu.models.convert import quantize_vision_int8
+    from rlaifv_tpu.models.eva02 import EvaConfig, EvaVisionTower
+
+    cfg = EvaConfig.tiny()
+    tower = EvaVisionTower(cfg)
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.standard_normal((2, 28, 28, 3)), jnp.float32)
+    params = tower.init(jax.random.PRNGKey(0), img)["params"]
+    params = jax.tree.map(lambda a: a * 2.0, params)
+
+    qparams = quantize_vision_int8(jax.tree.map(np.asarray, params))
+    qtower = EvaVisionTower(dataclasses.replace(cfg, quantize=True))
+    got = qtower.apply({"params": jax.tree.map(jnp.asarray, qparams)}, img)
+
+    # exact spec: the int8 path equals a float tower running the
+    # DEQUANTIZED weights (per-layer quantization error is a modeling
+    # choice; the dequantized-weight equivalence is what must hold)
+    def dequant(node, name=""):
+        if isinstance(node, dict):
+            if "scale" in node and isinstance(node.get("kernel"), np.ndarray) \
+                    and node["kernel"].dtype == np.int8:
+                out = {"kernel": node["kernel"].astype(np.float32)
+                       * node["scale"][None, :]}
+                if "bias" in node:
+                    out["bias"] = node["bias"]
+                return out
+            return {k: dequant(v, k) for k, v in node.items()}
+        return node
+
+    want = tower.apply(
+        {"params": jax.tree.map(jnp.asarray, dequant(qparams))}, img
+    )
+    assert got.shape == want.shape
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4
+    )
+    # biases survived quantization (qkv has one, k_proj path unused here)
+    assert "bias" in qparams["block_0"]["attn"]["qkv"]
+    assert qparams["block_0"]["attn"]["qkv"]["kernel"].dtype == np.int8
+
+
+def test_omnilmm_int8_serving_engine():
+    """Full OmniLMM int8 serving config (int8 LM + int8 KV + int8 tower)
+    drives the decode engine end-to-end at tiny geometry."""
+    import dataclasses
+
+    from rlaifv_tpu.genai.engine import DecodeEngine
+    from rlaifv_tpu.genai.sampling import SamplingParams
+    from rlaifv_tpu.models.convert import quantize_llm_int8, quantize_vision_int8
+    from rlaifv_tpu.models.eva02 import EvaConfig
+    from rlaifv_tpu.models.llama import LlamaConfig
+    from rlaifv_tpu.models.omnilmm import OmniLMMConfig, OmniLMMForCausalLM
+
+    cfg = OmniLMMConfig.tiny()
+    model = OmniLMMForCausalLM(cfg)
+    T = cfg.num_image_tokens
+    ids = jnp.ones((1, T + 6), jnp.int32)
+    img = jnp.zeros((1, 28, 28, 3))
+    params = model.init(jax.random.PRNGKey(0), ids, images=img,
+                        image_starts=jnp.asarray([1]))["params"]
+
+    qcfg = OmniLMMConfig(
+        llm=dataclasses.replace(cfg.llm, quantize=True,
+                                quantize_lm_head=False,
+                                kv_cache_dtype="int8"),
+        vision=dataclasses.replace(cfg.vision, quantize=True),
+        num_query=cfg.num_query,
+    )
+    qparams = {
+        "llm": quantize_llm_int8(params["llm"], include_lm_head=False),
+        "vision_tower": quantize_vision_int8(
+            jax.tree.map(np.asarray, params["vision_tower"])
+        ),
+        "resampler": params["resampler"],
+    }
+    qmodel = OmniLMMForCausalLM(qcfg)
+    engine = DecodeEngine(qmodel, jax.tree.map(jnp.asarray, qparams),
+                          eos_id=-1, pad_id=0)
+    prompts = [[3] + [0] * T + [5, 7], [2] + [0] * T + [9]]
+    images = np.zeros((2, 28, 28, 3), np.float32)
+    res = engine.generate(
+        prompts, images=images, image_starts=[1, 1],
+        sampling=SamplingParams.greedy(), max_new_tokens=4, prompt_bucket=8,
+    )
+    assert res.tokens.shape == (2, 4)
+    assert np.isfinite(np.asarray(res.first_logits, np.float32)).all()
