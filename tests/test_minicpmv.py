@@ -134,3 +134,46 @@ def test_minicpmv_tiny_forward():
     )
     assert logits.shape == (B, L, cfg.llm.vocab_size)
     assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_minicpmv_int8_serving_engine():
+    """Int8 LM + int8 KV single-chip serving config drives the span-splice
+    engine end-to-end at tiny geometry (the 2.5 labeler path)."""
+    import dataclasses
+
+    from rlaifv_tpu.genai.engine import DecodeEngine
+    from rlaifv_tpu.genai.sampling import SamplingParams
+    from rlaifv_tpu.models.convert import quantize_llm_int8
+    from rlaifv_tpu.models.minicpmv import MiniCPMVConfig, MiniCPMVForCausalLM
+
+    base = MiniCPMVConfig.tiny()
+    cfg = dataclasses.replace(
+        base,
+        llm=dataclasses.replace(base.llm, quantize=True,
+                                quantize_lm_head=False,
+                                kv_cache_dtype="int8"),
+    )
+    fmodel = MiniCPMVForCausalLM(base)
+    B, S, Q = 2, 2, base.query_num
+    ids = np.full((B, 2 * Q + 6), 3, np.int32)
+    starts = np.asarray([[1, 1 + Q], [1, -1]], np.int32)
+    lm_params = fmodel.init(
+        jax.random.PRNGKey(0), jnp.asarray(ids),
+        span_features=jnp.zeros((B, S, Q, base.llm.hidden_size)),
+        span_starts=jnp.asarray(starts),
+    )["params"]
+    qparams = {**lm_params, "llm": quantize_llm_int8(
+        lm_params["llm"], include_lm_head=False)}
+
+    model = MiniCPMVForCausalLM(cfg)
+    engine = DecodeEngine(model, jax.tree.map(jnp.asarray, qparams),
+                          eos_id=-1, pad_id=0)
+    spans = np.random.default_rng(0).normal(
+        size=(B, S, Q, base.llm.hidden_size)).astype(np.float32)
+    res = engine.generate(
+        [list(map(int, r)) for r in ids],
+        span_features=spans, span_starts=starts,
+        sampling=SamplingParams.greedy(), max_new_tokens=3, prompt_bucket=8,
+    )
+    assert res.tokens.shape == (B, 3)
+    assert np.isfinite(np.asarray(res.first_logits, np.float32)).all()
