@@ -153,7 +153,9 @@ class RLAIFVChat:
         if "12B" in model_path:
             from rlaifv_tpu.genai.omni_gen import OmniLMMChat  # noqa: F401
 
-            self.model = OmniLMMChat(model_path)
+            # --load-8bit => the single-chip 12B config (int8 both towers
+            # + int8 KV); bf16 12B needs a bigger device
+            self.model = OmniLMMChat(model_path, int8=load_8bit)
         elif "minicpm" in model_path.lower():
             # framework extension: the reference chat.py stops at 7B/12B;
             # MiniCPM-Llama3-V 2.5 rides the same API here

@@ -197,17 +197,35 @@ class OmniLMMChat:
     T 0.6 / top-k 30 / top-p 0.9 / repetition 1.1, max 1024."""
 
     def __init__(self, model_path: str, *, tokenizer=None,
-                 max_new_tokens: int = 1024, image_size: int = 448):
+                 max_new_tokens: int = 1024, image_size: int = 448,
+                 int8: bool = False):
         from rlaifv_tpu.models.convert import (
             convert_omnilmm,
             load_state_dict_dir,
             omnilmm_config_from_hf,
+            quantize_llm_int8,
+            quantize_vision_int8,
         )
         from rlaifv_tpu.models.omnilmm import OmniLMMForCausalLM
 
-        cfg = omnilmm_config_from_hf(model_path)
+        # int8: the single-chip 12B serving config — weight-only int8 on
+        # BOTH towers + int8 KV cache (bf16 12B cannot load on 16G;
+        # scripts/bench_12b_serve.py measures this path at full geometry)
+        overrides = (dict(
+            llm=dict(quantize=True, quantize_lm_head=False,
+                     kv_cache_dtype="int8"),
+            vision=dict(quantize=True),
+        ) if int8 else {})
+        cfg = omnilmm_config_from_hf(model_path, **overrides)
         model = OmniLMMForCausalLM(cfg)
         params = convert_omnilmm(load_state_dict_dir(model_path))
+        if int8:
+            params = {
+                **params,
+                "llm": quantize_llm_int8(params["llm"],
+                                         include_lm_head=False),
+                "vision_tower": quantize_vision_int8(params["vision_tower"]),
+            }
         if tokenizer is None:
             from transformers import AutoTokenizer
 

@@ -75,8 +75,8 @@ def test_omni_diverse_gen(omni_gen):
     assert len(rows) == 2 and all("answer" in r for r in rows)
 
 
-def test_omnilmm_chat_from_checkpoint(tmp_path):
-    """OmniLMMChat end-to-end from a real-format checkpoint directory
+def _write_tiny_omni_checkpoint(tmp_path):
+    """Write a tiny real-format OmniLMM checkpoint directory
     (Mistral LM + timm-style EVA tower + resampler tensors)."""
     import json
     import torch
@@ -155,9 +155,16 @@ def test_omnilmm_chat_from_checkpoint(tmp_path):
     }
     with open(os.path.join(d, "config.json"), "w") as f:
         json.dump(cfg_json, f)
+    return d
 
+
+def test_omnilmm_chat_from_checkpoint(tmp_path):
+    """OmniLMMChat end-to-end from a real-format checkpoint directory."""
     from rlaifv_tpu.genai.omni_gen import OmniLMMChat
+    from rlaifv_tpu.models.eva02 import EvaConfig
 
+    d = _write_tiny_omni_checkpoint(tmp_path)
+    ecfg = EvaConfig.tiny(embed_dim=32)
     m = OmniLMMChat(d, tokenizer=FakeTokenizer(), max_new_tokens=5,
                     image_size=ecfg.image_size)
     m.gen.engine.eos_id = -1  # random weights: force a full tiny decode
@@ -172,3 +179,24 @@ def test_omnilmm_chat_from_checkpoint(tmp_path):
         sampling=SamplingParams.chat_12b(), max_new_tokens=5, batch_size=1,
     )
     assert len(rows) == 1 and rows[0][2].shape[-1] == 64  # vocab logits
+
+
+@pytest.mark.slow
+def test_omnilmm_chat_int8_from_checkpoint(tmp_path):
+    """OmniLMMChat(int8=True): the single-chip 12B serving path — both
+    towers quantized at load — chats end-to-end from a real-format dir."""
+    d = _write_tiny_omni_checkpoint(tmp_path)
+    from rlaifv_tpu.genai.omni_gen import OmniLMMChat
+    from rlaifv_tpu.models.eva02 import EvaConfig
+
+    ecfg = EvaConfig.tiny(embed_dim=32)
+    m = OmniLMMChat(d, tokenizer=FakeTokenizer(),
+                    max_new_tokens=4, image_size=ecfg.image_size, int8=True)
+    assert m.gen.engine._llm_cfg().quantize
+    assert m.gen.engine._llm_cfg().kv_cache_dtype == "int8"
+    m.gen.engine.eos_id = -1
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 255, size=(ecfg.image_size, ecfg.image_size, 3),
+                       dtype=np.uint8)
+    out = m.chat({"question": "What do you see?", "image": img})
+    assert isinstance(out, str)
