@@ -22,6 +22,7 @@ existing design should win outright.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -197,23 +198,74 @@ def int8_matmul_dx(
     return out.reshape(batch_shape + (K,))
 
 
+# Row-count crossover between the two int8 strategies (A/B-measured on v5e
+# end-to-end, not from isolated microbenches — those mislead here): the
+# Pallas kernel (activations quantized per row stripe, int8 MXU path,
+# weights never dequantized outside VMEM) wins when the op is
+# weight-bandwidth-bound — decode steps, M = batch <= 32, inside the token
+# while_loop where XLA dequant would rebuild every layer's bf16 weights per
+# token (measured 21x slower). At prefill/training shapes (M >= 128,
+# compute-bound, straight-line) a plain matmul against the XLA-fused
+# dequant is slightly faster (7B QLoRA step 2499.9 vs 2575.9 ms; autocheck
+# 11.1 vs 10.7 facts/s) and strictly more accurate: exact per-channel
+# dequant, no activation quantization. One layer's bf16 weight temp lives
+# at a time (~100-200M at 7B).
+INT8_DEQUANT_MIN_M = int(os.environ.get("RLAIFV_INT8_DEQUANT_MIN_M", "128"))
+
+
+def _dequant_matmul(x: Array, q: Array, scale: Array) -> Array:
+    """x @ (q * scale) with the dequant left to XLA (compute-bound shapes).
+
+    Same formula as QuantDense's CPU fallback, bit-for-bit."""
+    w = q.astype(x.dtype) * scale.astype(x.dtype)[None, :]
+    return jax.lax.dot_general(x, w, (((x.ndim - 1,), (0,)), ((), ())))
+
+
+def _dequant_matmul_dx(dy: Array, q: Array, scale: Array) -> Array:
+    """(dy * scale) @ q^T via XLA dequant (large-M backward)."""
+    w = q.astype(dy.dtype) * scale.astype(dy.dtype)[None, :]
+    return jax.lax.dot_general(
+        dy, w, (((dy.ndim - 1,), (1,)), ((), ()))
+    )
+
+
 @jax.custom_vjp
 def int8_matmul_grad(x: Array, q: Array, scale: Array) -> Array:
-    """int8_matmul with a backward pass w.r.t. x only (the int8 weight is
-    frozen by construction — QLoRA-style training: adapters learn, base
-    doesn't). dq/dscale cotangents are symbolic zeros."""
+    """Shape-dispatched int8-weight matmul with a backward pass w.r.t. x
+    only (the int8 weight is frozen by construction — QLoRA-style training:
+    adapters learn, base doesn't). dq/dscale cotangents are symbolic zeros.
+
+    Decode shapes (rows < INT8_DEQUANT_MIN_M) use the Pallas kernel;
+    prefill/training shapes use the XLA-dequant matmul (see the crossover
+    note above). Dispatch is static at trace time, so a decode while_loop
+    and a prefill call each compile exactly one strategy."""
+    return _int8_matmul_fwd_dispatch(x, q, scale)
+
+
+def _int8_matmul_fwd_dispatch(x, q, scale):
+    m = 1
+    for d in x.shape[:-1]:
+        m *= d
+    if m >= INT8_DEQUANT_MIN_M and jax.default_backend() == "tpu":
+        return _dequant_matmul(x, q, scale)
     return int8_matmul(x, q, scale)
 
 
 def _grad_fwd(x, q, scale):
-    return int8_matmul(x, q, scale), (q, scale)
+    return _int8_matmul_fwd_dispatch(x, q, scale), (q, scale)
 
 
 def _grad_bwd(res, dy):
     import numpy as np
 
     q, scale = res
-    dx = int8_matmul_dx(dy, q, scale)
+    m = 1
+    for d in dy.shape[:-1]:
+        m *= d
+    if m >= INT8_DEQUANT_MIN_M and jax.default_backend() == "tpu":
+        dx = _dequant_matmul_dx(dy, q, scale)
+    else:
+        dx = int8_matmul_dx(dy, q, scale)
     return (
         dx,
         np.zeros(q.shape, dtype=jax.dtypes.float0),

@@ -18,6 +18,14 @@ Kinds:
                fixed prompt + synthetic image
   clip_hf    — HF CLIPVisionModel layer -2 patch features for a synthetic
                image batch (ref clip_encoder.py:36-58 feature select)
+  siglip_hf  — HF SiglipVisionModel last_hidden_state (MiniCPM-V 2.5 vpm
+               tower contract)
+  omnilmm_hf — OmniLMM-12B remote code: EVA02+resampler vision embedding
+               (ref omnilmm/model/omnilmm.py:107) + text logits when the
+               remote forward allows text-only input
+  minicpmv_hf— MiniCPM-Llama3-V 2.5 remote code: vpm+resampler embedding
+               for a non-square slice (tgt_sizes contract) + vendored
+               Llama3 text logits
 
 Usage:
   python scripts/record_goldens.py --kind tokenizer --model-path <dir> \
@@ -167,17 +175,130 @@ def record_clip_hf(model_path: str, out: str) -> None:
     print(f"[goldens] wrote {out}")
 
 
+def record_siglip_hf(model_path: str, out: str) -> None:
+    """HF SiglipVisionModel last_hidden_state on synthetic pixels (the
+    MiniCPM-V 2.5 tower contract our SiglipVisionTower replays,
+    ref minicpmv remote code vpm; tests/test_converters.py tiny analogue)."""
+    import torch
+    from transformers import SiglipVisionModel
+
+    model = SiglipVisionModel.from_pretrained(
+        model_path, torch_dtype=torch.float32
+    )
+    model.eval()
+    size = int(model.config.image_size)
+    rng = np.random.default_rng(0)
+    pixels = rng.standard_normal((2, 3, size, size)).astype(np.float32)
+    with torch.no_grad():
+        feats = model(pixel_values=torch.tensor(pixels)
+                      ).last_hidden_state.float().numpy()
+    np.savez_compressed(
+        out, kind=np.asarray("siglip_hf"),
+        model_path=np.asarray(os.path.abspath(model_path)),
+        pixels=pixels, features=feats,
+    )
+    print(f"[goldens] wrote {out}")
+
+
+def record_omnilmm_hf(model_path: str, out: str) -> None:
+    """OmniLMM-12B via its own remote code: EVA02+resampler vision
+    embedding (the M9 'pending real-weight validation' gap — ref
+    omnilmm/model/omnilmm.py:107 get_vision_embedding) and, when the
+    remote forward allows text-only input, LM logits on PROBE_SEQS."""
+    import torch
+    from transformers import AutoModel
+
+    model = AutoModel.from_pretrained(
+        model_path, trust_remote_code=True, torch_dtype=torch.float32
+    )
+    model.eval()
+    inner = getattr(model, "model", model)
+    size = int(getattr(model.config, "image_size", 448))
+    rng = np.random.default_rng(0)
+    pixels = rng.standard_normal((1, 3, size, size)).astype(np.float32) * 0.5
+    arrays = {"kind": np.asarray("omnilmm_hf"),
+              "model_path": np.asarray(os.path.abspath(model_path))}
+    with torch.no_grad():
+        emb = inner.get_vision_embedding(torch.tensor(pixels))
+        if isinstance(emb, (list, tuple)):
+            emb = emb[0]
+        arrays["pixels"] = pixels
+        arrays["vision_embedding"] = emb.float().numpy()
+        try:  # text-only forward is remote-code-version dependent
+            vocab = int(model.config.vocab_size)
+            for i, seq in enumerate(PROBE_SEQS):
+                seq = [t % vocab for t in seq]
+                logits = model(input_ids=torch.tensor([seq])
+                               ).logits[0].float().numpy()
+                arrays[f"ids_{i}"] = np.asarray(seq)
+                arrays[f"logits_{i}"] = logits
+        except Exception as e:
+            print(f"[goldens] omnilmm text logits skipped: {e}")
+    np.savez_compressed(out, **arrays)
+    print(f"[goldens] wrote {out} ({len(arrays)} arrays)")
+
+
+def record_minicpmv_hf(model_path: str, out: str) -> None:
+    """MiniCPM-Llama3-V 2.5 via its own remote code: SigLIP+resampler
+    embedding for one non-square slice (the tgt_sizes contract,
+    ref minicpmv_autocheck.py:119-134) and Llama3 text logits via the
+    vendored model.llm (robust across remote-code versions)."""
+    import torch
+    from transformers import AutoModel
+
+    model = AutoModel.from_pretrained(
+        model_path, trust_remote_code=True, torch_dtype=torch.float32
+    )
+    model.eval()
+    arrays = {"kind": np.asarray("minicpmv_hf"),
+              "model_path": np.asarray(os.path.abspath(model_path))}
+    rng = np.random.default_rng(0)
+    patch = int(getattr(model.config, "patch_size", 14))
+    gh, gw = 24, 32  # non-square slice exercises the tgt_sizes path
+    pixels = rng.standard_normal(
+        (1, 3, gh * patch, gw * patch)).astype(np.float32) * 0.5
+    with torch.no_grad():
+        try:  # 2.5 API: vpm last_hidden_state -> resampler(emb, tgt_sizes)
+            vh = model.vpm(
+                pixel_values=torch.tensor(pixels)).last_hidden_state
+            try:
+                emb = model.resampler(vh, torch.tensor([[gh, gw]]))
+            except TypeError:  # older resampler: no tgt_sizes arg
+                emb = model.resampler(vh)
+            arrays["pixels"] = pixels
+            arrays["tgt_hw"] = np.asarray([gh, gw])
+            arrays["vision_embedding"] = emb.float().numpy()
+        except Exception as e:
+            print(f"[goldens] minicpmv vision skipped: {e}")
+        vocab = int(model.llm.config.vocab_size)
+        for i, seq in enumerate(PROBE_SEQS):
+            seq = [t % vocab for t in seq]
+            logits = model.llm(torch.tensor([seq])).logits[0].float().numpy()
+            arrays[f"ids_{i}"] = np.asarray(seq)
+            arrays[f"logits_{i}"] = logits
+    np.savez_compressed(out, **arrays)
+    print(f"[goldens] wrote {out} ({len(arrays)} arrays)")
+
+
+KINDS = {
+    "tokenizer": record_tokenizer,
+    "llama_hf": record_llama_hf,
+    "llava_hf": record_llava_hf,
+    "clip_hf": record_clip_hf,
+    "siglip_hf": record_siglip_hf,
+    "omnilmm_hf": record_omnilmm_hf,
+    "minicpmv_hf": record_minicpmv_hf,
+}
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--kind", required=True,
-                    choices=["tokenizer", "llama_hf", "llava_hf", "clip_hf"])
+    ap.add_argument("--kind", required=True, choices=sorted(KINDS))
     ap.add_argument("--model-path", required=True)
     ap.add_argument("--out", required=True)
     args = ap.parse_args()
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
-    {"tokenizer": record_tokenizer, "llama_hf": record_llama_hf,
-     "llava_hf": record_llava_hf, "clip_hf": record_clip_hf}[args.kind](
-        args.model_path, args.out)
+    KINDS[args.kind](args.model_path, args.out)
 
 
 if __name__ == "__main__":

@@ -91,3 +91,62 @@ def test_int8_matmul_grad_flows():
     want = int8_matmul_dx(g, q, s, block_m=8, block_k=32, interpret=True)
     np.testing.assert_allclose(np.asarray(dx), np.asarray(want),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_dequant_dispatch_strategies_agree():
+    """The two int8 strategies behind int8_matmul_grad (Pallas kernel at
+    decode rows, XLA dequant at prefill/training rows — quant_matmul.py
+    INT8_DEQUANT_MIN_M) compute the same product up to the kernel's
+    activation-quantization error, so the shape dispatch is numerics-safe
+    on either side of the crossover."""
+    from rlaifv_tpu.ops.quant_matmul import (
+        _dequant_matmul,
+        _dequant_matmul_dx,
+        int8_matmul_dx,
+    )
+
+    rng = np.random.default_rng(4)
+    for M in (8, 257):  # below / above INT8_DEQUANT_MIN_M
+        x = jnp.asarray(rng.normal(size=(M, 64)) * 0.5, jnp.float32)
+        w = rng.normal(size=(64, 256)).astype(np.float32) * 0.1
+        q, s = quantize_kernel_int8(w)
+        q, s = jnp.asarray(q), jnp.asarray(s)
+
+        exact = np.asarray(x, np.float32) @ (
+            np.asarray(q, np.float32) * np.asarray(s)[None, :]
+        )
+        deq = np.asarray(_dequant_matmul(x, q, s))
+        np.testing.assert_allclose(deq, exact, rtol=1e-5, atol=1e-5)
+        ker = np.asarray(int8_matmul(x, q, s, block_m=8, block_n=128,
+                                     interpret=True))
+        scale = np.abs(exact).max() + 1e-6
+        assert np.abs(ker - deq).max() < 0.02 * scale
+
+        dy = jnp.asarray(rng.normal(size=(M, 256)) * 0.5, jnp.float32)
+        exact_dx = (np.asarray(dy) * np.asarray(s)[None, :]) @ np.asarray(
+            q, np.float32).T
+        deq_dx = np.asarray(_dequant_matmul_dx(dy, q, s))
+        np.testing.assert_allclose(deq_dx, exact_dx, rtol=1e-5, atol=1e-5)
+        ker_dx = np.asarray(int8_matmul_dx(dy, q, s, block_m=8, block_k=64,
+                                           interpret=True))
+        dscale = np.abs(exact_dx).max() + 1e-6
+        assert np.abs(ker_dx - deq_dx).max() < 0.02 * dscale
+
+
+def test_grad_through_dequant_path():
+    """jax.grad through the XLA-dequant strategy matches the analytic dx."""
+    import jax
+
+    from rlaifv_tpu.ops.quant_matmul import _dequant_matmul
+
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.normal(size=(16, 32)) * 0.5, jnp.float32)
+    w = rng.normal(size=(32, 128)).astype(np.float32) * 0.1
+    q, s = quantize_kernel_int8(w)
+    q, s = jnp.asarray(q), jnp.asarray(s)
+    g = jnp.asarray(rng.normal(size=(16, 128)), jnp.float32)
+
+    dx = jax.grad(lambda x: (_dequant_matmul(x, q, s) * g).sum())(x)
+    want = np.asarray(g) @ (np.asarray(q, np.float32)
+                            * np.asarray(s)[None, :]).T
+    np.testing.assert_allclose(np.asarray(dx), want, rtol=1e-4, atol=1e-5)
