@@ -150,3 +150,43 @@ def test_grad_through_dequant_path():
     want = np.asarray(g) @ (np.asarray(q, np.float32)
                             * np.asarray(s)[None, :]).T
     np.testing.assert_allclose(np.asarray(dx), want, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("M,K,N", [(8, 32, 128), (257, 64, 512)])
+def test_int8_matmul_prequant_parity(M, K, N):
+    """Prequantized-activation kernel == in-kernel-quantization kernel
+    (identical rowwise activation quantization, different schedule)."""
+    from rlaifv_tpu.ops.quant_matmul import int8_matmul_prequant
+
+    rng = np.random.default_rng(6)
+    x = jnp.asarray(rng.normal(size=(M, K)) * 0.5, jnp.float32)
+    w = rng.normal(size=(K, N)).astype(np.float32) * 0.1
+    q, s = quantize_kernel_int8(w)
+    q, s = jnp.asarray(q), jnp.asarray(s)
+
+    got = np.asarray(int8_matmul_prequant(x, q, s, block_m=8, block_n=128,
+                                          interpret=True))
+    want = np.asarray(int8_matmul(x, q, s, block_m=8, block_n=128,
+                                  interpret=True))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("M,K,N", [(8, 32, 128), (257, 128, 512)])
+def test_int8_matmul_dx_prequant_parity(M, K, N):
+    """Prequantized dx kernel == in-kernel-quantization dx kernel."""
+    from rlaifv_tpu.ops.quant_matmul import (
+        int8_matmul_dx,
+        int8_matmul_dx_prequant,
+    )
+
+    rng = np.random.default_rng(7)
+    dy = jnp.asarray(rng.normal(size=(M, N)) * 0.5, jnp.float32)
+    w = rng.normal(size=(K, N)).astype(np.float32) * 0.1
+    q, s = quantize_kernel_int8(w)
+    q, s = jnp.asarray(q), jnp.asarray(s)
+
+    got = np.asarray(int8_matmul_dx_prequant(dy, q, s, block_m=8,
+                                             block_k=64, interpret=True))
+    want = np.asarray(int8_matmul_dx(dy, q, s, block_m=8, block_k=64,
+                                     interpret=True))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
