@@ -359,6 +359,160 @@ class DecodeEngine:
         self._gen_fns[key] = call
         return call
 
+    # ------------------------------------------- shared-prefix scoring
+
+    @staticmethod
+    def longest_common_prefix_len(seqs) -> int:
+        """Length of the longest common prefix of token-id sequences,
+        capped at min_len-1 so every row keeps >=1 suffix token. Any split
+        at or below the LCP is exact: each row's full tokenization is
+        sliced (never re-tokenized), so prefix+suffix == the full ids."""
+        first = seqs[0]
+        P = min(len(s) for s in seqs) - 1
+        for s in seqs[1:]:
+            i = 0
+            while i < P and s[i] == first[i]:
+                i += 1
+            P = i
+            if P == 0:
+                break
+        return max(P, 0)
+
+    def _fp_cache(self, B: int, S: int):
+        """bf16 KV cache of exactly (B, S) — the shared-prefix path keeps
+        the prefix exact regardless of the engine's serving cache dtype
+        (the int8 prefill branch attends only over the fresh window, so it
+        cannot see a live prefix; the fp branch can: llama.py:399-409)."""
+        cfg = self._llm_cfg()
+        shape = (B, S, cfg.num_kv_heads, cfg.head_size)
+        return [
+            {"k": jnp.zeros(shape, cfg.dtype), "v": jnp.zeros(shape, cfg.dtype)}
+            for _ in range(cfg.num_layers)
+        ]
+
+    def _build_prefix_fn(self, P: int):
+        key = ("prefix", P)
+        if key in self._gen_fns:
+            return self._gen_fns[key]
+
+        @jax.jit
+        def run(params, ids, images, image_starts, span_features,
+                span_starts):
+            mask = jnp.ones((1, P), jnp.int32)
+            pos = jnp.arange(P, dtype=jnp.int32)[None]
+            embeds = self._embed_spliced(
+                params, ids, images, image_starts, span_features, span_starts
+            )
+            _, cache = self._llm(
+                params, inputs_embeds=embeds, attention_mask=mask,
+                position_ids=pos, cache=self._fp_cache(1, P),
+                cache_index=jnp.int32(0),
+            )
+            return cache
+
+        self._gen_fns[key] = run
+        return run
+
+    def _build_suffix_fn(self, P: int, W: int, B: int):
+        key = ("suffix", P, W, B)
+        if key in self._gen_fns:
+            return self._gen_fns[key]
+
+        @jax.jit
+        def run(params, pcache, suffix_ids, suffix_mask):
+            # broadcast the (1, P) prefix KV across the suffix batch into a
+            # (B, P+W) cache; the suffix window then rides the ordinary
+            # windowed-prefill path (write at cache_index=P, attend over the
+            # full cache with q_offset=P)
+            def grow(c):
+                out = jnp.zeros((B, P + W) + c.shape[2:], c.dtype)
+                src = jnp.broadcast_to(c, (B,) + c.shape[1:])
+                return jax.lax.dynamic_update_slice(
+                    out, src, (0,) * c.ndim
+                )
+
+            cache = jax.tree.map(grow, pcache)
+            cmask = jnp.zeros((B, P + W), jnp.int32)
+            cmask = cmask.at[:, :P].set(1)
+            cmask = cmask.at[:, P:].set(suffix_mask)
+            pos = (P + jnp.cumsum(suffix_mask, axis=1) - 1).astype(jnp.int32)
+            pos = jnp.maximum(pos, 0)
+            logits, _ = self._llm(
+                params, input_ids=jnp.maximum(suffix_ids, 0),
+                attention_mask=cmask, position_ids=pos, cache=cache,
+                cache_index=jnp.int32(P),
+            )
+            last = jnp.maximum(suffix_mask.sum(axis=1) - 1, 0)
+            return logits[jnp.arange(B), last]  # (B, V) fp logits
+
+        self._gen_fns[key] = run
+        return run
+
+    def score_shared_prefix(
+        self,
+        prefix_ids,  # token ids of the shared prefix (image pre-expanded)
+        suffixes,  # list of N token-id suffixes (right-appended variants)
+        *,
+        image=None,  # single (H, W, 3) image spliced into the prefix
+        image_start: int = -1,
+        span_features=None,  # (S, Q, D) pre-encoded multi-span features
+        span_starts=None,  # (S,) starts within the prefix, -1 inactive
+        batch_size: int = 16,
+        suffix_bucket: int = 32,
+    ) -> np.ndarray:
+        """Last-position logits for N prompts sharing one prefix.
+
+        The autocheck fast path (ref muffin/llava15_gen_data.py:266-313 runs
+        one FULL prefill per fact): every fact question about the same image
+        shares the system prompt + image-token prefix — the dominant share
+        of the prompt — so the prefix KV is computed ONCE (one vision encode,
+        one prefill) and broadcast across fact batches; only the short
+        question suffixes are prefilled per fact. Exact because causal
+        attention makes shared-prefix KV identical across rows.
+
+        Returns (N, vocab) fp32 logits at each suffix's last position —
+        exactly `generate(..., max_new_tokens=1).first_logits`.
+        """
+        if self.fused_decode:
+            raise ValueError(
+                "score_shared_prefix needs the flax per-layer path; "
+                "construct the engine with fused_decode=False"
+            )
+        P = len(prefix_ids)
+        prefix_fn = self._build_prefix_fn(P)
+        pcache = prefix_fn(
+            self.params,
+            jnp.asarray([prefix_ids], jnp.int32),
+            self._device_images(image[None]) if image is not None else None,
+            jnp.asarray([image_start], jnp.int32),
+            (jnp.asarray(span_features)[None]
+             if span_features is not None else None),
+            (jnp.asarray(span_starts, jnp.int32)[None]
+             if span_starts is not None else None),
+        )
+
+        N = len(suffixes)
+        W = max(len(s) for s in suffixes)
+        W = -(-W // suffix_bucket) * suffix_bucket
+        suffix_fn = self._build_suffix_fn(P, W, batch_size)
+        out = np.zeros((N, self.vocab_size), np.float32)
+        for c0 in range(0, N, batch_size):
+            chunk = suffixes[c0 : c0 + batch_size]
+            ids = np.zeros((batch_size, W), np.int32)
+            mask = np.zeros((batch_size, W), np.int32)
+            for r, s in enumerate(chunk):
+                ids[r, : len(s)] = s
+                mask[r, : len(s)] = 1
+            for r in range(len(chunk), batch_size):  # pad rows: repeat row 0
+                ids[r], mask[r] = ids[0], mask[0]
+            logits = suffix_fn(
+                self.params, pcache, jnp.asarray(ids), jnp.asarray(mask)
+            )
+            out[c0 : c0 + len(chunk)] = np.asarray(
+                logits, np.float32
+            )[: len(chunk)]
+        return out
+
     def _build_beam(self, num_beams: int, max_new: int, length_penalty: float,
                     sampling=None):
         key = ("beam", num_beams, max_new, length_penalty, sampling)

@@ -189,28 +189,95 @@ class Llava15Generator:
                 out.append(self._meta_row(item, answer=text))
         return out
 
-    def autocheck(self, items: List[dict], *, batch_size: int = 8) -> List[dict]:
-        """1-token reward scoring: p(yes/Yes/no/No) at the first position."""
-        ids = yesno_token_ids(self.tokenizer)
+    def _score_rows(self, items, logits, ids) -> List[dict]:
+        """first-position logits (N, V) -> output rows with yes/no scores
+        (softmax over the full vocab, ref muffin/llava15_gen_data.py:305-313)
+        and the 1-token greedy answer text."""
+        logits = np.asarray(logits, np.float64)
+        logits -= logits.max(axis=-1, keepdims=True)
+        probs = np.exp(logits)
+        probs /= probs.sum(axis=-1, keepdims=True)
         out = []
-        for i in range(0, len(items), batch_size):
-            chunk = items[i : i + batch_size]
+        for b, item in enumerate(items):
+            text = self.tokenizer.decode(
+                [int(logits[b].argmax())], skip_special_tokens=True
+            ).strip()
+            scores = {w: float(probs[b, t]) for w, t in ids.items()}
+            out.append(self._meta_row(item, answer=text, scores=scores))
+        return out
+
+    def autocheck(self, items: List[dict], *, batch_size: int = 8,
+                  shared_prefix: bool = True) -> List[dict]:
+        """1-token reward scoring: p(yes/Yes/no/No) at the first position.
+
+        shared_prefix=True (default): consecutive items about the SAME image
+        (the autocheck jsonl is fact-expanded, so each image appears once per
+        fact — dozens of rows) share everything up to the last image token
+        (system prompt + 576 image tokens ≈ 90% of the prompt; the fact
+        question differs only AFTER the image). The prefix KV is prefilled
+        once per image and broadcast; only the short question suffixes run
+        per fact (engine.score_shared_prefix) — same scores, a fraction of
+        the prefill FLOPs and ONE vision encode per image. Exact split:
+        tokenizer_image_token tokenizes the pre-/post-image chunks
+        independently, so prefix+suffix == the full prompt's ids.
+        """
+        ids = yesno_token_ids(self.tokenizer)
+        if not shared_prefix or self.engine.fused_decode:
+            out = []
+            for i in range(0, len(items), batch_size):
+                chunk = items[i : i + batch_size]
+                prompts, starts, images = self._prepare(chunk)
+                res = self.engine.generate(
+                    prompts, images=images, image_starts=starts,
+                    sampling=SamplingParams.greedy(), max_new_tokens=1,
+                )
+                out.extend(self._score_rows(chunk, res.first_logits, ids))
+            return out
+
+        out: List[dict] = [None] * len(items)
+        # group CONSECUTIVE items by image identity (the reference jsonl
+        # groups facts of one answer together)
+        groups, cur, cur_key = [], [], object()
+        for i, item in enumerate(items):
+            img = item.get("image_bytes")
+            if img is None:
+                img = item.get("image")
+            if isinstance(img, np.ndarray):
+                img = img.tobytes()
+            key = (img, item.get("image_path"))
+            if key != cur_key:
+                if cur:
+                    groups.append(cur)
+                cur, cur_key = [], key
+            cur.append(i)
+        if cur:
+            groups.append(cur)
+
+        for group in groups:
+            chunk = [items[i] for i in group]
             prompts, starts, images = self._prepare(chunk)
-            res = self.engine.generate(
-                prompts, images=images, image_starts=starts,
-                sampling=SamplingParams.greedy(), max_new_tokens=1,
+            P = int(starts[0]) + self.num_patches
+            prefixes = [p[:P] for p in prompts]
+            same = all(
+                s == starts[0] and pre == prefixes[0]
+                for s, pre in zip(starts, prefixes)
             )
-            # softmax over the full vocab of the first generated position
-            logits = res.first_logits.astype(np.float64)
-            logits -= logits.max(axis=-1, keepdims=True)
-            probs = np.exp(logits)
-            probs /= probs.sum(axis=-1, keepdims=True)
-            for b, item in enumerate(chunk):
-                text = self.tokenizer.decode(
-                    res.tokens[b][: res.lengths[b]], skip_special_tokens=True
-                ).strip()
-                scores = {w: float(probs[b, t]) for w, t in ids.items()}
-                out.append(self._meta_row(item, answer=text, scores=scores))
+            if not same or len(group) < 2:
+                # heterogeneous templates (or a lone row): plain path
+                res = self.engine.generate(
+                    prompts, images=images, image_starts=starts,
+                    sampling=SamplingParams.greedy(), max_new_tokens=1,
+                )
+                rows = self._score_rows(chunk, res.first_logits, ids)
+            else:
+                logits = self.engine.score_shared_prefix(
+                    prefixes[0], [p[P:] for p in prompts],
+                    image=images[0], image_start=int(starts[0]),
+                    batch_size=batch_size,
+                )
+                rows = self._score_rows(chunk, logits, ids)
+            for j, i in enumerate(group):
+                out[i] = rows[j]
         return out
 
 

@@ -182,29 +182,91 @@ class MiniCPMVGenerator:
                 out.append(self._row(item, answer=text))
         return out
 
-    def autocheck(self, items, *, batch_size=1) -> List[dict]:
-        ids = {
+    def _yesno_ids(self):
+        return {
             w: self.tokenizer.encode(f"{self.tokenizer.bos_token}{w}")[-1]
             for w in ("yes", "Yes", "no", "No")
         }
-        out = []
-        for i in range(0, len(items), batch_size):
-            chunk = items[i : i + batch_size]
-            prompts, feats, starts = self._prepare(chunk)
-            res = self.engine.generate(
-                prompts, span_features=feats, span_starts=starts,
-                sampling=SamplingParams.greedy(), max_new_tokens=1,
+
+    def _score_row(self, item, logits, ids) -> dict:
+        logits = np.asarray(logits, np.float64)
+        logits -= logits.max()
+        probs = np.exp(logits)
+        probs /= probs.sum()
+        text = self.tokenizer.decode(
+            [int(logits.argmax())], skip_special_tokens=True
+        ).strip()
+        scores = {w: float(probs[t]) for w, t in ids.items()}
+        return self._row(item, answer=text, scores=scores)
+
+    def autocheck(self, items, *, batch_size=1,
+                  shared_prefix: bool = True) -> List[dict]:
+        """shared_prefix=True: fact questions about the same image share the
+        sliced-image placeholder prefix (every slice's SigLIP encode AND its
+        prefill), so the prefix KV is computed once per image and only the
+        question suffixes prefill per fact (engine.score_shared_prefix).
+        The split is the group's longest common token prefix — exact, since
+        each row's full tokenization is sliced, never re-tokenized."""
+        ids = self._yesno_ids()
+        if not shared_prefix:
+            out = []
+            for i in range(0, len(items), batch_size):
+                chunk = items[i : i + batch_size]
+                prompts, feats, starts = self._prepare(chunk)
+                res = self.engine.generate(
+                    prompts, span_features=feats, span_starts=starts,
+                    sampling=SamplingParams.greedy(), max_new_tokens=1,
+                )
+                for b, item in enumerate(chunk):
+                    out.append(self._score_row(item, res.first_logits[b], ids))
+            return out
+
+        out: List[dict] = [None] * len(items)
+        groups, cur, cur_key = [], [], object()
+        for i, item in enumerate(items):
+            img = item.get("image_bytes")
+            if img is None:
+                img = item.get("image")
+            if isinstance(img, np.ndarray):
+                img = img.tobytes()
+            key = (img, item.get("image_path"))
+            if key != cur_key:
+                if cur:
+                    groups.append(cur)
+                cur, cur_key = [], key
+            cur.append(i)
+        if cur:
+            groups.append(cur)
+
+        sb = max(batch_size, 4)  # suffix rows are tiny; don't run them 1-up
+        for group in groups:
+            chunk = [items[i] for i in group]
+            prompts = [self._build_prompt(it)[0] for it in chunk]
+            P = self.engine.longest_common_prefix_len(prompts)
+            # one representative _prepare carries the slices' encode + spans
+            _, feats, starts = self._prepare(chunk[:1])
+            active = [int(s) for s in starts[0] if s >= 0]
+            last_span_end = (max(active) + self.cfg.query_num) if active else 0
+            if len(group) < 2 or last_span_end > P:
+                for i0 in range(0, len(chunk), batch_size):
+                    sub = chunk[i0 : i0 + batch_size]
+                    pr, f, st = self._prepare(sub)
+                    res = self.engine.generate(
+                        pr, span_features=f, span_starts=st,
+                        sampling=SamplingParams.greedy(), max_new_tokens=1,
+                    )
+                    for b, item in enumerate(sub):
+                        out[group[i0 + b]] = self._score_row(
+                            item, res.first_logits[b], ids
+                        )
+                continue
+            logits = self.engine.score_shared_prefix(
+                prompts[0][:P], [p[P:] for p in prompts],
+                span_features=feats[0], span_starts=starts[0],
+                batch_size=sb,
             )
-            logits = res.first_logits.astype(np.float64)
-            logits -= logits.max(axis=-1, keepdims=True)
-            probs = np.exp(logits)
-            probs /= probs.sum(axis=-1, keepdims=True)
-            for b, item in enumerate(chunk):
-                text = self.tokenizer.decode(
-                    res.tokens[b][: res.lengths[b]], skip_special_tokens=True
-                ).strip()
-                scores = {w: float(probs[b, t]) for w, t in ids.items()}
-                out.append(self._row(item, answer=text, scores=scores))
+            for j, i in enumerate(group):
+                out[i] = self._score_row(chunk[j], logits[j], ids)
         return out
 
     def chat(self, question: str, image, *, max_new_tokens: int = 1024,

@@ -160,19 +160,76 @@ class OmniLMMGenerator:
             out.append(self._row(item, answer=text))
         return out
 
-    def autocheck(self, items, *, batch_size=8) -> List[dict]:
+    def _score_row(self, item, logits, ids) -> dict:
+        logits = np.asarray(logits, np.float64)
+        logits -= logits.max()
+        probs = np.exp(logits)
+        probs /= probs.sum()
+        text = self.tokenizer.decode(
+            [int(logits.argmax())], skip_special_tokens=True
+        ).strip()
+        scores = {w: float(probs[t]) for w, t in ids.items()}
+        return self._row(item, answer=text, scores=scores)
+
+    def autocheck(self, items, *, batch_size=8,
+                  shared_prefix: bool = True) -> List[dict]:
+        """shared_prefix=True: fact questions about the same image share
+        the template + image-token prefix (the question text comes AFTER
+        <im_end>), so the prefix KV — including the EVA02+resampler encode —
+        is computed once per image (engine.score_shared_prefix); split is
+        exact because each item's full tokenization is sliced, never
+        re-tokenized. Scores match the plain path (llava parity test scheme,
+        tests/test_omni_gen.py)."""
         ids = omni_yesno_ids(self.tokenizer)
-        out = []
-        for item, text, logits in self.generate(
-            items, sampling=SamplingParams.greedy(), max_new_tokens=1,
-            batch_size=batch_size,
-        ):
-            logits = np.asarray(logits, np.float64)
-            logits -= logits.max()
-            probs = np.exp(logits)
-            probs /= probs.sum()
-            scores = {w: float(probs[t]) for w, t in ids.items()}
-            out.append(self._row(item, answer=text, scores=scores))
+        if not shared_prefix:
+            out = []
+            for item, text, logits in self.generate(
+                items, sampling=SamplingParams.greedy(), max_new_tokens=1,
+                batch_size=batch_size,
+            ):
+                out.append(self._score_row(item, logits, ids))
+            return out
+
+        out: List[dict] = [None] * len(items)
+        groups, cur, cur_key = [], [], object()
+        for i, item in enumerate(items):
+            img = item.get("image_bytes")
+            if img is None:
+                img = item.get("image")
+            if isinstance(img, np.ndarray):
+                img = img.tobytes()
+            key = (img, item.get("image_path"))
+            if key != cur_key:
+                if cur:
+                    groups.append(cur)
+                cur, cur_key = [], key
+            cur.append(i)
+        if cur:
+            groups.append(cur)
+
+        for group in groups:
+            chunk = [items[i] for i in group]
+            prompts, starts, images = self._prepare(chunk)
+            # prefix ends right after <im_end> (start indexes the first
+            # <im_patch>; the span is patches*num_query + <im_end>)
+            P = int(starts[0]) + self.num_query + 1
+            prefixes = [p[:P] for p in prompts]
+            same = all(s == starts[0] and pre == prefixes[0]
+                       for s, pre in zip(starts, prefixes))
+            if not same or len(group) < 2:
+                for j, (item, _text, logits) in enumerate(self.generate(
+                    chunk, sampling=SamplingParams.greedy(),
+                    max_new_tokens=1, batch_size=batch_size,
+                )):
+                    out[group[j]] = self._score_row(item, logits, ids)
+                continue
+            logits = self.engine.score_shared_prefix(
+                prefixes[0], [p[P:] for p in prompts],
+                image=images[0], image_start=int(starts[0]),
+                batch_size=batch_size,
+            )
+            for j, i in enumerate(group):
+                out[i] = self._score_row(chunk[j], logits[j], ids)
         return out
 
     def _row(self, item: dict, **fields) -> dict:

@@ -166,6 +166,40 @@ def test_autocheck_scores(tiny_gen):
         assert all(0.0 <= v <= 1.0 for v in s.values())
 
 
+def test_autocheck_shared_prefix_parity(tiny_gen):
+    """The shared-prefix fast path (one prefill per image, suffix-only
+    per fact) must reproduce the plain full-prefill scores: causal
+    attention makes the shared-prefix KV identical across rows."""
+    cfg, gen, tok = tiny_gen
+    items = _items(cfg, 5)
+    img = items[0]["image"]
+    for it in items:  # one image, many fact questions -> one shared group
+        it["image"] = img
+    # mixed-length suffixes exercise the right-pad/last-index gather
+    items[2]["question"] = "Is there a very small red object near the top?"
+    plain = gen.autocheck(items, batch_size=2, shared_prefix=False)
+    shared = gen.autocheck(items, batch_size=2, shared_prefix=True)
+    for a, b in zip(plain, shared):
+        assert a["answer"] == b["answer"]
+        for w in a["scores"]:
+            assert abs(a["scores"][w] - b["scores"][w]) < 1e-4, (
+                w, a["scores"], b["scores"])
+
+
+def test_autocheck_shared_prefix_mixed_groups(tiny_gen):
+    """Groups of 1 fall back to the plain path; output order follows the
+    input, not the grouping."""
+    cfg, gen, tok = tiny_gen
+    items = _items(cfg, 4)
+    items[1]["image"] = items[0]["image"]  # group {0,1}, singletons {2},{3}
+    rows = gen.autocheck(items, batch_size=2, shared_prefix=True)
+    assert [r["question_id"] for r in rows] == [0, 1, 2, 3]
+    plain = gen.autocheck(items, batch_size=2, shared_prefix=False)
+    for a, b in zip(plain, rows):
+        for w in a["scores"]:
+            assert abs(a["scores"][w] - b["scores"][w]) < 1e-4
+
+
 @pytest.mark.slow
 def test_run_sharded_files(tiny_gen, tmp_path):
     cfg, gen, tok = tiny_gen

@@ -11,7 +11,18 @@ from tests.fake_tokenizer import FakeTokenizer
 
 @pytest.fixture(scope="module")
 def gen():
+    # vocab must cover FakeTokenizer's id space (<image>/<slice> specials
+    # live at 310-313; tiny()'s 256 made embedding gathers OOB -> NaN)
+    from rlaifv_tpu.models.llama import LlamaConfig
+
     cfg = MiniCPMVConfig.tiny()
+    cfg = MiniCPMVConfig(
+        llm=LlamaConfig.tiny(num_kv_heads=2, vocab_size=512),
+        vision=cfg.vision,
+        query_num=cfg.query_num,
+        scale_resolution=cfg.scale_resolution,
+        patch_size=cfg.patch_size,
+    )
     model = MiniCPMVForCausalLM(cfg)
     tok = FakeTokenizer()
     size = cfg.vision.image_size
@@ -49,7 +60,27 @@ def test_autocheck_with_slicing(gen):
     assert len(rows) == 2
     for r in rows:
         assert set(r["scores"]) == {"yes", "Yes", "no", "No"}
+        assert all(0.0 <= v <= 1.0 for v in r["scores"].values())
         assert r["model_path"] == "tiny"
+
+
+@pytest.mark.slow
+def test_autocheck_shared_prefix_parity(gen):
+    """Shared-prefix scoring (one slice encode + one prefix prefill per
+    image) matches the plain per-fact full prefill."""
+    cfg, g = gen
+    items = _items(4)
+    img = items[0]["image"]
+    for it in items:
+        it["image"] = img  # one image, many facts -> one shared group
+    items[2]["question"] = ("Is there a very small red mark near the top "
+                            "left corner? Please answer yes or no.")
+    plain = g.autocheck(items, batch_size=2, shared_prefix=False)
+    shared = g.autocheck(items, batch_size=2, shared_prefix=True)
+    for a, b in zip(plain, shared):
+        assert a["answer"] == b["answer"]
+        for w in a["scores"]:
+            assert abs(a["scores"][w] - b["scores"][w]) < 1e-4
 
 
 @pytest.mark.slow

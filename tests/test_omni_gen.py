@@ -35,7 +35,16 @@ def test_wrap_question_ids():
 
 @pytest.fixture(scope="module")
 def omni_gen():
+    # vocab must cover FakeTokenizer's id space (specials live at 314-316;
+    # tiny()'s 256 made every embedding gather OOB -> NaN logits)
+    from rlaifv_tpu.models.llama import LlamaConfig
+
     cfg = OmniLMMConfig.tiny()
+    cfg = OmniLMMConfig(
+        llm=LlamaConfig.tiny(num_kv_heads=2, vocab_size=512),
+        vision=cfg.vision,
+        num_query=cfg.num_query,
+    )
     model = OmniLMMForCausalLM(cfg)
     tok = FakeTokenizer()
     size = cfg.vision.image_size
@@ -66,7 +75,28 @@ def test_omni_autocheck(omni_gen):
     assert len(rows) == 2
     for r in rows:
         assert set(r["scores"]) == {"yes", "Yes", "no", "No"}
+        # finite, valid probabilities (a vocab/tokenizer mismatch once made
+        # these silently NaN)
+        assert all(0.0 <= v <= 1.0 for v in r["scores"].values())
         assert r["ds_question_id"].startswith("ds")
+
+
+def test_omni_autocheck_shared_prefix_parity(omni_gen):
+    """Shared-prefix scoring (one EVA02 encode + one prefix prefill per
+    image) must match the plain full-prefill scores."""
+    cfg, gen, tok = omni_gen
+    items = _items(cfg, 4)
+    img = items[0]["image"]
+    for it in items:
+        it["image"] = img  # one image, many facts -> one shared group
+    items[1]["question"] = ("Is there a very small red thing near the top "
+                            "left corner? Please answer yes or no.")
+    plain = gen.autocheck(items, batch_size=2, shared_prefix=False)
+    shared = gen.autocheck(items, batch_size=2, shared_prefix=True)
+    for a, b in zip(plain, shared):
+        assert a["answer"] == b["answer"]
+        for w in a["scores"]:
+            assert abs(a["scores"][w] - b["scores"][w]) < 1e-4
 
 
 def test_omni_diverse_gen(omni_gen):
