@@ -359,6 +359,156 @@ class DecodeEngine:
         self._gen_fns[key] = call
         return call
 
+    def _build_repeated(self, sp: SamplingParams, max_new: int, n: int):
+        """One prompt -> n sampled continuations: prefill at B=1, tile the
+        KV cache across n rows, decode at B=n. The diverse-gen fast path —
+        GenDataset expands each question x repeat_time identical prompts
+        (ref muffin/llava15_gen_data.py:64-150, repeat 10), so the plain
+        path pays the prompt prefill and the vision encode 10 times."""
+        key = ("repeat", sp, max_new, n)
+        if key in self._gen_fns:
+            return self._gen_fns[key]
+
+        model = self.model
+        eos_id, pad_id, V = self.eos_id, self.pad_id, self.vocab_size
+        use_rep = sp.repetition_penalty != 1.0
+
+        @partial(jax.jit, static_argnames=("max_len",))
+        def run(params, ids, mask, images, image_starts, span_features,
+                span_starts, rng, max_len):
+            Lp = ids.shape[1]  # ids/mask (1, Lp), left-padded to a bucket
+            pos = jnp.maximum(jnp.cumsum(mask, axis=1) - 1, 0)
+
+            cache = model.init_cache(1, max_len)
+            pmask = jnp.zeros((1, max_len), jnp.int32).at[:, :Lp].set(mask)
+            if images is not None or span_features is not None:
+                embeds = self._embed_spliced(
+                    params, ids, images, image_starts, span_features,
+                    span_starts,
+                )
+                logits, cache = self._llm(
+                    params, inputs_embeds=embeds, attention_mask=pmask,
+                    position_ids=pos, cache=cache, cache_index=jnp.int32(0),
+                )
+            else:
+                logits, cache = self._llm(
+                    params, input_ids=jnp.maximum(ids, 0),
+                    attention_mask=pmask, position_ids=pos, cache=cache,
+                    cache_index=jnp.int32(0),
+                )
+            first_logits = jnp.broadcast_to(logits[:, -1, :], (n, V))
+            prompt_len = mask.sum()  # scalar
+
+            # tile the prefix KV across the sample rows
+            cache = jax.tree.map(
+                lambda c: jnp.broadcast_to(c, (n,) + c.shape[1:]), cache
+            )
+            cache_mask = jnp.broadcast_to(pmask, (n, max_len))
+
+            token_seen = jnp.zeros((n, V), jnp.int32)
+            if use_rep:
+                rows = jnp.broadcast_to(
+                    jnp.arange(n, dtype=jnp.int32)[:, None], (n, Lp)
+                )
+                token_seen = token_seen.at[
+                    rows, jnp.broadcast_to(jnp.maximum(ids, 0), (n, Lp))
+                ].add(jnp.broadcast_to(mask, (n, Lp)).astype(jnp.int32))
+
+            tokens_buf = jnp.full((max_new, n), pad_id, jnp.int32)
+
+            def cond(state):
+                t, done = state[0], state[6]
+                return (t < max_new) & jnp.logical_not(jnp.all(done))
+
+            def body(state):
+                (t, cache, cache_mask, last_logits, token_seen, rng, done,
+                 tokens_buf) = state
+                rng, sub = jax.random.split(rng)
+                tok = sample_token(sub, last_logits, sp,
+                                   token_seen if use_rep else None)
+                tok = jnp.where(done, pad_id, tok)
+                new_done = done | (tok == eos_id)
+                tokens_buf = jax.lax.dynamic_update_index_in_dim(
+                    tokens_buf, tok, t, axis=0
+                )
+                cache_mask = jax.lax.dynamic_update_slice(
+                    cache_mask, (~done).astype(jnp.int32)[:, None],
+                    (0, Lp + t),
+                )
+                pos_t = jnp.full((n,), 1, jnp.int32) * (prompt_len + t)
+                step_logits, cache = self._llm(
+                    params, input_ids=tok[:, None],
+                    attention_mask=cache_mask, position_ids=pos_t[:, None],
+                    cache=cache, cache_index=jnp.int32(Lp) + t,
+                )
+                last = step_logits[:, 0]
+                if use_rep:
+                    token_seen = token_seen.at[jnp.arange(n), tok].add(
+                        (~done).astype(jnp.int32)
+                    )
+                return (t + 1, cache, cache_mask, last, token_seen, rng,
+                        new_done, tokens_buf)
+
+            state = (jnp.int32(0), cache, cache_mask, first_logits,
+                     token_seen, rng, jnp.zeros((n,), bool), tokens_buf)
+            state = jax.lax.while_loop(cond, body, state)
+            return state[-1].T, first_logits  # (n, max_new)
+
+        self._gen_fns[key] = run
+        return run
+
+    def generate_repeated(
+        self,
+        prompt,  # ONE token-id sequence (image sentinels pre-expanded)
+        *,
+        n: int,
+        image=None,  # (H, W, 3)
+        image_start: int = -1,
+        span_features=None,  # (S, Q, D)
+        span_starts=None,  # (S,)
+        sampling: SamplingParams = SamplingParams.greedy(),
+        max_new_tokens: int = 512,
+        seed: int = 0,
+        prompt_bucket: int = 64,
+    ) -> GenerateResult:
+        """n sampled continuations of one prompt with ONE prefill and ONE
+        vision encode (vs n of each on the plain path)."""
+        if self.fused_decode:
+            raise ValueError(
+                "generate_repeated needs the flax per-layer path; "
+                "construct the engine with fused_decode=False"
+            )
+        Lp = -(-len(prompt) // prompt_bucket) * prompt_bucket
+        ids, mask = left_pad_batch([prompt], self.pad_id, Lp)
+        off = Lp - len(prompt)
+        max_len = -(-(Lp + max_new_tokens) // 128) * 128
+        run = self._build_repeated(sampling, max_new_tokens, n)
+        tokens, first_logits = run(
+            self.params,
+            jnp.asarray(ids),
+            jnp.asarray(mask),
+            self._device_images(np.asarray(image)[None])
+            if image is not None else None,
+            jnp.asarray([image_start + off if image_start >= 0 else -1],
+                        jnp.int32),
+            (jnp.asarray(span_features)[None]
+             if span_features is not None else None),
+            (jnp.asarray(
+                np.where(np.asarray(span_starts) < 0, -1,
+                         np.asarray(span_starts) + off), jnp.int32)[None]
+             if span_starts is not None else None),
+            jax.random.PRNGKey(seed),
+            max_len=max_len,
+        )
+        tokens = np.array(tokens)
+        lengths = np.zeros(n, np.int64)
+        for i in range(n):
+            row = tokens[i]
+            eos = np.where(row == self.eos_id)[0]
+            lengths[i] = (eos[0] + 1) if len(eos) else len(row)
+            tokens[i, lengths[i]:] = self.pad_id
+        return GenerateResult(tokens, lengths, np.asarray(first_logits))
+
     # ------------------------------------------- shared-prefix scoring
 
     @staticmethod

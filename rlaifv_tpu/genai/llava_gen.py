@@ -116,11 +116,79 @@ class Llava15Generator:
 
     def diverse_gen(self, items: List[dict], *, temperature: float = 0.7,
                     max_new_tokens: int = 512, batch_size: int = 8,
-                    seed: int = 0, continuous: bool = False) -> List[dict]:
+                    seed: int = 0, continuous: bool = False,
+                    share_repeats: bool = True) -> List[dict]:
         """continuous=True uses slot-refill continuous batching: each
         finished row is immediately replaced from the item queue instead of
-        waiting for its batch's slowest row (genai/continuous.py)."""
+        waiting for its batch's slowest row (genai/continuous.py).
+
+        share_repeats=True (batch path): GenDataset expands each question
+        x repeat_time IDENTICAL prompts (ref muffin/llava15_gen_data.py:
+        64-150, default 10) — consecutive identical (question, image) items
+        run through engine.generate_repeated: ONE prefill + ONE vision
+        encode, n sampled continuations decoded as one batch."""
         sp = SamplingParams(temperature=temperature, do_sample=True)
+        if not continuous and share_repeats:
+            groups, cur, cur_key = [], [], object()
+            for i, item in enumerate(items):
+                img = item.get("image_bytes")
+                if img is None:
+                    img = item.get("image")
+                if isinstance(img, np.ndarray):
+                    img = img.tobytes()
+                key = (item["question"], img, item.get("image_path"))
+                if key != cur_key:
+                    if cur:
+                        groups.append(cur)
+                    cur, cur_key = [], key
+                cur.append(i)
+            if cur:
+                groups.append(cur)
+            if any(len(g) >= 2 for g in groups):
+                out: List[dict] = [None] * len(items)
+                singles: List[int] = []
+                cap = max(batch_size, 16)
+                for group in groups:
+                    if len(group) < 2:
+                        singles.extend(group)
+                        continue
+                    prompts, starts, images = self._prepare(
+                        [items[group[0]]]
+                    )
+                    for c0 in range(0, len(group), cap):
+                        sub = group[c0 : c0 + cap]
+                        res = self.engine.generate_repeated(
+                            prompts[0], n=len(sub), image=images[0],
+                            image_start=int(starts[0]), sampling=sp,
+                            max_new_tokens=max_new_tokens,
+                            seed=seed + sub[0],
+                        )
+                        for b, i in enumerate(sub):
+                            out[i] = self._meta_row(
+                                items[i],
+                                answer=self.tokenizer.decode(
+                                    res.tokens[b][: res.lengths[b]],
+                                    skip_special_tokens=True,
+                                ).strip(),
+                            )
+                for s0 in range(0, len(singles), batch_size):
+                    sub = singles[s0 : s0 + batch_size]
+                    chunk = [items[i] for i in sub]
+                    prompts, starts, images = self._prepare(chunk)
+                    res = self.engine.generate(
+                        prompts, images=images, image_starts=starts,
+                        sampling=sp, max_new_tokens=max_new_tokens,
+                        seed=seed + s0,
+                    )
+                    for b, i in enumerate(sub):
+                        out[i] = self._meta_row(
+                            items[i],
+                            answer=self.tokenizer.decode(
+                                res.tokens[b][: res.lengths[b]],
+                                skip_special_tokens=True,
+                            ).strip(),
+                        )
+                return out
         if continuous:
             prompts, starts, images = self._prepare(items)
             res = self.engine.generate_continuous(

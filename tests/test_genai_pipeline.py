@@ -166,6 +166,45 @@ def test_autocheck_scores(tiny_gen):
         assert all(0.0 <= v <= 1.0 for v in s.values())
 
 
+def test_generate_repeated_matches_generate(tiny_gen):
+    """ONE prefill + tiled KV + B=n decode must reproduce generate() on n
+    copies of the prompt (greedy: exact token match)."""
+    from rlaifv_tpu.genai.sampling import SamplingParams
+
+    cfg, gen, tok = tiny_gen
+    item = _items(cfg, 1)[0]
+    prompts, starts, images = gen._prepare([item])
+    n = 3
+    plain = gen.engine.generate(
+        prompts * n, images=np.stack([images[0]] * n),
+        image_starts=np.asarray([starts[0]] * n),
+        sampling=SamplingParams.greedy(), max_new_tokens=6,
+    )
+    rep = gen.engine.generate_repeated(
+        prompts[0], n=n, image=images[0], image_start=int(starts[0]),
+        sampling=SamplingParams.greedy(), max_new_tokens=6,
+    )
+    assert np.array_equal(plain.tokens, rep.tokens)
+    assert np.array_equal(plain.lengths, rep.lengths)
+    np.testing.assert_allclose(plain.first_logits, rep.first_logits,
+                               atol=1e-4)
+
+
+def test_diverse_gen_share_repeats(tiny_gen):
+    """repeat_time-style items (identical question+image runs) go through
+    the shared-prefill path; output order and row schema are preserved."""
+    cfg, gen, tok = tiny_gen
+    base = _items(cfg, 2)
+    items = [dict(base[0], question_id=f"0.{k}") for k in range(3)]
+    items += [dict(base[1], question_id="1.0")]  # singleton tail
+    rows = gen.diverse_gen(items, max_new_tokens=4, batch_size=2,
+                           share_repeats=True)
+    assert [r["question_id"] for r in rows] == ["0.0", "0.1", "0.2", "1.0"]
+    for r in rows:
+        assert isinstance(r["answer"], str)
+        assert r["model_path"] == "tiny-test"
+
+
 def test_autocheck_shared_prefix_parity(tiny_gen):
     """The shared-prefix fast path (one prefill per image, suffix-only
     per fact) must reproduce the plain full-prefill scores: causal
