@@ -41,6 +41,30 @@ def left_pad_batch(seqs, pad_id: int, length: Optional[int] = None):
     return ids, mask
 
 
+def group_consecutive(items, *, with_question: bool = False):
+    """Indices of consecutive items sharing an image (and optionally the
+    question) — the gen/autocheck jsonl layouts keep one image's rows
+    together, so consecutive grouping finds the shareable prefixes without
+    reordering output."""
+    groups, cur, cur_key = [], [], object()
+    for i, item in enumerate(items):
+        img = item.get("image_bytes")
+        if img is None:
+            img = item.get("image")
+        if isinstance(img, np.ndarray):
+            img = img.tobytes()
+        key = (item["question"] if with_question else None, img,
+               item.get("image_path"))
+        if key != cur_key:
+            if cur:
+                groups.append(cur)
+            cur, cur_key = [], key
+        cur.append(i)
+    if cur:
+        groups.append(cur)
+    return groups
+
+
 @dataclasses.dataclass
 class GenerateResult:
     tokens: np.ndarray  # (B, max_new) generated ids, pad after EOS

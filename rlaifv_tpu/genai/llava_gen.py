@@ -28,7 +28,7 @@ from rlaifv_tpu.data import conversation as conversation_lib
 from rlaifv_tpu.data.datasets import GenDataset, shard_indices
 from rlaifv_tpu.data.image_processing import ClipImageProcessor, decode_image
 from rlaifv_tpu.data.multimodal import expand_image_sentinels, tokenizer_image_token
-from rlaifv_tpu.genai.engine import DecodeEngine
+from rlaifv_tpu.genai.engine import DecodeEngine, group_consecutive
 from rlaifv_tpu.genai.sampling import SamplingParams
 from rlaifv_tpu.utils.file_io import write_jsonlines
 
@@ -129,21 +129,7 @@ class Llava15Generator:
         encode, n sampled continuations decoded as one batch."""
         sp = SamplingParams(temperature=temperature, do_sample=True)
         if not continuous and share_repeats:
-            groups, cur, cur_key = [], [], object()
-            for i, item in enumerate(items):
-                img = item.get("image_bytes")
-                if img is None:
-                    img = item.get("image")
-                if isinstance(img, np.ndarray):
-                    img = img.tobytes()
-                key = (item["question"], img, item.get("image_path"))
-                if key != cur_key:
-                    if cur:
-                        groups.append(cur)
-                    cur, cur_key = [], key
-                cur.append(i)
-            if cur:
-                groups.append(cur)
+            groups = group_consecutive(items, with_question=True)
             if any(len(g) >= 2 for g in groups):
                 out: List[dict] = [None] * len(items)
                 singles: List[int] = []
@@ -305,23 +291,7 @@ class Llava15Generator:
         out: List[dict] = [None] * len(items)
         # group CONSECUTIVE items by image identity (the reference jsonl
         # groups facts of one answer together)
-        groups, cur, cur_key = [], [], object()
-        for i, item in enumerate(items):
-            img = item.get("image_bytes")
-            if img is None:
-                img = item.get("image")
-            if isinstance(img, np.ndarray):
-                img = img.tobytes()
-            key = (img, item.get("image_path"))
-            if key != cur_key:
-                if cur:
-                    groups.append(cur)
-                cur, cur_key = [], key
-            cur.append(i)
-        if cur:
-            groups.append(cur)
-
-        for group in groups:
+        for group in group_consecutive(items):
             chunk = [items[i] for i in group]
             prompts, starts, images = self._prepare(chunk)
             P = int(starts[0]) + self.num_patches

@@ -19,7 +19,7 @@ from rlaifv_tpu.data.minicpmv_slicing import (
     get_image_placeholder,
     slice_image,
 )
-from rlaifv_tpu.genai.engine import DecodeEngine
+from rlaifv_tpu.genai.engine import DecodeEngine, group_consecutive
 from rlaifv_tpu.genai.sampling import SamplingParams
 from rlaifv_tpu.models.minicpmv import find_unk_spans
 
@@ -151,9 +151,58 @@ class MiniCPMVGenerator:
     # ---------------------------------------------------------- modes
 
     def diverse_gen(self, items, *, temperature=0.7, max_new_tokens=512,
-                    batch_size=4, seed=0, continuous=False) -> List[dict]:
+                    batch_size=4, seed=0, continuous=False,
+                    share_repeats: bool = True) -> List[dict]:
         sp = SamplingParams(temperature=temperature, do_sample=True,
                             repetition_penalty=1.05)
+        if not continuous and share_repeats:
+            groups = group_consecutive(items, with_question=True)
+            if any(len(g) >= 2 for g in groups):
+                out: List[dict] = [None] * len(items)
+                singles: List[int] = []
+                cap = max(batch_size, 16)
+                for group in groups:
+                    if len(group) < 2:
+                        singles.extend(group)
+                        continue
+                    # one slice encode + one prefill per repeat group
+                    prompts, feats, starts = self._prepare([items[group[0]]])
+                    active = int((starts[0] >= 0).sum())
+                    for c0 in range(0, len(group), cap):
+                        sub = group[c0 : c0 + cap]
+                        res = self.engine.generate_repeated(
+                            prompts[0], n=len(sub),
+                            span_features=feats[0][:active],
+                            span_starts=starts[0][:active],
+                            sampling=sp, max_new_tokens=max_new_tokens,
+                            seed=seed + sub[0],
+                        )
+                        for b, i in enumerate(sub):
+                            out[i] = self._row(
+                                items[i],
+                                answer=self.tokenizer.decode(
+                                    res.tokens[b][: res.lengths[b]],
+                                    skip_special_tokens=True,
+                                ).strip(),
+                            )
+                for s0 in range(0, len(singles), batch_size):
+                    sub = singles[s0 : s0 + batch_size]
+                    chunk = [items[i] for i in sub]
+                    prompts, feats, starts = self._prepare(chunk)
+                    res = self.engine.generate(
+                        prompts, span_features=feats, span_starts=starts,
+                        sampling=sp, max_new_tokens=max_new_tokens,
+                        seed=seed + s0,
+                    )
+                    for b, i in enumerate(sub):
+                        out[i] = self._row(
+                            chunk[b],
+                            answer=self.tokenizer.decode(
+                                res.tokens[b][: res.lengths[b]],
+                                skip_special_tokens=True,
+                            ).strip(),
+                        )
+                return out
         if continuous:
             prompts, feats, starts = self._prepare(items)
             res = self.engine.generate_continuous(
@@ -222,24 +271,8 @@ class MiniCPMVGenerator:
             return out
 
         out: List[dict] = [None] * len(items)
-        groups, cur, cur_key = [], [], object()
-        for i, item in enumerate(items):
-            img = item.get("image_bytes")
-            if img is None:
-                img = item.get("image")
-            if isinstance(img, np.ndarray):
-                img = img.tobytes()
-            key = (img, item.get("image_path"))
-            if key != cur_key:
-                if cur:
-                    groups.append(cur)
-                cur, cur_key = [], key
-            cur.append(i)
-        if cur:
-            groups.append(cur)
-
         sb = max(batch_size, 4)  # suffix rows are tiny; don't run them 1-up
-        for group in groups:
+        for group in group_consecutive(items):
             chunk = [items[i] for i in group]
             prompts = [self._build_prompt(it)[0] for it in chunk]
             P = self.engine.longest_common_prefix_len(prompts)

@@ -23,7 +23,7 @@ from rlaifv_tpu.constants import (
 )
 from rlaifv_tpu.data.image_processing import ClipImageProcessor, decode_image
 from rlaifv_tpu.data.preprocess import omni_preprocess
-from rlaifv_tpu.genai.engine import DecodeEngine
+from rlaifv_tpu.genai.engine import DecodeEngine, group_consecutive
 from rlaifv_tpu.genai.sampling import SamplingParams
 from rlaifv_tpu.models.omnilmm import find_image_start
 
@@ -137,8 +137,15 @@ class OmniLMMGenerator:
         ]
 
     def diverse_gen(self, items, *, temperature=0.7, max_new_tokens=512,
-                    batch_size=8, seed=0, continuous=False) -> List[dict]:
+                    batch_size=8, seed=0, continuous=False,
+                    share_repeats: bool = True) -> List[dict]:
         sp = SamplingParams(temperature=temperature, do_sample=True)
+        if not continuous and share_repeats:
+            rows = self._diverse_gen_shared(
+                items, sp, max_new_tokens, batch_size, seed
+            )
+            if rows is not None:
+                return rows
         if continuous:
             prompts, starts, images = self._prepare(items)
             res = self.engine.generate_continuous(
@@ -171,6 +178,46 @@ class OmniLMMGenerator:
         scores = {w: float(probs[t]) for w, t in ids.items()}
         return self._row(item, answer=text, scores=scores)
 
+    def _diverse_gen_shared(self, items, sp, max_new_tokens, batch_size,
+                            seed):
+        """Shared prefill for repeat_time-identical prompts (one prefill +
+        one EVA02 encode per group, engine.generate_repeated). Returns None
+        when nothing is shareable (caller falls through to the plain path)."""
+        groups = group_consecutive(items, with_question=True)
+        if not any(len(g) >= 2 for g in groups):
+            return None
+        out: List[dict] = [None] * len(items)
+        singles: List[int] = []
+        cap = max(batch_size, 16)
+        for group in groups:
+            if len(group) < 2:
+                singles.extend(group)
+                continue
+            prompts, starts, images = self._prepare([items[group[0]]])
+            for c0 in range(0, len(group), cap):
+                sub = group[c0 : c0 + cap]
+                res = self.engine.generate_repeated(
+                    prompts[0], n=len(sub), image=images[0],
+                    image_start=int(starts[0]), sampling=sp,
+                    max_new_tokens=max_new_tokens, seed=seed + sub[0],
+                )
+                for b, i in enumerate(sub):
+                    out[i] = self._row(
+                        items[i],
+                        answer=self.tokenizer.decode(
+                            res.tokens[b][: res.lengths[b]],
+                            skip_special_tokens=True,
+                        ).strip(),
+                    )
+        if singles:
+            for j, (item, text, _) in enumerate(self.generate(
+                [items[i] for i in singles], sampling=sp,
+                max_new_tokens=max_new_tokens, batch_size=batch_size,
+                seed=seed,
+            )):
+                out[singles[j]] = self._row(item, answer=text)
+        return out
+
     def autocheck(self, items, *, batch_size=8,
                   shared_prefix: bool = True) -> List[dict]:
         """shared_prefix=True: fact questions about the same image share
@@ -191,23 +238,7 @@ class OmniLMMGenerator:
             return out
 
         out: List[dict] = [None] * len(items)
-        groups, cur, cur_key = [], [], object()
-        for i, item in enumerate(items):
-            img = item.get("image_bytes")
-            if img is None:
-                img = item.get("image")
-            if isinstance(img, np.ndarray):
-                img = img.tobytes()
-            key = (img, item.get("image_path"))
-            if key != cur_key:
-                if cur:
-                    groups.append(cur)
-                cur, cur_key = [], key
-            cur.append(i)
-        if cur:
-            groups.append(cur)
-
-        for group in groups:
+        for group in group_consecutive(items):
             chunk = [items[i] for i in group]
             prompts, starts, images = self._prepare(chunk)
             # prefix ends right after <im_end> (start indexes the first

@@ -75,6 +75,12 @@ class MiniCPMVConfig:
             kv_dim=self.vision.hidden_size,
             dtype=self.llm.dtype,
             param_dtype=self.llm.param_dtype,
+            # 2.5 semantics: query_num queries (96 — NOT a square grid; the
+            # isqrt grid_size above silently emitted 81 before this), no
+            # query-side pos embed — sincos positions ride the keys, per
+            # slice tgt_size (tgt_hw in encode_slices)
+            num_queries_override=self.query_num,
+            query_pos=False,
         )
 
     @staticmethod

@@ -66,9 +66,18 @@ class ResamplerConfig:
     ln_eps: float = 1e-6
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
+    # MiniCPM-V 2.5 semantics: query_num learned queries that need NOT be a
+    # square grid (2.5 uses 96), and NO position embedding on the query
+    # side — the adaptive resampler adds sincos positions to the keys only,
+    # per slice tgt_size. OmniLMM (default) keeps grid² queries with
+    # q + pos_embed (ref omnilmm/model/resampler.py:96-171).
+    num_queries_override: Optional[int] = None
+    query_pos: bool = True
 
     @property
     def num_queries(self) -> int:
+        if self.num_queries_override is not None:
+            return self.num_queries_override
         return self.grid_size ** 2
 
 
@@ -85,11 +94,13 @@ class Resampler(nn.Module):
         B, N, _ = x.shape
         D, H = cfg.embed_dim, cfg.num_heads
 
-        pos_embed = self.param(
-            "pos_embed",
-            lambda key: jnp.asarray(sincos_2d(D, cfg.grid_size),
-                                    cfg.param_dtype),
-        )
+        pos_embed = None
+        if cfg.query_pos:
+            pos_embed = self.param(
+                "pos_embed",
+                lambda key: jnp.asarray(sincos_2d(D, cfg.grid_size),
+                                        cfg.param_dtype),
+            )
         query = self.param(
             "query", nn.initializers.truncated_normal(0.02),
             (cfg.num_queries, D), cfg.param_dtype,
@@ -112,8 +123,11 @@ class Resampler(nn.Module):
             kv_pos = jnp.asarray(
                 sincos_2d_rect(D, tgt_hw[0], tgt_hw[1]), cfg.dtype
             )
-        else:
+        elif pos_embed is not None:
             kv_pos = interp_abs_pos(pos_embed.astype(cfg.dtype), N)  # (N, D)
+        else:  # query_pos=False (2.5): fresh sincos table over the N grid
+            side = int(math.sqrt(N))
+            kv_pos = jnp.asarray(sincos_2d_rect(D, side, side), cfg.dtype)
 
         # torch nn.MultiheadAttention packed projections
         def proj(name, inp):
@@ -122,7 +136,10 @@ class Resampler(nn.Module):
                 param_dtype=cfg.param_dtype, name=name,
             )(inp)
 
-        q_in = q[None] + pos_embed.astype(cfg.dtype)[None]  # (1, Q, D)
+        if cfg.query_pos:
+            q_in = q[None] + pos_embed.astype(cfg.dtype)[None]  # (1, Q, D)
+        else:  # 2.5: learned queries only, positions ride the keys
+            q_in = q[None]
         k_in = kv + kv_pos[None]  # (B, N, D)
 
         qh = proj("attn_q", jnp.broadcast_to(q_in, (B,) + q_in.shape[1:]))
