@@ -19,8 +19,12 @@ import jax
 def initialize(coordinator: Optional[str] = None,
                num_processes: Optional[int] = None,
                process_id: Optional[int] = None) -> None:
-    """Idempotent multi-host init. No-ops single-process (tests, 1 host)."""
-    if jax.process_count() > 1:
+    """Idempotent multi-host init. No-ops single-process (tests, 1 host).
+
+    NB: must not touch the XLA backend before jax.distributed.initialize —
+    jax.process_count() would initialize it (bug caught by the REAL
+    2-process run, tests/test_two_process.py)."""
+    if jax.distributed.is_initialized():
         return  # already initialized by the launcher
     spec = coordinator or os.environ.get("JAX_COORDINATOR_ADDRESS")
     if spec is None:
@@ -46,12 +50,32 @@ def is_primary() -> bool:
 
 
 def all_gather_objects(obj: Any) -> List[Any]:
-    """Gather an arbitrary (pickle-able) object from every host."""
+    """Gather an arbitrary (pickle-able) object from every host.
+
+    `multihost_utils.process_allgather` only accepts pytrees of uniformly
+    shaped arrays — the ref-logp payload (ragged per-token logp lists,
+    ref muffin/eval/muffin_inference_logp.py:331 `all_gather_object`) is
+    not one. Serialize to bytes, gather lengths, pad to the max, gather
+    the padded uint8 buffers, unpickle per process. Covered by a REAL
+    2-process run in tests/test_two_process.py.
+    """
     if jax.process_count() == 1:
         return [obj]
+    import pickle
+
+    import numpy as np
     from jax.experimental import multihost_utils
 
-    return list(multihost_utils.process_allgather(obj))
+    blob = np.frombuffer(pickle.dumps(obj), dtype=np.uint8)
+    lengths = multihost_utils.process_allgather(np.int64(blob.size))
+    max_len = int(np.max(lengths))
+    padded = np.zeros(max_len, np.uint8)
+    padded[: blob.size] = blob
+    gathered = multihost_utils.process_allgather(padded)
+    return [
+        pickle.loads(gathered[i, : int(lengths[i])].tobytes())
+        for i in range(jax.process_count())
+    ]
 
 
 def barrier(name: str = "barrier") -> None:
