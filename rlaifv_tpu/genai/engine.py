@@ -42,27 +42,44 @@ def left_pad_batch(seqs, pad_id: int, length: Optional[int] = None):
 
 
 def group_consecutive(items, *, with_question: bool = False):
-    """Indices of consecutive items sharing an image (and optionally the
-    question) — the gen/autocheck jsonl layouts keep one image's rows
-    together, so consecutive grouping finds the shareable prefixes without
-    reordering output."""
-    groups, cur, cur_key = [], [], object()
+    """Indices of items sharing an image (and optionally the question),
+    grouped regardless of position.
+
+    The gen/autocheck jsonl layouts keep one image's rows together, but a
+    pre-shuffled or interleaved file must not silently forfeit the
+    shared-prefix fast path (SURVEY 'no silent caps'): items are grouped by
+    key over the WHOLE list (first-seen key order, original order inside
+    each group). Every caller restores output order by original index
+    (`out[i] = ...`), so regrouping never reorders results. When
+    non-consecutive duplicates were actually regrouped, one line is logged
+    with the count."""
+    groups: dict = {}
     for i, item in enumerate(items):
-        img = item.get("image_bytes")
-        if img is None:
-            img = item.get("image")
+        # mirror the generators' _prepare fallback exactly (`image_bytes or
+        # image`): an empty/falsy image_bytes must not group distinct images
+        img = item.get("image_bytes") or item.get("image")
         if isinstance(img, np.ndarray):
             img = img.tobytes()
         key = (item["question"] if with_question else None, img,
                item.get("image_path"))
-        if key != cur_key:
-            if cur:
-                groups.append(cur)
-            cur, cur_key = [], key
-        cur.append(i)
-    if cur:
-        groups.append(cur)
-    return groups
+        try:
+            hash(key)
+        except TypeError:  # e.g. parquet-style {"bytes": ...} image dicts
+            key = repr(key)
+        groups.setdefault(key, []).append(i)
+    out = list(groups.values())
+    n_regrouped = sum(
+        1 for g in out for a, b in zip(g, g[1:]) if b != a + 1
+    )
+    if n_regrouped:
+        import logging
+
+        logging.getLogger(__name__).info(
+            "group_consecutive: regrouped %d non-consecutive shared rows "
+            "(shuffled input; shared-prefix fast path preserved)",
+            n_regrouped,
+        )
+    return out
 
 
 @dataclasses.dataclass
@@ -129,7 +146,8 @@ class DecodeEngine:
                            else stripped)
 
     def _fused_prefill_tower(self, params, stacked, scache, embeds, mask,
-                             pos, col_start, slot_ids=None, n_slots=0):
+                             pos, col_start, slot_ids=None, n_slots=0,
+                             src_rows=None):
         """Run a prompt window through the layer stack, writing each
         layer's int8 KV straight into the stacked h-major cache (the
         write-through prefill: the per-layer cache layout never exists
@@ -146,7 +164,7 @@ class DecodeEngine:
 
         return stacked_prefill_tower(
             stacked, scache, embeds, mask, pos, self._llm_cfg(), col_start,
-            slot_ids=slot_ids, n_slots=n_slots,
+            slot_ids=slot_ids, n_slots=n_slots, src_rows=src_rows,
         )
 
     def _embed_spliced(self, params, ids, images, image_starts,
@@ -666,6 +684,11 @@ class DecodeEngine:
         )
 
         N = len(suffixes)
+        if any(len(s) < 1 for s in suffixes):
+            # an empty suffix would gather logits from a garbage padded
+            # position (llava/omni compute P positionally) — reject loudly
+            raise ValueError("score_shared_prefix: every suffix must carry "
+                             "at least one token past the shared prefix")
         W = max(len(s) for s in suffixes)
         W = -(-W // suffix_bucket) * suffix_bucket
         suffix_fn = self._build_suffix_fn(P, W, batch_size)
@@ -686,6 +709,160 @@ class DecodeEngine:
                 logits, np.float32
             )[: len(chunk)]
         return out
+
+    def _build_pair_score_fn(self, Pmax: int, W: int, B: int):
+        """Jitted two-phase scorer: B left-padded prefixes prefill once,
+        their KV is duplicated for the 2B win‖rej suffix rows, and only the
+        suffixes run the second forward. Returns per-token logps of the
+        suffix labels (fp32), sums and means."""
+        key = ("pairscore", Pmax, W, B)
+        if key in self._gen_fns:
+            return self._gen_fns[key]
+
+        from rlaifv_tpu.constants import IGNORE_INDEX
+
+        @jax.jit
+        def run(params, pids, pmask, images, image_starts, sids, smask,
+                slabels):
+            embeds = self._embed_spliced(
+                params, pids, images, image_starts, None, None
+            )
+            ppos = jnp.maximum(jnp.cumsum(pmask, axis=1) - 1, 0)
+            _, pcache = self._llm(
+                params, inputs_embeds=embeds, attention_mask=pmask,
+                position_ids=ppos, cache=self._fp_cache(B, Pmax + W),
+                cache_index=jnp.int32(0),
+            )
+            # win rows 0..B-1 and rej rows B..2B-1 share prefix i -> tile KV
+            cache2 = jax.tree.map(
+                lambda c: jnp.concatenate([c, c], axis=0), pcache
+            )
+            pmask2 = jnp.concatenate([pmask, pmask], axis=0)
+            cmask = jnp.zeros((2 * B, Pmax + W), jnp.int32)
+            cmask = cmask.at[:, :Pmax].set(pmask2).at[:, Pmax:].set(smask)
+            spos = (
+                pmask2.sum(axis=1, keepdims=True)
+                + jnp.cumsum(smask, axis=1) - 1
+            ).astype(jnp.int32)
+            spos = jnp.maximum(spos, 0)
+            logits, _ = self._llm(
+                params, input_ids=jnp.maximum(sids, 0), attention_mask=cmask,
+                position_ids=spos, cache=cache2, cache_index=jnp.int32(Pmax),
+            )
+            logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+            tok = jnp.take_along_axis(
+                logp, jnp.maximum(slabels, 0)[..., None], axis=-1
+            )[..., 0]
+            m = ((slabels != IGNORE_INDEX) & (smask == 1)).astype(jnp.float32)
+            per_token = tok * m
+            sums = per_token.sum(axis=1)
+            means = sums / jnp.maximum(m.sum(axis=1), 1.0)
+            return sums, means, per_token
+
+        self._gen_fns[key] = run
+        return run
+
+    def score_pair_logps(
+        self,
+        prefixes,  # B token-lists (pair i's shared prompt prefix)
+        suffixes,  # 2B token-lists: win rows 0..B-1, rej rows B..2B-1
+        suffix_labels,  # 2B label-lists, len == len(suffix), -100 masked;
+        # entry j is the label for the token PREDICTED by suffix position j
+        *,
+        images=None,  # (B, H, W, 3) or None
+        image_starts=None,  # (B,) in UNPADDED prefix coordinates, -1 none
+        pair_batch: int = 8,
+        prefix_bucket: int = 128,
+        suffix_bucket: int = 64,
+    ):
+        """Shared-prefix win‖rej scoring (the ref-logp precompute fast path).
+
+        The reference scores each pair with TWO full forwards over
+        prompt+answer (muffin/eval/muffin_inference_logp.py:213-280); here
+        the shared prompt prefix (system + image tokens + question) prefills
+        ONCE per pair and only the two answer suffixes run again — exact,
+        because causal attention makes shared-prefix KV identical across
+        rows (same slice-not-retokenize split as score_shared_prefix).
+
+        Returns (sums (2B,), means (2B,), per_token: list of 2B fp32 arrays
+        trimmed to each suffix's true length).
+        """
+        if self.fused_decode:
+            raise ValueError(
+                "score_pair_logps needs the flax per-layer path; "
+                "construct the engine with fused_decode=False"
+            )
+        B_total = len(prefixes)
+        assert len(suffixes) == 2 * B_total == len(suffix_labels)
+        if any(len(s) < 1 for s in suffixes):
+            raise ValueError("score_pair_logps: empty suffix")
+
+        sums = np.zeros(2 * B_total, np.float32)
+        means = np.zeros(2 * B_total, np.float32)
+        per_token = [None] * (2 * B_total)
+        for c0 in range(0, B_total, pair_batch):
+            pc = prefixes[c0 : c0 + pair_batch]
+            n = len(pc)
+            B = pair_batch if B_total > pair_batch else n
+            rows = list(range(c0, c0 + n))
+            sfx = [suffixes[i] for i in rows] + \
+                  [suffixes[B_total + i] for i in rows]
+            lab = [suffix_labels[i] for i in rows] + \
+                  [suffix_labels[B_total + i] for i in rows]
+            Pmax = max(len(p) for p in pc)
+            Pmax = -(-Pmax // prefix_bucket) * prefix_bucket
+            W = max(len(s) for s in sfx)
+            W = -(-W // suffix_bucket) * suffix_bucket
+
+            pids = np.zeros((B, Pmax), np.int32)
+            pmask = np.zeros((B, Pmax), np.int32)
+            starts = np.full((B,), -1, np.int32)
+            for r, p in enumerate(pc):
+                off = Pmax - len(p)
+                pids[r, off:] = p
+                pmask[r, off:] = 1
+                if image_starts is not None and image_starts[c0 + r] >= 0:
+                    starts[r] = image_starts[c0 + r] + off
+            imgs = None
+            if images is not None:
+                sel = np.asarray(images[c0 : c0 + n])
+                if n < B:  # pad pairs: repeat pair 0
+                    sel = np.concatenate(
+                        [sel, np.repeat(sel[:1], B - n, axis=0)], axis=0
+                    )
+                imgs = self._device_images(sel)
+            if n < B:
+                pids[n:], pmask[n:], starts[n:] = pids[0], pmask[0], starts[0]
+
+            sids = np.zeros((2 * B, W), np.int32)
+            smask = np.zeros((2 * B, W), np.int32)
+            slab = np.full((2 * B, W), -100, np.int32)
+            for r in range(n):
+                for half, src_row in ((0, r), (B, n + r)):
+                    s, l = sfx[src_row], lab[src_row]
+                    sids[half + r, : len(s)] = s
+                    smask[half + r, : len(s)] = 1
+                    slab[half + r, : len(l)] = l
+            for r in range(n, B):  # pad rows mirror row 0
+                sids[r], smask[r], slab[r] = sids[0], smask[0], slab[0]
+                sids[B + r], smask[B + r] = sids[B], smask[B]
+                slab[B + r] = slab[B]
+
+            fn = self._build_pair_score_fn(Pmax, W, B)
+            s_d, m_d, pt_d = fn(
+                self.params, jnp.asarray(pids), jnp.asarray(pmask), imgs,
+                jnp.asarray(starts), jnp.asarray(sids), jnp.asarray(smask),
+                jnp.asarray(slab),
+            )
+            s_h = np.asarray(s_d, np.float32)
+            m_h = np.asarray(m_d, np.float32)
+            pt_h = np.asarray(pt_d, np.float32)
+            for r in range(n):
+                for dst, src in ((c0 + r, r), (B_total + c0 + r, B + r)):
+                    sums[dst] = s_h[src]
+                    means[dst] = m_h[src]
+                    per_token[dst] = pt_h[src][: len(suffixes[dst])]
+        return sums, means, per_token
 
     def _build_beam(self, num_beams: int, max_new: int, length_penalty: float,
                     sampling=None):

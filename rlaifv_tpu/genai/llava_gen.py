@@ -128,7 +128,9 @@ class Llava15Generator:
         run through engine.generate_repeated: ONE prefill + ONE vision
         encode, n sampled continuations decoded as one batch."""
         sp = SamplingParams(temperature=temperature, do_sample=True)
-        if not continuous and share_repeats:
+        # generate_repeated requires the non-fused KV layout (it raises on
+        # fused engines) — fused engines fall through to the plain batch path
+        if not continuous and share_repeats and not self.engine.fused_decode:
             groups = group_consecutive(items, with_question=True)
             if any(len(g) >= 2 for g in groups):
                 out: List[dict] = [None] * len(items)

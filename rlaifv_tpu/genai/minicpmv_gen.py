@@ -274,11 +274,12 @@ class MiniCPMVGenerator:
         sb = max(batch_size, 4)  # suffix rows are tiny; don't run them 1-up
         for group in group_consecutive(items):
             chunk = [items[i] for i in group]
-            prompts = [self._build_prompt(it)[0] for it in chunk]
+            # span bounds come from tokenization alone — decide shared vs
+            # fallback BEFORE paying any SigLIP slice encode
+            built = [self._build_prompt(it) for it in chunk]
+            prompts = [b[0] for b in built]
             P = self.engine.longest_common_prefix_len(prompts)
-            # one representative _prepare carries the slices' encode + spans
-            _, feats, starts = self._prepare(chunk[:1])
-            active = [int(s) for s in starts[0] if s >= 0]
+            active = [int(s) for s in built[0][1]]
             last_span_end = (max(active) + self.cfg.query_num) if active else 0
             if len(group) < 2 or last_span_end > P:
                 for i0 in range(0, len(chunk), batch_size):
@@ -293,6 +294,8 @@ class MiniCPMVGenerator:
                             item, res.first_logits[b], ids
                         )
                 continue
+            # shared path confirmed: ONE representative encode per group
+            _, feats, starts = self._prepare(chunk[:1])
             logits = self.engine.score_shared_prefix(
                 prompts[0][:P], [p[P:] for p in prompts],
                 span_features=feats[0], span_starts=starts[0],

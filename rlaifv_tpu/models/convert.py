@@ -523,7 +523,10 @@ def convert_minicpmv(sd: Mapping[str, Any], dtype=np.float32) -> Tree:
     }
     tree: Tree = {"llm": convert_llama(llm_sd, dtype=dtype)}
     tree["vpm"] = convert_siglip(sd, prefix="vpm.", dtype=dtype)
-    tree["resampler"] = convert_resampler(sd, prefix="resampler.", dtype=dtype)
+    # 2.5 resampler runs query_pos=False (positions ride the keys per-slice),
+    # so the flax module declares no pos_embed param — skip it here too
+    tree["resampler"] = convert_resampler(sd, prefix="resampler.", dtype=dtype,
+                                          query_pos=False)
     return tree
 
 

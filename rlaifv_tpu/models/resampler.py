@@ -127,6 +127,10 @@ class Resampler(nn.Module):
             kv_pos = interp_abs_pos(pos_embed.astype(cfg.dtype), N)  # (N, D)
         else:  # query_pos=False (2.5): fresh sincos table over the N grid
             side = int(math.sqrt(N))
+            if side * side != N:
+                raise ValueError(
+                    f"non-square token count N={N} needs explicit tgt_hw"
+                )
             kv_pos = jnp.asarray(sincos_2d_rect(D, side, side), cfg.dtype)
 
         # torch nn.MultiheadAttention packed projections
@@ -174,8 +178,13 @@ class Resampler(nn.Module):
         return out @ final_proj.astype(cfg.dtype)
 
 
-def convert_resampler(sd, prefix: str = "", dtype=np.float32) -> dict:
-    """torch Resampler state dict -> flax params (in_proj split in q/k/v)."""
+def convert_resampler(sd, prefix: str = "", dtype=np.float32,
+                      query_pos: bool = True) -> dict:
+    """torch Resampler state dict -> flax params (in_proj split in q/k/v).
+
+    query_pos must mirror ResamplerConfig.query_pos: with query_pos=False
+    (MiniCPM-V 2.5) the flax module declares no 'pos_embed' param, so the
+    converted tree must omit it to match model.init's structure."""
 
     def g(k):
         v = sd[prefix + k]
@@ -187,7 +196,6 @@ def convert_resampler(sd, prefix: str = "", dtype=np.float32) -> dict:
     in_proj_w = g("attn.in_proj_weight")  # (3D, D)
     in_proj_b = g("attn.in_proj_bias")
     out = {
-        "pos_embed": g("pos_embed"),
         "query": g("query"),
         "ln_q": {"scale": g("ln_q.weight"), "bias": g("ln_q.bias")},
         "ln_kv": {"scale": g("ln_kv.weight"), "bias": g("ln_kv.bias")},
@@ -201,6 +209,8 @@ def convert_resampler(sd, prefix: str = "", dtype=np.float32) -> dict:
         },
         "proj": g("proj"),
     }
+    if query_pos:
+        out["pos_embed"] = g("pos_embed")
     if prefix + "kv_proj.weight" in sd:
         out["kv_proj"] = {"kernel": g("kv_proj.weight").T}
     return out

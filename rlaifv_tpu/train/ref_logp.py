@@ -109,6 +109,161 @@ def make_score_fn(model, params, *, shift: bool = True,
     return score
 
 
+def _encode_rows(rows, tokenizer, mm_cfg):
+    encoded = []
+    for row in rows:
+        # wrap raw parquet columns as conversation turns
+        # (ref PreferenceInferenceDataset, muffin_inference_logp.py:136-146)
+        src = {
+            "question": {"from": "human",
+                         "value": f"<image>\n{row['question']}"},
+            "chosen": {"from": "gpt", "value": row["chosen"]},
+            "rejected": {"from": "gpt", "value": row["rejected"]},
+        }
+        if "image_bytes" in row or "image" in row:
+            src["image"] = row.get("image_bytes", row.get("image"))
+        # llava15 contract: has_image tokenization with the kept <image>
+        # tag (ref PreferenceInferenceDataset, muffin_inference_logp.py:159)
+        encoded.append(
+            encode_preference_sample(
+                src, tokenizer, mm_cfg,
+                preprocess_func=partial(preprocess_v1, has_image=True),
+            )
+        )
+    return encoded
+
+
+def _shared_split(ex_w, ex_r, num_patches: int):
+    """Split one expanded pair at the longest shared prompt prefix.
+
+    Returns (S, prefix, sfx_w, sfx_r, lab_w, lab_r) or None when the pair
+    can't share (no common prefix before the first label, or the image span
+    crosses the split)."""
+    import numpy as np
+
+    w_ids, w_lab = ex_w["input_ids"], ex_w["labels"]
+    r_ids, r_lab = ex_r["input_ids"], ex_r["labels"]
+    start = int(ex_w["image_start"])
+    if start != int(ex_r["image_start"]):
+        return None
+    n = min(len(w_ids), len(r_ids))
+    neq = np.nonzero(w_ids[:n] != r_ids[:n])[0]
+    common = int(neq[0]) if len(neq) else n
+    firsts = [
+        int(np.nonzero(lab != IGNORE_INDEX)[0][0])
+        for lab in (w_lab, r_lab)
+        if (lab != IGNORE_INDEX).any()
+    ]
+    if len(firsts) < 2:
+        return None
+    S = min(common, *firsts) - 1
+    if S < 1 or (start >= 0 and start + num_patches > S):
+        return None
+
+    def side(ids, lab):
+        # suffix position j predicts token S+j+1 (shift-1 layout)
+        sl = np.full(len(ids) - S, IGNORE_INDEX, np.int32)
+        sl[: len(lab) - S - 1] = lab[S + 1 :]
+        return ids[S:].tolist(), sl.tolist()
+
+    sfx_w, lab_w = side(w_ids, w_lab)
+    sfx_r, lab_r = side(r_ids, r_lab)
+    return S, w_ids[:S].tolist(), sfx_w, sfx_r, lab_w, lab_r
+
+
+def _score_rows_shared(rows, model, params, tokenizer, *, max_len,
+                       num_patches, batch_pairs, mm_cfg, progress):
+    """Shared-prefix variant of score_preference_rows: the prompt prefix
+    (system + image tokens + question) prefills ONCE per pair; only the two
+    answer suffixes run the second forward (engine.score_pair_logps). Exact
+    same outputs as the plain path (parity test
+    tests/test_pipeline.py::test_shared_prefix_ref_logp_parity); pairs that
+    cannot share (image span crossing the split, no labels) fall back to
+    the plain scorer. Ref being beaten: two full forwards per pair,
+    muffin/eval/muffin_inference_logp.py:213-280."""
+    import numpy as np
+
+    from rlaifv_tpu.data.multimodal import expand_image_sentinels
+    from rlaifv_tpu.genai.engine import DecodeEngine
+
+    encoded = _encode_rows(rows, tokenizer, mm_cfg)
+    prefixes, sfx_w, sfx_r, lab_w, lab_r = [], [], [], [], []
+    images, starts, order, fallback = [], [], [], []
+    meta = []  # (S, win_valid, rej_valid)
+    for i, (rej, win) in enumerate(encoded):
+        ex_w = expand_image_sentinels(
+            np.asarray(win["input_ids"]), np.asarray(win["labels"]),
+            num_patches, max_len,
+        )
+        ex_r = expand_image_sentinels(
+            np.asarray(rej["input_ids"]), np.asarray(rej["labels"]),
+            num_patches, max_len,
+        )
+        split = _shared_split(ex_w, ex_r, num_patches)
+        if split is None or win.get("image") is None:
+            fallback.append(i)
+            continue
+        S, prefix, sw, sr, lw, lr = split
+        order.append(i)
+        prefixes.append(prefix)
+        sfx_w.append(sw)
+        sfx_r.append(sr)
+        lab_w.append(lw)
+        lab_r.append(lr)
+        images.append(win["image"])
+        starts.append(int(ex_w["image_start"]))
+        meta.append((S, len(ex_w["input_ids"]), len(ex_r["input_ids"])))
+
+    out: List[Optional[list]] = [None] * len(rows)
+    if order:
+        engine = DecodeEngine(
+            model, params,
+            eos_id=getattr(tokenizer, "eos_token_id", 2) or 2,
+            pad_id=tokenizer.pad_token_id or 0,
+        )
+        it = range(0, len(order), batch_pairs)
+        if progress:
+            import tqdm
+
+            it = tqdm.tqdm(it, desc="ref-logp(shared)")
+        for c0 in it:
+            rows_c = slice(c0, c0 + batch_pairs)
+            idxs = order[rows_c]
+            n = len(idxs)
+            sums, means, per_tok = engine.score_pair_logps(
+                prefixes[rows_c],
+                sfx_w[rows_c] + sfx_r[rows_c],
+                lab_w[rows_c] + lab_r[rows_c],
+                images=np.stack(images[rows_c]).astype(np.float32),
+                image_starts=starts[rows_c],
+                pair_batch=batch_pairs,
+            )
+            for j, i in enumerate(idxs):
+                S, w_len, r_len = meta[c0 + j]
+
+                def full(pt, L_valid):
+                    arr = np.zeros(L_valid - 1, np.float32)
+                    arr[S : L_valid - 1] = pt[: L_valid - 1 - S]
+                    return arr.tolist()
+
+                out[i] = [
+                    float(sums[j]), float(means[j]),
+                    full(per_tok[j], w_len),
+                    float(sums[n + j]), float(means[n + j]),
+                    full(per_tok[n + j], r_len),
+                ]
+    if fallback:
+        plain = score_preference_rows(
+            [rows[i] for i in fallback], model, params, tokenizer,
+            max_len=max_len, num_patches=num_patches,
+            batch_pairs=batch_pairs, multimodal_cfg=mm_cfg,
+            progress=False, shared_prefix=False,
+        )
+        for i, res in zip(fallback, plain):
+            out[i] = res
+    return out
+
+
 def score_preference_rows(
     rows: Sequence[dict],
     model,
@@ -123,9 +278,15 @@ def score_preference_rows(
     progress: bool = True,
     lm_head_impl: str = "xla",
     compact_len: int = 0,
+    shared_prefix: bool = False,
 ) -> List[list]:
     """Returns per-row [win_logp, win_avg, win_per_token, rej_logp,
-    rej_avg, rej_per_token] (the reference 'logps' tuple order)."""
+    rej_avg, rej_per_token] (the reference 'logps' tuple order).
+
+    shared_prefix=True prefills each pair's shared prompt prefix once and
+    scores only the win/rej answer suffixes (~1.5-2x on prompt-heavy rows;
+    see _score_rows_shared). lm_head_impl is ignored on that path (the
+    suffix logits are already compact: answers only)."""
     image_processor = image_processor or ClipImageProcessor()
     mm_cfg = multimodal_cfg or {
         "is_multimodal": True,
@@ -134,6 +295,12 @@ def score_preference_rows(
         "use_im_start_end": False,
         "keep_image_tag": True,
     }
+    if shared_prefix:
+        return _score_rows_shared(
+            rows, model, params, tokenizer, max_len=max_len,
+            num_patches=num_patches, batch_pairs=batch_pairs,
+            mm_cfg=mm_cfg, progress=progress,
+        )
     collator = DPOCollator(
         pad_token_id=tokenizer.pad_token_id,
         max_len=max_len,
@@ -150,26 +317,7 @@ def score_preference_rows(
         it = tqdm.tqdm(it, desc="ref-logp")
     for start in it:
         chunk = rows[start : start + batch_pairs]
-        encoded = []
-        for row in chunk:
-            # wrap raw parquet columns as conversation turns
-            # (ref PreferenceInferenceDataset, muffin_inference_logp.py:136-146)
-            src = {
-                "question": {"from": "human",
-                             "value": f"<image>\n{row['question']}"},
-                "chosen": {"from": "gpt", "value": row["chosen"]},
-                "rejected": {"from": "gpt", "value": row["rejected"]},
-            }
-            if "image_bytes" in row or "image" in row:
-                src["image"] = row.get("image_bytes", row.get("image"))
-            # llava15 contract: has_image tokenization with the kept <image>
-            # tag (ref PreferenceInferenceDataset, muffin_inference_logp.py:159)
-            encoded.append(
-                encode_preference_sample(
-                    src, tokenizer, mm_cfg,
-                    preprocess_func=partial(preprocess_v1, has_image=True),
-                )
-            )
+        encoded = _encode_rows(chunk, tokenizer, mm_cfg)
         batch = collator(encoded)
         if lm_head_impl == "compact":
             # a too-small bound would silently zero dropped tokens in the
@@ -216,8 +364,13 @@ def inference_logp(
     image_processor: Optional[Callable] = None,
     lm_head_impl: str = "xla",
     compact_len: int = 0,
+    shared_prefix: bool = True,
 ) -> None:
-    """Score all rows (sharded across hosts) and write the logp parquet cache."""
+    """Score all rows (sharded across hosts) and write the logp parquet cache.
+
+    shared_prefix=True (default): each pair's prompt prefix prefills once and
+    only the two answer suffixes run again — same values (parity-gated), a
+    fraction of the FLOPs on the one-time pass over all pairs."""
     world = jax.process_count()
     rank = jax.process_index()
     local = shard_indices(len(rows), world, rank)
@@ -227,13 +380,15 @@ def inference_logp(
         local_rows, model, params, tokenizer,
         max_len=max_len, num_patches=num_patches, batch_pairs=batch_pairs,
         image_processor=image_processor, lm_head_impl=lm_head_impl,
-        compact_len=compact_len,
+        compact_len=compact_len, shared_prefix=shared_prefix,
     )
 
     if world > 1:
-        from jax.experimental import multihost_utils
+        # ragged per-token lists need the pickle-gather, not the array
+        # allgather (core/distributed.py::all_gather_objects)
+        from rlaifv_tpu.core.distributed import all_gather_objects
 
-        gathered = multihost_utils.process_allgather(local_logps)
+        gathered = all_gather_objects(local_logps)
         all_logps = [x for shard in gathered for x in shard]
     else:
         all_logps = local_logps

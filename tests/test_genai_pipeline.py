@@ -239,6 +239,34 @@ def test_autocheck_shared_prefix_mixed_groups(tiny_gen):
             assert abs(a["scores"][w] - b["scores"][w]) < 1e-4
 
 
+def test_autocheck_shuffled_input_regroups(tiny_gen, caplog):
+    """Shuffled/interleaved input must NOT silently forfeit the shared
+    path (VERDICT r2 next #5): group_consecutive regroups by key over the
+    whole list and logs the regroup; scores match the plain path and
+    output order follows the input."""
+    import logging
+
+    from rlaifv_tpu.genai.engine import group_consecutive
+
+    cfg, gen, tok = tiny_gen
+    items = _items(cfg, 6)
+    # interleave two images: a, b, a, b, a, b (never consecutive)
+    for k in range(6):
+        items[k]["image"] = items[k % 2]["image"]
+
+    with caplog.at_level(logging.INFO, logger="rlaifv_tpu.genai.engine"):
+        groups = group_consecutive(items)
+    assert sorted(len(g) for g in groups) == [3, 3]
+    assert any("regrouped" in r.message for r in caplog.records)
+
+    shared = gen.autocheck(items, batch_size=2, shared_prefix=True)
+    assert [r["question_id"] for r in shared] == list(range(6))
+    plain = gen.autocheck(items, batch_size=2, shared_prefix=False)
+    for a, b in zip(plain, shared):
+        for w in a["scores"]:
+            assert abs(a["scores"][w] - b["scores"][w]) < 1e-4
+
+
 @pytest.mark.slow
 def test_run_sharded_files(tiny_gen, tmp_path):
     cfg, gen, tok = tiny_gen

@@ -151,6 +151,30 @@ def test_score_rows_fused_head_matches_xla(pipeline):
         np.testing.assert_allclose(a[2], b[2], rtol=1e-4, atol=1e-5)
 
 
+def test_shared_prefix_ref_logp_parity(pipeline):
+    """Shared-prefix scoring (one prefix prefill per pair + suffix-only
+    forwards) reproduces the plain two-full-forwards path: sums, means and
+    the full per-token layout (VERDICT r2 next #3)."""
+    cfg, model, params, tok, out_dir, proc = pipeline
+    from rlaifv_tpu.train.ref_logp import score_preference_rows
+
+    rng = np.random.default_rng(11)
+    rows = _rows(rng, 5, cfg.vision.image_size)
+    kw = dict(max_len=192, num_patches=cfg.num_image_tokens, batch_pairs=2,
+              image_processor=proc, progress=False)
+    plain = score_preference_rows(rows, model, params, tok, **kw)
+    shared = score_preference_rows(rows, model, params, tok,
+                                   shared_prefix=True, **kw)
+    for a, b in zip(plain, shared):
+        np.testing.assert_allclose(a[0], b[0], rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(a[1], b[1], rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(a[3], b[3], rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(a[4], b[4], rtol=1e-4, atol=1e-4)
+        assert len(a[2]) == len(b[2]) and len(a[5]) == len(b[5])
+        np.testing.assert_allclose(a[2], b[2], rtol=1e-3, atol=1e-4)
+        np.testing.assert_allclose(a[5], b[5], rtol=1e-3, atol=1e-4)
+
+
 def test_shard_and_chunk_math():
     # contiguous shards cover everything exactly once
     allidx = []
