@@ -1,14 +1,29 @@
-"""Benchmark: DPO pairs/sec/chip on the largest LLaVA config fitting one chip.
+"""Benchmark: DPO throughput on one chip — REAL 7B geometry + 470M proxy.
 
 Prints ONE JSON line:
   {"metric": "dpo_pairs_per_sec_per_chip", "value": N, "unit": "pairs/s",
-   "vs_baseline": R, ...}
+   "vs_baseline": R, "real_geometry": {...}, ...}
+
+The headline `value` tracks the 470M proxy (comparable across every round);
+`real_geometry` carries the numbers that matter — LLaVA-1.5-**7B** QLoRA DPO
+pairs/s/chip (the largest config that fits one v5e chip,
+scripts/bench_7b_lora.py) and shared-prefix autocheck facts/s
+(scripts/bench_autocheck_shared.py) — measured IN-RUN as subprocesses (one
+process owns the TPU at a time, so they run before the proxy claims the
+chip). Each sub-bench gets a slice of BENCH_RG_BUDGET_S (default 1200 s,
+persistent compile cache at /root/.jax_cache keeps warm runs ~1-3 min); on
+budget-trip or failure the last committed numbers from
+BENCH_REAL_GEOMETRY.json are emitted with "stale": true rather than nothing.
+BENCH_REAL_GEOMETRY=0 skips the section.
 
 vs_baseline: the reference publishes no throughput numbers
 (BASELINE.md — `published = {}`), so the baseline is an analytic estimate of
 the reference stack's A100 throughput on the SAME model config: A100 peak
 312 bf16 TFLOP/s at 45% MFU (a generous DeepSpeed ZeRO-2 + flash-attn
 figure), i.e. vs_baseline = ours_pairs_per_sec / (0.45*312e12/flops_per_pair).
+The reference recipe being replaced is an 8xA100 DeepSpeed node
+(script/train/llava15_train.sh:6-48) and per-fact full-prefill autocheck
+(script/data_gen/omnilmm/omnilmm_autocheck.sh:26-38).
 
 BENCH7B_SHARDED=1 instead runs the multi-chip readiness bench: AOT-compile
 the full 7B full-FT DPO step over the dp2xfsdp2xtp2 virtual mesh + execute
@@ -18,21 +33,95 @@ from __future__ import annotations
 
 import json
 import os
+import subprocess
+import sys
 import time
 from functools import partial
 
 import numpy as np
 
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_STALE_FILE = os.path.join(_HERE, "BENCH_REAL_GEOMETRY.json")
+
+# (name, script, extra env) — each prints ONE JSON line on stdout
+_RG_SUBBENCHES = [
+    ("qlora7b_dpo", "bench_7b_lora.py", {}),
+    ("autocheck_shared_llava", "bench_autocheck_shared.py",
+     {"BENCH_MODEL": "llava"}),
+]
+
+
+def _run_sub(script: str, extra_env: dict, timeout_s: float) -> dict:
+    env = dict(os.environ, **extra_env)
+    p = subprocess.run(
+        [sys.executable, os.path.join(_HERE, "scripts", script)],
+        capture_output=True, text=True, timeout=timeout_s, env=env,
+    )
+    if p.returncode != 0:
+        raise RuntimeError(
+            f"{script} rc={p.returncode}: {p.stderr.strip()[-400:]}"
+        )
+    return json.loads(p.stdout.strip().splitlines()[-1])
+
+
+def _probe_platform(timeout_s: float = 120) -> str:
+    try:
+        p = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; print(jax.devices()[0].platform)"],
+            capture_output=True, text=True, timeout=timeout_s,
+        )
+        return p.stdout.strip().splitlines()[-1] if p.returncode == 0 else "?"
+    except Exception:
+        return "?"
+
+
+def real_geometry_section() -> dict:
+    """Driver-witnessed 7B-geometry numbers (VERDICT r2 next #1)."""
+    platform = _probe_platform()
+    if platform != "tpu":
+        # the 7B sub-benches are interpret-mode-slow off-TPU; the stale
+        # numbers are TPU-measured, so emitting them here would mislabel
+        return {"skipped": f"non-tpu platform ({platform})"}
+    out = {}
+    budget = float(os.environ.get("BENCH_RG_BUDGET_S", "1200"))
+    t0 = time.perf_counter()
+    stale_all = {}
+    if os.path.exists(_STALE_FILE):
+        try:
+            with open(_STALE_FILE) as f:
+                stale_all = json.load(f)
+        except Exception:
+            stale_all = {}
+    for name, script, extra in _RG_SUBBENCHES:
+        remaining = budget - (time.perf_counter() - t0)
+        try:
+            if remaining < 30:
+                raise TimeoutError(f"budget exhausted ({budget:.0f}s)")
+            res = _run_sub(script, extra, remaining)
+            res["stale"] = False
+            out[name] = res
+        except Exception as e:  # budget / OOM / crash -> last committed
+            stale = dict(stale_all.get(name) or {})
+            stale["stale"] = True
+            stale["stale_reason"] = f"{type(e).__name__}: {e}"[:200]
+            out[name] = stale
+    return out
+
 
 def main():
     if os.environ.get("BENCH7B_SHARDED", "") == "1":
-        import sys
-
-        sys.path.insert(0, os.path.join(os.path.dirname(__file__), "scripts"))
+        sys.path.insert(0, os.path.join(_HERE, "scripts"))
         from bench_7b_sharded import main as sharded_main
 
         sharded_main()
         return
+
+    # real-geometry sub-benches run FIRST: they need the whole chip, and the
+    # proxy bench below initializes jax in this process (device lock)
+    real_geometry = None
+    if os.environ.get("BENCH_REAL_GEOMETRY", "1") == "1":
+        real_geometry = real_geometry_section()
 
     import jax
 
@@ -102,11 +191,12 @@ def main():
     compact_len = int(np.ceil(n_valid / 64) * 64)
     batch = {k: jnp.asarray(v) for k, v in batch.items()}
 
+    # batch-of-1 init: images are per-pair while ids/starts are per-row
     params = model.init(
         jax.random.PRNGKey(0),
-        batch["input_ids"][:2],
-        images=batch["images"][:2],
-        image_starts=batch["image_starts"][:2],
+        batch["input_ids"][:1],
+        images=batch["images"][:1],
+        image_starts=batch["image_starts"][:1],
     )["params"]
 
     hp = DPOHparams(beta=0.1, lm_head_impl="compact", compact_len=compact_len)
@@ -206,6 +296,7 @@ def main():
         "unit": "pairs/s",
         "vs_baseline": round(pairs_per_sec / ref_a100, 3),
         "vs_baseline_kind": "analytic-a100-estimate",
+        "real_geometry": real_geometry,
         "detail": {
             "model": "llava15-proxy-470m",
             "seq_len": seq_len,

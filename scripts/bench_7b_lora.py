@@ -86,11 +86,13 @@ def main():
     # init the 7B base ON DEVICE (host->device through the tunnel is
     # ~20 MB/s; 7 GB of int8 would take minutes)
     init = jax.jit(model.init)
+    # batch-of-1 init: images are per-pair while ids/starts are per-row, so
+    # [:1] is the only slice consistent for every n_pairs
     params = init(
         jax.random.PRNGKey(0),
-        batch["input_ids"][:2],
-        images=batch["images"][:2],
-        image_starts=batch["image_starts"][:2],
+        batch["input_ids"][:1],
+        images=batch["images"][:1],
+        image_starts=batch["image_starts"][:1],
     )["params"]
 
     lora = lora_init(jax.random.PRNGKey(1), params, r=r)
@@ -128,8 +130,9 @@ def main():
 
     timed(run_small)
     timed(run_big)
-    t_small = min(timed(run_small) for _ in range(3))
-    t_big = min(timed(run_big) for _ in range(3))
+    reps = 1 if tiny else 3  # CPU interpret-mode smoke: one rep is plenty
+    t_small = min(timed(run_small) for _ in range(reps))
+    t_big = min(timed(run_big) for _ in range(reps))
     dt = (t_big - t_small) / (k_big - k_small)
 
     pairs_per_sec = n_pairs / dt

@@ -280,8 +280,69 @@ def record_minicpmv_hf(model_path: str, out: str) -> None:
     print(f"[goldens] wrote {out} ({len(arrays)} arrays)")
 
 
+def record_chat_llava(model_path: str, out: str) -> None:
+    """The README golden chat, end-to-end (ref README.md:140-148: image
+    examples/test.jpeg, question 'Why did the car stop?', expected answer
+    text; chat.py:154-178 builds an llava_v1 prompt and decodes). Records
+    tokenization, pixel values, last-prompt-position logits, greedy text
+    and beam-3 text from the torch side (llava-hf layout via transformers)
+    so a weights-available host can validate OUR whole chat path in one
+    command. Replay: tests/test_checkpoint_goldens.py::test_chat_llava_goldens."""
+    import torch
+    from PIL import Image
+    from transformers import AutoProcessor, LlavaForConditionalGeneration
+
+    from rlaifv_tpu.data.conversation import conv_templates
+
+    img_path = os.path.join(os.path.dirname(__file__), "..", "examples",
+                            "test.jpeg")
+    image = Image.open(img_path).convert("RGB")
+    question = "Why did the car stop?"
+    conv = conv_templates["llava_v1"].copy()
+    conv.append_message(conv.roles[0], f"<image>\n{question}")
+    conv.append_message(conv.roles[1], None)
+    prompt = conv.get_prompt()
+
+    model = LlavaForConditionalGeneration.from_pretrained(
+        model_path, torch_dtype=torch.float32
+    )
+    model.eval()
+    proc = AutoProcessor.from_pretrained(model_path)
+    inputs = proc(text=prompt, images=image, return_tensors="pt")
+    n_prompt = inputs["input_ids"].shape[1]
+    with torch.no_grad():
+        first_logits = model(**inputs).logits[0, -1].float().numpy()
+        greedy = model.generate(**inputs, do_sample=False,
+                                max_new_tokens=96)
+        beam3 = model.generate(**inputs, num_beams=3, do_sample=False,
+                               max_new_tokens=96)
+    dec = proc.tokenizer.decode
+    np.savez_compressed(
+        out,
+        kind=np.asarray("chat_llava"),
+        model_path=np.asarray(os.path.abspath(model_path)),
+        question=np.asarray(question),
+        prompt=np.asarray(prompt),
+        image=np.asarray(image, np.uint8),
+        image_token_id=np.asarray(
+            int(getattr(model.config, "image_token_index", 32000))
+        ),
+        input_ids=inputs["input_ids"][0].numpy(),
+        pixel_values=inputs["pixel_values"][0].numpy(),
+        first_logits=first_logits,
+        greedy_text=np.asarray(
+            dec(greedy[0, n_prompt:], skip_special_tokens=True).strip()
+        ),
+        beam3_text=np.asarray(
+            dec(beam3[0, n_prompt:], skip_special_tokens=True).strip()
+        ),
+    )
+    print(f"[goldens] wrote {out}")
+
+
 KINDS = {
     "tokenizer": record_tokenizer,
+    "chat_llava": record_chat_llava,
     "llama_hf": record_llama_hf,
     "llava_hf": record_llava_hf,
     "clip_hf": record_clip_hf,

@@ -270,6 +270,75 @@ def test_minicpmv_goldens():
             )
 
 
+def test_chat_llava_goldens():
+    """End-to-end chat golden (ref README.md:140-148 expected answer on
+    examples/test.jpeg): replay the recorded prompt through our converted
+    model + decode engine — greedy text must equal the torch recording,
+    and the last-prompt-position logits must match. Validates tokenization
+    + image preprocess + splice + decode in one shot."""
+    recs = _load("chat_llava")
+    _skip_if_empty(recs, "chat_llava")
+    import jax.numpy as jnp
+
+    from rlaifv_tpu.constants import IMAGE_TOKEN_INDEX
+    from rlaifv_tpu.data.multimodal import expand_image_sentinels
+    from rlaifv_tpu.genai.engine import DecodeEngine
+    from rlaifv_tpu.genai.sampling import SamplingParams
+    from rlaifv_tpu.models.convert import (
+        llava_config_from_hf,
+        load_llava_checkpoint,
+    )
+    from rlaifv_tpu.models.llava import LlavaForCausalLM
+    from transformers import AutoTokenizer
+
+    for path, z in recs:
+        ckpt = _ckpt_path(z)
+        cfg = llava_config_from_hf(ckpt)
+        model = LlavaForCausalLM(cfg)
+        params = load_llava_checkpoint(ckpt)
+        tok = AutoTokenizer.from_pretrained(ckpt, use_fast=True)
+        P = cfg.num_image_tokens
+        img_id = int(z["image_token_id"])
+
+        ids = np.asarray(z["input_ids"]).astype(np.int64)
+        # normalize to our pre-expanded layout: HF processors either keep
+        # ONE <image> token or pre-expand to P copies — map both to the
+        # -200 sentinel and expand host-side
+        pos = np.nonzero(ids == img_id)[0]
+        if len(pos) == P:  # already expanded: collapse back to one sentinel
+            ids = np.concatenate(
+                [ids[: pos[0]], [IMAGE_TOKEN_INDEX], ids[pos[-1] + 1 :]]
+            )
+        elif len(pos) == 1:
+            ids[pos[0]] = IMAGE_TOKEN_INDEX
+        ex = expand_image_sentinels(
+            ids, np.full_like(ids, -100), P, 4096
+        )
+        prompt_ids = ex["input_ids"].tolist()
+        start = int(ex["image_start"])
+
+        pixels = np.asarray(z["pixel_values"]).transpose(1, 2, 0)[None]
+        engine = DecodeEngine(
+            model, params,
+            eos_id=tok.eos_token_id, pad_id=tok.pad_token_id or 0,
+        )
+        res = engine.generate(
+            [prompt_ids], images=pixels, image_starts=np.asarray([start]),
+            sampling=SamplingParams.greedy(), max_new_tokens=96,
+        )
+        got = tok.decode(
+            res.tokens[0][: res.lengths[0]], skip_special_tokens=True
+        ).strip()
+        assert got == str(z["greedy_text"]), (
+            f"{path}: greedy chat mismatch\n ours: {got}\n ref: "
+            f"{z['greedy_text']}"
+        )
+        np.testing.assert_allclose(
+            np.asarray(res.first_logits[0], np.float32), z["first_logits"],
+            rtol=3e-2, atol=3e-2, err_msg=f"{path} first logits",
+        )
+
+
 def test_llama_int8_drift_goldens():
     """int8 weight-only quantization quality gate on real weights: the
     quantized conversion must keep greedy next-token agreement with the
