@@ -24,6 +24,19 @@ TPU-native shape discipline — everything is static-shape:
 Sampling state (repetition-penalty token counts), per-row position counters
 and max-new accounting all reset per-slot at refill. Greedy outputs are
 bit-identical to `DecodeEngine.generate` (tests/test_continuous.py).
+
+Shared-repeat refill (`share_keys`): the diverse-gen workload expands each
+question x repeat_time IDENTICAL prompts (ref muffin/llava15_gen_data.py:
+64-150, repeat 10). With `share_keys` (one hashable key per prompt; equal
+key == identical prompt AND media), a refill wave prefills each distinct
+key ONCE at B=1 and *scatters* the window KV into all of that key's slots
+— and the last window is kept on device ((1, Lp) in the serving cache
+dtype, ~14 MB at 7B int8) so stragglers of the same key refill with no
+prefill at all, even across compactions (RoPE positions are content-
+relative, so a window is valid at any gt). Keys seen only once fall
+through to the ordinary batched refill; fused-decode engines ignore
+share_keys (the stacked write-through prefill has no per-layer window to
+save).
 """
 from __future__ import annotations
 
@@ -187,6 +200,113 @@ class ContinuousGenerator:
         self._fns[key] = refill
         return refill
 
+    def _build_window_prefill(self, Lp: int, mode: str):
+        """Prefill ONE prompt into a standalone (1, Lp) window cache (the
+        serving cache dtype) and return it with the next-token logits. The
+        window is position-independent (content-relative RoPE), so it can be
+        scattered into any slots at any gt, any number of times."""
+        key = ("cont_wprefill", Lp, mode)
+        if key in self._fns:
+            return self._fns[key]
+
+        engine, model = self.engine, self.model
+
+        @jax.jit
+        def wprefill(params, ids, mask, media, starts):
+            pos = jnp.maximum(jnp.cumsum(mask, axis=1) - 1, 0)
+            sub_cache = model.init_cache(1, Lp)
+            if mode != "text":
+                embeds = engine._embed_spliced(
+                    params, ids,
+                    media if mode == "images" else None, starts,
+                    media if mode == "spans" else None, starts,
+                )
+                logits, sub_cache = engine._llm(
+                    params, inputs_embeds=embeds, attention_mask=mask,
+                    position_ids=pos, cache=sub_cache,
+                    cache_index=jnp.int32(0),
+                )
+            else:
+                logits, sub_cache = engine._llm(
+                    params, input_ids=jnp.maximum(ids, 0),
+                    attention_mask=mask, position_ids=pos,
+                    cache=sub_cache, cache_index=jnp.int32(0),
+                )
+            return sub_cache, logits[:, -1, :]
+
+        self._fns[key] = wprefill
+        return wprefill
+
+    def _build_scatter_refill(self, K: int, Lp: int):
+        """Refill K slots from a saved (1, Lp) window: broadcast-scatter the
+        window KV into cache columns [gt-Lp, gt) at `slot_ids` and reset all
+        per-slot state — no forward pass. Rows of slot_ids equal to B are
+        dropped (dummy pow2 padding), exactly like _build_refill."""
+        key = ("cont_scatter", K, Lp, self.use_rep)
+        if key in self._fns:
+            return self._fns[key]
+
+        use_rep = self.use_rep
+
+        @partial(jax.jit, donate_argnums=(0, 1, 2, 3, 4, 5, 6, 7))
+        def scatter(cache, cache_mask, token_seen, last_logits, cur_pos,
+                    emitted, done, budget, window, first, ids, mask,
+                    slot_ids, gt, budgets_r):
+            B = cache_mask.shape[0]
+            start = gt - Lp
+
+            def put(glob, sub):
+                zeros = (0,) * (glob.ndim - 2)
+                win = jax.lax.dynamic_slice(
+                    glob, (0, start) + zeros, (B, Lp) + glob.shape[2:]
+                )
+                src = jnp.broadcast_to(
+                    sub.astype(glob.dtype), (K,) + sub.shape[1:]
+                )
+                win = win.at[slot_ids].set(src, mode="drop")
+                return jax.lax.dynamic_update_slice(
+                    glob, win, (0, start) + zeros
+                )
+
+            cache = [
+                {k2: put(c[k2], s[k2]) for k2 in c}
+                for c, s in zip(cache, window)
+            ]
+            cm = cache_mask.at[slot_ids].set(0, mode="drop")
+            win = jax.lax.dynamic_slice(cm, (0, start), (B, Lp))
+            win = win.at[slot_ids].set(
+                jnp.broadcast_to(mask, (K, Lp)), mode="drop"
+            )
+            cache_mask = jax.lax.dynamic_update_slice(cm, win, (0, start))
+
+            if use_rep:
+                V = token_seen.shape[1]
+                sub_seen = jnp.zeros((1, V), jnp.int32).at[
+                    jnp.zeros_like(ids), jnp.maximum(ids, 0)
+                ].add(mask.astype(jnp.int32))
+                token_seen = token_seen.at[slot_ids].set(
+                    jnp.broadcast_to(sub_seen, (K, V)), mode="drop"
+                )
+
+            last_logits = last_logits.at[slot_ids].set(
+                jnp.broadcast_to(
+                    first.astype(last_logits.dtype), (K, first.shape[1])
+                ),
+                mode="drop",
+            )
+            cur_pos = cur_pos.at[slot_ids].set(
+                jnp.broadcast_to(mask.sum(axis=1), (K,)).astype(cur_pos.dtype),
+                mode="drop",
+            )
+            emitted = emitted.at[slot_ids].set(0, mode="drop")
+            done = done.at[slot_ids].set(False, mode="drop")
+            budget = budget.at[slot_ids].set(budgets_r, mode="drop")
+            return (cache, cache_mask, token_seen, last_logits, cur_pos,
+                    emitted, done, budget)
+
+        self._fns[key] = scatter
+        return scatter
+
     def _build_chunk(self, max_len: int):
         # max_len keys the fused variant (kernel dims are static per cache
         # length); the per-layer path retraces on shape change anyway
@@ -317,6 +437,7 @@ class ContinuousGenerator:
         seed: int = 0,
         collect_first_logits: bool = False,
         max_new_per_prompt=None,  # (N,) per-prompt token budgets
+        share_keys=None,  # (N,) hashable; equal key == identical prompt+media
     ):
         """Generate for every prompt; returns a GenerateResult (tokens padded
         to the longest generation, lengths incl. EOS, first_logits only when
@@ -332,8 +453,21 @@ class ContinuousGenerator:
             )
 
         # longest-first: guarantees every refill prompt fits left of gt and
-        # is the classic makespan heuristic.
-        queue = deque(sorted(range(N), key=lambda i: -len(prompts[i])))
+        # is the classic makespan heuristic. With share_keys, same-key
+        # prompts stay adjacent (equal keys imply equal length, so this
+        # never violates longest-first) so a refill wave sees whole runs.
+        share = share_keys is not None and not self.fused
+        if share:
+            rank: dict = {}
+            for i in range(N):
+                rank.setdefault(share_keys[i], len(rank))
+            queue = deque(sorted(
+                range(N),
+                key=lambda i: (-len(prompts[i]), rank[share_keys[i]], i),
+            ))
+        else:
+            queue = deque(sorted(range(N), key=lambda i: -len(prompts[i])))
+        saved = None  # last prefilled window: dict(key, Lp, window, first, ids, mask)
         Lp0 = _bucket(len(prompts[queue[0]]), self.prompt_bucket)
         # 128-aligned so the prefix decode-attention kernel engages
         max_len = -(-(Lp0 + self.max_new + self.headroom) // 128) * 128
@@ -374,6 +508,66 @@ class ContinuousGenerator:
             owner[s] = -1
             chunks_per_slot[s] = []
 
+        def media_for(p, off):
+            """(media[None], starts) device args for one prompt, offset to
+            its left-padded position — mirrors the batched refill's math."""
+            if images is not None:
+                st = int(image_starts[p])
+                return (
+                    engine._device_images(images[p][None]),
+                    jnp.asarray([st + off if st >= 0 else -1], jnp.int32),
+                )
+            if span_features is not None:
+                st = np.asarray(span_starts[p], np.int32)
+                return (
+                    jnp.asarray(span_features[p][None]),
+                    jnp.asarray(
+                        np.where(st < 0, -1, st + off)[None], jnp.int32
+                    ),
+                )
+            return None, None
+
+        def refill_shared_run(key_r, ps, run_slots):
+            """Refill len(ps) slots with ONE identical prompt: prefill the
+            window once per distinct key (or reuse the saved window), then
+            broadcast-scatter — no forward pass for stragglers."""
+            nonlocal cache, cache_mask, token_seen, last_logits
+            nonlocal cur_pos, emitted, done, budget, saved
+            p0 = ps[0]
+            Lp_r = _bucket(len(prompts[p0]), self.prompt_bucket)
+            if not (saved and saved["key"] == key_r and saved["Lp"] == Lp_r):
+                ids, mask = left_pad_batch([prompts[p0]], engine.pad_id, Lp_r)
+                media, starts = media_for(p0, Lp_r - len(prompts[p0]))
+                mode = ("images" if images is not None
+                        else "spans" if span_features is not None else "text")
+                wfn = self._build_window_prefill(Lp_r, mode)
+                window, first = wfn(
+                    engine.params, jnp.asarray(ids), jnp.asarray(mask),
+                    media, starts,
+                )
+                saved = dict(key=key_r, Lp=Lp_r, window=window, first=first,
+                             ids=jnp.asarray(ids), mask=jnp.asarray(mask))
+            K = _pow2_at_least(len(ps), B)
+            slot_ids = np.full(K, B, np.int32)  # B = dropped dummy rows
+            slot_ids[: len(ps)] = run_slots
+            budgets_r = np.full(K, self.max_new, np.int32)
+            budgets_r[: len(ps)] = budgets[ps]
+            sfn = self._build_scatter_refill(K, Lp_r)
+            (cache, cache_mask, token_seen, last_logits, cur_pos, emitted,
+             done, budget) = sfn(
+                cache, cache_mask, token_seen, last_logits, cur_pos,
+                emitted, done, budget, saved["window"], saved["first"],
+                saved["ids"], saved["mask"], jnp.asarray(slot_ids),
+                jnp.int32(gt_host), jnp.asarray(budgets_r),
+            )
+            for s, p in zip(run_slots, ps):
+                owner[s] = p
+                host_done[s] = False
+            if collect_first_logits:
+                fl = np.asarray(saved["first"], np.float32)[0]
+                for p in ps:
+                    first_logits[p] = fl
+
         def refill():
             nonlocal cache, cache_mask, token_seen, last_logits
             nonlocal cur_pos, emitted, done, budget, gt_host
@@ -381,16 +575,55 @@ class ContinuousGenerator:
             take = min(len(free), len(queue))
             if take == 0:
                 return
-            group = [queue.popleft() for _ in range(take)]
+            popped = [queue.popleft() for _ in range(take)]
             for s in free[:take]:
                 harvest(s)
+
+            # partition: same-key runs of >=2 (or a straggler matching the
+            # saved window) refill via broadcast-scatter; the rest batch.
+            shared_runs, group = [], []
+            if share:
+                runs = []
+                for p in popped:
+                    k = share_keys[p]
+                    if runs and runs[-1][0] == k:
+                        runs[-1][1].append(p)
+                    else:
+                        runs.append((k, [p]))
+                for k, ps in runs:
+                    skey = saved["key"] if saved else object()
+                    if len(ps) >= 2 or k == skey:
+                        shared_runs.append((k, ps))
+                    else:
+                        group.extend(ps)
+            else:
+                group = popped
+
+            # advance the shared write column ONCE so every window placed
+            # this wave fits left of it — the skipped columns are mask-0,
+            # and longest-first ordering bounds all Lp_r <= Lp0 <=
+            # max_len - max_new - headroom.
+            lp_need = max(
+                (_bucket(len(prompts[ps[0]]), self.prompt_bucket)
+                 for _, ps in shared_runs),
+                default=0,
+            )
+            if group:
+                lp_need = max(lp_need, _bucket(
+                    max(len(prompts[p]) for p in group), self.prompt_bucket
+                ))
+            if lp_need > gt_host:
+                gt_host = lp_need
+
+            slot_iter = iter(free[:take])
+            for k, ps in shared_runs:
+                refill_shared_run(k, ps, [next(slot_iter) for _ in ps])
+            if not group:
+                return
+            free_rest = list(slot_iter)
+            take = len(group)
             Lp_r = _bucket(max(len(prompts[p]) for p in group),
                            self.prompt_bucket)
-            if Lp_r > gt_host:
-                # advance the shared write column so the prompt fits left of
-                # it — the skipped columns are mask-0, and longest-first
-                # ordering bounds Lp_r <= Lp0 <= max_len - max_new - headroom.
-                gt_host = Lp_r
             R = _pow2_at_least(take, B)
 
             ids, mask = left_pad_batch(
@@ -404,7 +637,7 @@ class ContinuousGenerator:
                     [mask, np.zeros((R - take, Lp_r), np.int32)]
                 )
             slot_ids = np.full(R, B, np.int32)  # B = dropped (dummy rows)
-            slot_ids[:take] = free[:take]
+            slot_ids[:take] = free_rest[:take]
 
             media = starts = None
             offs = Lp_r - np.asarray(
@@ -441,7 +674,7 @@ class ContinuousGenerator:
                 jnp.asarray(starts) if starts is not None else None,
                 jnp.asarray(budgets_r),
             )
-            for s, p in zip(free[:take], group):
+            for s, p in zip(free_rest[:take], group):
                 owner[s] = p
                 host_done[s] = False
             if collect_first_logits:

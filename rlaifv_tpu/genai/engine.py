@@ -146,8 +146,7 @@ class DecodeEngine:
                            else stripped)
 
     def _fused_prefill_tower(self, params, stacked, scache, embeds, mask,
-                             pos, col_start, slot_ids=None, n_slots=0,
-                             src_rows=None):
+                             pos, col_start, slot_ids=None, n_slots=0):
         """Run a prompt window through the layer stack, writing each
         layer's int8 KV straight into the stacked h-major cache (the
         write-through prefill: the per-layer cache layout never exists
@@ -164,7 +163,7 @@ class DecodeEngine:
 
         return stacked_prefill_tower(
             stacked, scache, embeds, mask, pos, self._llm_cfg(), col_start,
-            slot_ids=slot_ids, n_slots=n_slots, src_rows=src_rows,
+            slot_ids=slot_ids, n_slots=n_slots,
         )
 
     def _embed_spliced(self, params, ids, images, image_starts,
@@ -995,10 +994,16 @@ class DecodeEngine:
         prompt_bucket: int = 64,
         collect_first_logits: bool = False,
         max_new_per_prompt=None,
+        share_keys=None,
     ) -> GenerateResult:
         """Slot-refill continuous batching (genai/continuous.py): finished
         rows are immediately replaced from the queue instead of waiting for
-        the batch's slowest row. Greedy outputs match generate() exactly."""
+        the batch's slowest row. Greedy outputs match generate() exactly.
+
+        share_keys (one hashable per prompt, equal key == identical
+        prompt+media) lets refills of repeat-expanded prompts share ONE
+        prefill + vision encode per distinct key (diverse-gen: 10 repeats,
+        ref muffin/llava15_gen_data.py:64-150)."""
         from rlaifv_tpu.genai.continuous import ContinuousGenerator
 
         gen = ContinuousGenerator(
@@ -1015,6 +1020,7 @@ class DecodeEngine:
             seed=seed,
             collect_first_logits=collect_first_logits,
             max_new_per_prompt=max_new_per_prompt,
+            share_keys=share_keys,
         )
 
     def generate_beam(

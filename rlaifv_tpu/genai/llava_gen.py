@@ -179,10 +179,21 @@ class Llava15Generator:
                 return out
         if continuous:
             prompts, starts, images = self._prepare(items)
+            # share_keys: identical (question, image) items — the 10x
+            # repeat expansion — share one prefill per refill wave
+            share_keys = None
+            if share_repeats:
+                share_keys = [None] * len(items)
+                for g, idxs in enumerate(
+                    group_consecutive(items, with_question=True)
+                ):
+                    for i in idxs:
+                        share_keys[i] = g
             res = self.engine.generate_continuous(
                 prompts, images=images, image_starts=starts,
                 slots=batch_size, sampling=sp,
                 max_new_tokens=max_new_tokens, seed=seed,
+                share_keys=share_keys,
             )
             return [
                 self._meta_row(item, answer=self.tokenizer.decode(

@@ -82,10 +82,31 @@ def main():
                           fused_decode=fused)
 
     rng = np.random.default_rng(0)
-    prompts = [
-        list(map(int, rng.integers(3, cfg.vocab_size - 2, size=prompt_len)))
-        for _ in range(N)
-    ]
+    # BENCH7B_REPEATS=k models the ACTUAL diverse-gen workload: every
+    # question expanded into k identical prompts (ref muffin/
+    # llava15_gen_data.py:64-150, repeat 10). share_keys routes refills
+    # through the window-prefill + broadcast-scatter path (one prefill per
+    # question instead of k); BENCH7B_SHARE=0 A/Bs it off.
+    repeats = int(os.environ.get("BENCH7B_REPEATS", "1"))
+    share = os.environ.get("BENCH7B_SHARE", "1") == "1" and repeats > 1
+    n_q = max(N // max(repeats, 1), 1)
+    N = n_q * max(repeats, 1)
+    share_keys = None
+    if repeats > 1:
+        qs = [
+            list(map(int,
+                     rng.integers(3, cfg.vocab_size - 2, size=prompt_len)))
+            for _ in range(n_q)
+        ]
+        prompts = [list(q) for q in qs for _ in range(repeats)]
+        share_keys = ([k for k in range(n_q) for _ in range(repeats)]
+                      if share else None)
+    else:
+        prompts = [
+            list(map(int,
+                     rng.integers(3, cfg.vocab_size - 2, size=prompt_len)))
+            for _ in range(N)
+        ]
     budgets = np.clip(
         rng.lognormal(mean=4.45, sigma=0.8, size=N), 8, max_new
     ).astype(np.int32)
@@ -98,9 +119,9 @@ def main():
     # warm with the FULL workload: refill waves hit distinct program shapes
     # (R free slots, window advances), and any 7B compile inside the timed
     # run would dominate it
-    gen.run(prompts, max_new_per_prompt=budgets)
+    gen.run(prompts, max_new_per_prompt=budgets, share_keys=share_keys)
     t0 = time.perf_counter()
-    res = gen.run(prompts, max_new_per_prompt=budgets)
+    res = gen.run(prompts, max_new_per_prompt=budgets, share_keys=share_keys)
     dt = time.perf_counter() - t0
     assert (np.asarray(res.lengths) == budgets).all()
 
@@ -114,8 +135,11 @@ def main():
         "detail": {
             "model": (f"{fam}-geometry int8 + fuse_proj + kv-int8 + "
                       "continuous"
-                      + (" + fused-decode" if fused else ""))
+                      + (" + fused-decode" if fused else "")
+                      + (f" + shared-repeat x{repeats}" if share else ""))
             if not tiny else "tiny-smoke",
+            "repeats": repeats,
+            "share_refill": bool(share),
             "n_prompts": N,
             "slots": slots,
             "prompt_len": prompt_len,

@@ -40,6 +40,7 @@ def test_beam1_matches_greedy(lm):
     np.testing.assert_array_equal(beam1.tokens, greedy.tokens)
 
 
+@pytest.mark.slow
 def test_beam3_not_worse_than_greedy(lm):
     cfg, model, params = lm
     engine = DecodeEngine(model, params, eos_id=-1, pad_id=0)

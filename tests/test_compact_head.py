@@ -96,8 +96,11 @@ def tiny_setup():
         # wall time -> slow tier; the variants reuse most of the cache
         pytest.param({}, marks=pytest.mark.slow),
         pytest.param({"dpo_use_average": True}, marks=pytest.mark.slow),
-        {"dpo_token_weighted": True},
-        {"dpo_token_weighted": True, "dpo_use_average": True},
+        pytest.param({"dpo_token_weighted": True}, marks=pytest.mark.slow),
+        pytest.param({"dpo_token_weighted": True, "dpo_use_average": True},
+                     marks=pytest.mark.slow),
+        # ONE fast-tier gate: whichever variant runs first pays the cold
+        # compile, so the fast tier keeps exactly one
         {"sft_weight": 0.5},
     ],
 )

@@ -295,3 +295,114 @@ def test_continuous_fused_decode():
     ).run(prompts)
     np.testing.assert_array_equal(got.tokens, want.tokens)
     np.testing.assert_array_equal(got.lengths, want.lengths)
+
+
+# ----------------------------------------------- shared-repeat refill
+
+def test_continuous_share_keys_greedy_parity(tiny_lm):
+    """share_keys with repeat-expanded prompts (the diverse-gen layout)
+    must schedule through the window-prefill + broadcast-scatter path and
+    still reproduce plain generate token-for-token (greedy)."""
+    _, model, params = tiny_lm
+    engine = DecodeEngine(model, params, eos_id=-1, pad_id=0)
+    rng = np.random.default_rng(7)
+    base = [list(map(int, rng.integers(3, 200, size=n))) for n in (11, 6, 9)]
+    # 4 repeats of each question + one singleton (distinct key) at the end
+    prompts, keys = [], []
+    for q, p in enumerate(base):
+        for _ in range(4):
+            prompts.append(list(p))
+            keys.append(q)
+    prompts.append(list(map(int, rng.integers(3, 200, size=5))))
+    keys.append("solo")
+
+    sp = SamplingParams.greedy()
+    max_new = 6
+    gen = ContinuousGenerator(
+        engine, slots=3, chunk=4, max_new_tokens=max_new,
+        sampling=sp, prompt_bucket=8,
+    )
+    # count actual window prefills: stragglers (group size 4 > slots 3)
+    # must reuse the saved window instead of re-prefilling
+    n_prefills = [0]
+    orig = gen._build_window_prefill
+
+    def counting(Lp, mode):
+        fn = orig(Lp, mode)
+
+        def wrapped(*a, **kw):
+            n_prefills[0] += 1
+            return fn(*a, **kw)
+
+        return wrapped
+
+    gen._build_window_prefill = counting
+    res = gen.run(prompts, share_keys=keys)
+    ref_toks, ref_lens = _reference(engine, prompts, sp, max_new)
+    _check(res, ref_toks, ref_lens, max_new)
+    # one prefill per distinct repeated key at most (the singleton rides the
+    # plain batched refill; equal-length keys may straggle across waves but
+    # the saved window covers consecutive stragglers of the SAME key)
+    assert n_prefills[0] <= len(base) + 1, n_prefills[0]
+
+
+def test_continuous_share_keys_multimodal_int8(tiny_llava):
+    """Repeated (prompt, image) items share one vision encode + prefill;
+    int8 KV cache exercises the rank-generic broadcast scatter on the
+    {k, k_scale, v, v_scale} leaves."""
+    import dataclasses
+
+    cfg, _, params = tiny_llava
+    qcfg = dataclasses.replace(
+        cfg, llm=dataclasses.replace(cfg.llm, kv_cache_dtype="int8")
+    )
+    model = LlavaForCausalLM(qcfg)
+    engine = DecodeEngine(model, params, eos_id=-1, pad_id=0)
+    P = cfg.num_image_tokens
+    rng = np.random.default_rng(8)
+    n_img = 2
+    images_u = rng.normal(size=(
+        n_img, cfg.vision.image_size, cfg.vision.image_size, 3
+    )).astype(np.float32)
+
+    prompts, starts, keys, img_rows = [], [], [], []
+    for q in range(n_img):
+        body = list(map(int, rng.integers(3, 200, size=4 + q)))
+        for _ in range(3):
+            prompts.append([1] + [-2] * P + list(body))
+            starts.append(1)
+            keys.append(q)
+            img_rows.append(q)
+    images = images_u[np.asarray(img_rows)]
+
+    sp = SamplingParams.greedy()
+    max_new = 5
+    gen = ContinuousGenerator(
+        engine, slots=2, chunk=4, max_new_tokens=max_new,
+        sampling=sp, prompt_bucket=8,
+    )
+    res = gen.run(prompts, images=images, image_starts=starts,
+                  share_keys=keys)
+    ref_toks, ref_lens = _reference(
+        engine, prompts, sp, max_new, images=images, image_starts=starts
+    )
+    _check(res, ref_toks, ref_lens, max_new)
+
+
+def test_continuous_share_keys_sampled_rows_differ(tiny_lm):
+    """Temperature sampling across shared-refill slots must still draw
+    independent tokens per slot (identical logits, per-row categorical)."""
+    _, model, params = tiny_lm
+    engine = DecodeEngine(model, params, eos_id=-1, pad_id=0)
+    rng = np.random.default_rng(9)
+    p = list(map(int, rng.integers(3, 200, size=10)))
+    prompts = [list(p) for _ in range(6)]
+    keys = [0] * 6
+    sp = SamplingParams(temperature=1.0, do_sample=True)
+    gen = ContinuousGenerator(
+        engine, slots=4, chunk=4, max_new_tokens=8,
+        sampling=sp, prompt_bucket=8,
+    )
+    res = gen.run(prompts, share_keys=keys, seed=3)
+    rows = {tuple(res.tokens[i]) for i in range(6)}
+    assert len(rows) > 1, "all sampled continuations identical"

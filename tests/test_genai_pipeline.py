@@ -148,6 +148,7 @@ def test_diverse_gen_rows(tiny_gen, continuous):
         assert r["model_path"] == "tiny-test"
 
 
+@pytest.mark.slow
 def test_greedy_gen_beam_mode(tiny_gen):
     """num_beams>1 routes through the KV-cached beam search (reference eval
     scripts decode with beam 3)."""
@@ -166,6 +167,7 @@ def test_autocheck_scores(tiny_gen):
         assert all(0.0 <= v <= 1.0 for v in s.values())
 
 
+@pytest.mark.slow
 def test_generate_repeated_matches_generate(tiny_gen):
     """ONE prefill + tiled KV + B=n decode must reproduce generate() on n
     copies of the prompt (greedy: exact token match)."""

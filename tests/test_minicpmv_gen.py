@@ -90,6 +90,7 @@ def test_diverse_gen(gen):
     assert len(rows) == 2 and all(isinstance(r["answer"], str) for r in rows)
 
 
+@pytest.mark.slow
 def test_prompt_has_spans(gen):
     cfg, g = gen
     ids, starts, slices = g._build_prompt(_items(1)[0])

@@ -81,6 +81,7 @@ def test_omni_autocheck(omni_gen):
         assert r["ds_question_id"].startswith("ds")
 
 
+@pytest.mark.slow
 def test_omni_autocheck_shared_prefix_parity(omni_gen):
     """Shared-prefix scoring (one EVA02 encode + one prefix prefill per
     image) must match the plain full-prefill scores."""
@@ -99,6 +100,7 @@ def test_omni_autocheck_shared_prefix_parity(omni_gen):
             assert abs(a["scores"][w] - b["scores"][w]) < 1e-4
 
 
+@pytest.mark.slow
 def test_omni_diverse_gen(omni_gen):
     cfg, gen, tok = omni_gen
     rows = gen.diverse_gen(_items(cfg, 2), max_new_tokens=3, batch_size=2)
@@ -188,6 +190,7 @@ def _write_tiny_omni_checkpoint(tmp_path):
     return d
 
 
+@pytest.mark.slow
 def test_omnilmm_chat_from_checkpoint(tmp_path):
     """OmniLMMChat end-to-end from a real-format checkpoint directory."""
     from rlaifv_tpu.genai.omni_gen import OmniLMMChat

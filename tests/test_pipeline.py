@@ -151,6 +151,7 @@ def test_score_rows_fused_head_matches_xla(pipeline):
         np.testing.assert_allclose(a[2], b[2], rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_shared_prefix_ref_logp_parity(pipeline):
     """Shared-prefix scoring (one prefix prefill per pair + suffix-only
     forwards) reproduces the plain two-full-forwards path: sums, means and

@@ -75,6 +75,7 @@ def test_resampler_parity():
     np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_resampler_dynamic_size_runs():
     grid, D, H, KV = 2, 16, 2, 16
     cfg = ResamplerConfig(grid_size=grid, embed_dim=D, num_heads=H, kv_dim=KV)

@@ -83,6 +83,7 @@ def test_tp_continuous_serving_matches_single_device():
     np.testing.assert_array_equal(got.lengths, want.lengths)
 
 
+@pytest.mark.slow
 def test_tp_beam_serving_matches_single_device():
     """Beam-3 chat decode (the 7B chat config) under the tp mesh."""
     cfg = LlamaConfig.tiny()
