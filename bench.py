@@ -46,6 +46,11 @@ _STALE_FILE = os.path.join(_HERE, "BENCH_REAL_GEOMETRY.json")
 # (name, script, extra env) — each prints ONE JSON line on stdout
 _RG_SUBBENCHES = [
     ("qlora7b_dpo", "bench_7b_lora.py", {}),
+    # shared-prefix paired forward + suffix trim (train/paired_forward.py):
+    # the pair's prompt runs once and the dead padded tail is dropped —
+    # same loss/grads (tests/test_paired_prefix.py), ~3x the pairs/s
+    ("qlora7b_dpo_paired", "bench_7b_lora.py",
+     {"BENCH7B_PREFIX": "auto", "BENCH7B_PAIRS": "8"}),
     ("autocheck_shared_llava", "bench_autocheck_shared.py",
      {"BENCH_MODEL": "llava"}),
 ]

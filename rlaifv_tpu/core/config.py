@@ -71,6 +71,17 @@ class TrainingArguments:
     # compact head (head computed only at answer positions) when
     # lm_head_impl is "compact" or "auto"
     compact_len: int = 0
+    # >0: win/rej rows share the first shared_prefix_len tokens; the pair's
+    # prompt prefix runs ONCE per step (train/paired_forward.py). Safe value
+    # for LLaVA-1.5: system + image span (the trainer validates every batch
+    # and hard-fails on violation). 0 = plain concatenated forward.
+    shared_prefix_len: int = 0
+    # with shared_prefix_len > 0: carry only the first shared_suffix_len
+    # tokens after the prefix (multiple of 128; 0 = all). Exact as long as
+    # every supervised label fits in prefix+suffix — the trainer hard-fails
+    # otherwise. The padded tail past prompt+answer is dead weight: at
+    # max_length 2048 with ~256-token answers this cuts suffix compute ~4x.
+    shared_suffix_len: int = 0
     # LoRA (ref train_llava15_lora.py:112-117)
     use_lora: bool = False
     lora_r: int = 64

@@ -105,14 +105,20 @@ def multi_head_attention(
     B, Lq, H, D = q.shape
     Lk = k.shape[1]
 
+    # a STATIC (Python int) q_offset can ride the flash kernel — the
+    # rectangular shared-prefix training path (suffix queries over
+    # prefix+suffix keys). Traced offsets (decode cache_index) cannot.
+    static_off = isinstance(q_offset, int)
     use_flash = impl == "flash" or (
-        impl == "auto" and _on_tpu() and Lq >= 128 and Lq == Lk and D <= 256
+        impl == "auto" and _on_tpu() and Lq >= 128 and D <= 256
+        and (Lq == Lk or (static_off and q_offset + Lq == Lk))
     )
     if use_flash:
         from rlaifv_tpu.ops.flash_attention import flash_attention
 
         return flash_attention(
-            q, k, v, attention_mask=attention_mask, causal=causal
+            q, k, v, attention_mask=attention_mask, causal=causal,
+            q_offset=q_offset if static_off else 0,
         )
 
     use_decode = impl == "decode" or (

@@ -62,7 +62,7 @@ def _pick_block_q(L: int) -> Optional[int]:
 
 
 def _fwd_kernel(mask_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, block_q,
-                causal, precision):
+                causal, precision, q_offset=0):
     iq = pl.program_id(2)
     q = q_ref[0, 0].astype(jnp.float32)  # (BQ, D)
     k = k_ref[0, 0].astype(jnp.float32)  # (L, D)
@@ -76,7 +76,10 @@ def _fwd_kernel(mask_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, block_q
     kpos = jax.lax.broadcasted_iota(jnp.int32, (block_q, L), 1)
     bias = jnp.where(mask_ref[0, 0] != 0, 0.0, NEG_INF)[None, :]
     if causal:
-        qpos = iq * block_q + jax.lax.broadcasted_iota(
+        # q_offset: static absolute position of q row 0 (rectangular
+        # shared-prefix attention — queries are the suffix window, keys the
+        # full prefix+suffix sequence)
+        qpos = q_offset + iq * block_q + jax.lax.broadcasted_iota(
             jnp.int32, (block_q, L), 0
         )
         bias = bias + jnp.where(kpos <= qpos, 0.0, NEG_INF)
@@ -99,7 +102,7 @@ def _fwd_kernel(mask_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, block_q
     lse_ref[:, :] = jnp.broadcast_to(lse[None, :], lse_ref.shape)
 
 
-def _fwd(q, k, v, mask, scale, causal, block_q):
+def _fwd(q, k, v, mask, scale, causal, block_q, q_offset=0):
     B, H, Lq, D = q.shape
     KVH, Lk = k.shape[1], k.shape[2]
     n_rep = H // KVH
@@ -109,7 +112,7 @@ def _fwd(q, k, v, mask, scale, causal, block_q):
                  else jax.lax.Precision.DEFAULT)
     kernel = functools.partial(
         _fwd_kernel, scale=scale, block_q=block_q, causal=causal,
-        precision=precision,
+        precision=precision, q_offset=q_offset,
     )
     out, lse = pl.pallas_call(
         kernel,
@@ -142,7 +145,7 @@ def _fwd(q, k, v, mask, scale, causal, block_q):
 
 
 def _bwd_dq_kernel(mask_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
-                   dq_ref, *, scale, block_q, causal, precision):
+                   dq_ref, *, scale, block_q, causal, precision, q_offset=0):
     iq = pl.program_id(2)
     q = q_ref[0, 0].astype(jnp.float32)
     k = k_ref[0, 0].astype(jnp.float32)
@@ -156,7 +159,7 @@ def _bwd_dq_kernel(mask_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     kpos = jax.lax.broadcasted_iota(jnp.int32, (block_q, L), 1)
     bias = jnp.where(mask_ref[0, 0] != 0, 0.0, NEG_INF)[None, :]
     if causal:
-        qpos = iq * block_q + jax.lax.broadcasted_iota(
+        qpos = q_offset + iq * block_q + jax.lax.broadcasted_iota(
             jnp.int32, (block_q, L), 0
         )
         bias = bias + jnp.where(kpos <= qpos, 0.0, NEG_INF)
@@ -176,52 +179,66 @@ def _bwd_dq_kernel(mask_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
 
 
 def _bwd_dkv_kernel(mask_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
-                    dk_ref, dv_ref, *, scale, block_k, causal, n_rep,
-                    precision):
+                    dk_ref, dv_ref, dk_acc, dv_acc, *, scale, block_k, causal,
+                    n_rep, precision, q_offset=0):
+    # this program owns one k block for one *kv* head and ONE of the n_rep
+    # q heads mapped onto it (the rep axis is the innermost grid dim, so a
+    # k block's rep sweep runs back-to-back). A python rep loop instead
+    # multiplies live (Lq, BK) temporaries by n_rep and VMEM-OOMs at GQA
+    # training lengths (measured: n_rep=4, Lq=512 blows the 16M scoped
+    # limit); f32 VMEM scratch carries the accumulation across reps at
+    # MHA-identical per-program cost.
     ik = pl.program_id(2)
-    # this program owns one k block for one *kv* head; sum over the q heads
-    # mapped onto it.
+    ir = pl.program_id(3)
     k = k_ref[0, 0].astype(jnp.float32)  # (BK, D)
     v = v_ref[0, 0].astype(jnp.float32)
     Lq = q_ref.shape[3]
     BK, D = k.shape
 
-    dk_acc = jnp.zeros((BK, D), jnp.float32)
-    dv_acc = jnp.zeros((BK, D), jnp.float32)
-
     kpos = ik * block_k + jax.lax.broadcasted_iota(jnp.int32, (Lq, BK), 1)
-    qpos = jax.lax.broadcasted_iota(jnp.int32, (Lq, BK), 0)
+    qpos = q_offset + jax.lax.broadcasted_iota(jnp.int32, (Lq, BK), 0)
     bias = jnp.where(mask_ref[0, 0] != 0, 0.0, NEG_INF)[None, :]
     if causal:
         bias = bias + jnp.where(kpos <= qpos, 0.0, NEG_INF)
 
-    for r in range(n_rep):
-        q = q_ref[0, 0, r].astype(jnp.float32)  # (Lq, D)
-        do = do_ref[0, 0, r].astype(jnp.float32)
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
-            precision=precision
-        ) * scale  # (Lq, BK)
-        p = jnp.exp(s + bias - lse_ref[r, 0, :][:, None])
-        dv_acc = dv_acc + jax.lax.dot_general(
-            p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-            precision=precision
-        )
-        dp = jax.lax.dot_general(
-            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
-            precision=precision
-        )
-        ds = p * (dp - delta_ref[r, 0, :][:, None]) * scale
-        dk_acc = dk_acc + jax.lax.dot_general(
-            ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-            precision=precision
-        )
+    q = q_ref[0, 0, 0].astype(jnp.float32)  # (Lq, D)
+    do = do_ref[0, 0, 0].astype(jnp.float32)
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=precision
+    ) * scale  # (Lq, BK)
+    p = jnp.exp(s + bias - lse_ref[0, 0, :][:, None])
+    dv = jax.lax.dot_general(
+        p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=precision
+    )
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=precision
+    )
+    ds = p * (dp - delta_ref[0, 0, :][:, None]) * scale
+    dk = jax.lax.dot_general(
+        ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=precision
+    )
 
-    dk_ref[0, 0] = dk_acc.astype(dk_ref.dtype)
-    dv_ref[0, 0] = dv_acc.astype(dv_ref.dtype)
+    @pl.when(ir == 0)
+    def _init():
+        dk_acc[...] = dk
+        dv_acc[...] = dv
+
+    @pl.when(ir != 0)
+    def _accum():
+        dk_acc[...] += dk
+        dv_acc[...] += dv
+
+    @pl.when(ir == n_rep - 1)
+    def _flush():
+        dk_ref[0, 0] = dk_acc[...].astype(dk_ref.dtype)
+        dv_ref[0, 0] = dv_acc[...].astype(dv_ref.dtype)
 
 
-def _bwd(scale, causal, block_q, res, g):
+def _bwd(scale, causal, block_q, q_offset, res, g):
     q, k, v, mask, out, lse = res
     do, _ = g
     B, H, Lq, D = q.shape
@@ -240,7 +257,7 @@ def _bwd(scale, causal, block_q, res, g):
                  else jax.lax.Precision.DEFAULT)
     dq_kernel = functools.partial(
         _bwd_dq_kernel, scale=scale, block_q=block_q, causal=causal,
-        precision=precision,
+        precision=precision, q_offset=q_offset,
     )
     dq = pl.pallas_call(
         dq_kernel,
@@ -275,38 +292,42 @@ def _bwd(scale, causal, block_q, res, g):
 
     dkv_kernel = functools.partial(
         _bwd_dkv_kernel, scale=scale, block_k=block_k, causal=causal,
-        n_rep=n_rep, precision=precision,
+        n_rep=n_rep, precision=precision, q_offset=q_offset,
     )
     dk, dv = pl.pallas_call(
         dkv_kernel,
-        grid=(B, KVH, Lk // block_k),
+        grid=(B, KVH, Lk // block_k, n_rep),
         in_specs=[
-            pl.BlockSpec((1, 1, block_k), lambda b, h, i: (b, 0, i),
+            pl.BlockSpec((1, 1, block_k), lambda b, h, i, r: (b, 0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, n_rep, Lq, D), lambda b, h, i: (b, h, 0, 0, 0),
+            pl.BlockSpec((1, 1, 1, Lq, D), lambda b, h, i, r: (b, h, r, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, block_k, D), lambda b, h, i: (b, h, i, 0),
+            pl.BlockSpec((1, 1, block_k, D), lambda b, h, i, r: (b, h, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, block_k, D), lambda b, h, i: (b, h, i, 0),
+            pl.BlockSpec((1, 1, block_k, D), lambda b, h, i, r: (b, h, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, n_rep, Lq, D), lambda b, h, i: (b, h, 0, 0, 0),
+            pl.BlockSpec((1, 1, 1, Lq, D), lambda b, h, i, r: (b, h, r, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, None, n_rep, 8, Lq),
-                         lambda b, h, i: (b, h, 0, 0, 0),
+            pl.BlockSpec((None, None, 1, 8, Lq),
+                         lambda b, h, i, r: (b, h, r, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, None, n_rep, 8, Lq),
-                         lambda b, h, i: (b, h, 0, 0, 0),
+            pl.BlockSpec((None, None, 1, 8, Lq),
+                         lambda b, h, i, r: (b, h, r, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, block_k, D), lambda b, h, i: (b, h, i, 0),
+            pl.BlockSpec((1, 1, block_k, D), lambda b, h, i, r: (b, h, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, block_k, D), lambda b, h, i: (b, h, i, 0),
+            pl.BlockSpec((1, 1, block_k, D), lambda b, h, i, r: (b, h, i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((B, KVH, Lk, D), k.dtype),
             jax.ShapeDtypeStruct((B, KVH, Lk, D), v.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_k, D), jnp.float32),
+            pltpu.VMEM((block_k, D), jnp.float32),
         ],
     )(mask3, qg, k, v, dog, lseg, deltag)
 
@@ -314,19 +335,19 @@ def _bwd(scale, causal, block_q, res, g):
     return dq, dk, dv, None
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
-def _flash(q, k, v, mask, scale, causal, block_q):
-    out, _ = _fwd(q, k, v, mask, scale, causal, block_q)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def _flash(q, k, v, mask, scale, causal, block_q, q_offset):
+    out, _ = _fwd(q, k, v, mask, scale, causal, block_q, q_offset)
     return out
 
 
-def _flash_fwd(q, k, v, mask, scale, causal, block_q):
-    out, lse = _fwd(q, k, v, mask, scale, causal, block_q)
+def _flash_fwd(q, k, v, mask, scale, causal, block_q, q_offset):
+    out, lse = _fwd(q, k, v, mask, scale, causal, block_q, q_offset)
     return out, (q, k, v, mask, out, lse)
 
 
-def _flash_bwd(scale, causal, block_q, res, g):
-    return _bwd(scale, causal, block_q, res, (g, None))
+def _flash_bwd(scale, causal, block_q, q_offset, res, g):
+    return _bwd(scale, causal, block_q, q_offset, res, (g, None))
 
 
 _flash.defvjp(_flash_fwd, _flash_bwd)
@@ -339,20 +360,53 @@ def flash_attention(
     *,
     attention_mask: Optional[Array] = None,
     causal: bool = True,
+    q_offset: int = 0,
 ) -> Array:
-    """q (B, L, H, D); k/v (B, L, KVH, D) — KVH divides H. Returns (B, L, H, D).
+    """q (B, Lq, H, D); k/v (B, Lk, KVH, D) — KVH divides H. Returns
+    (B, Lq, H, D).
 
-    attention_mask: (B, L) key validity (1 = attend). Falls back to the
-    dense path when L is not a multiple of the block size.
+    attention_mask: (B, Lk) key validity (1 = attend). q_offset (STATIC
+    int): absolute position of q row 0 — the rectangular shared-prefix
+    case (queries = suffix window at positions [q_offset, q_offset+Lq),
+    keys = the full prefix+suffix sequence).
+
+    Arbitrary (non-128-aligned) causal lengths ride the kernel via
+    transparent padding: key pads are masked out (exact), padded query
+    rows are sliced off (the slice vjp zeroes their cotangent, so their
+    dk/dv contribution is exactly 0). Real shared prefixes (P = prompt
+    length, e.g. 601) need this — no alignment cooperates with them.
     """
     B, Lq, H, D = q.shape
     Lk, KVH = k.shape[1], k.shape[2]
-    block_q = _pick_block_q(min(Lq, Lk))
-    if block_q is None or Lq != Lk:
+    pad_q = (-Lq) % 128
+    pad_k = (-Lk) % 128
+    if causal and (pad_q or pad_k) and (Lq == Lk or q_offset > 0):
+        if attention_mask is None:
+            attention_mask = jnp.ones((B, Lk), jnp.int32)
+        out = flash_attention(
+            jnp.pad(q, ((0, 0), (0, pad_q), (0, 0), (0, 0))),
+            jnp.pad(k, ((0, 0), (0, pad_k), (0, 0), (0, 0))),
+            jnp.pad(v, ((0, 0), (0, pad_k), (0, 0), (0, 0))),
+            attention_mask=jnp.pad(
+                attention_mask.astype(jnp.int32), ((0, 0), (0, pad_k))
+            ),
+            causal=True,
+            q_offset=q_offset,
+        )
+        return out[:, :Lq]
+
+    block_q = None
+    for b in (DEFAULT_BLOCK_Q, 256, 128):
+        if Lq % b == 0 and Lk % b == 0:
+            block_q = b
+            break
+    rect_ok = q_offset > 0 and block_q is not None
+    if block_q is None or (Lq != Lk and not rect_ok):
         from rlaifv_tpu.ops.attention import _build_bias, dense_attention, repeat_kv
 
         n_rep = H // KVH
-        bias = _build_bias(Lq, Lk, attention_mask, causal, None, B)
+        bias = _build_bias(Lq, Lk, attention_mask, causal,
+                           q_offset if q_offset else None, B)
         return dense_attention(q, repeat_kv(k, n_rep), repeat_kv(v, n_rep), bias)
 
     if attention_mask is None:
@@ -360,8 +414,9 @@ def flash_attention(
     attention_mask = attention_mask.astype(jnp.int32)
 
     scale = 1.0 / (D ** 0.5)
-    qt = q.transpose(0, 2, 1, 3)  # (B, H, L, D)
-    kt = k.transpose(0, 2, 1, 3)  # (B, KVH, L, D)
+    qt = q.transpose(0, 2, 1, 3)  # (B, H, Lq, D)
+    kt = k.transpose(0, 2, 1, 3)  # (B, KVH, Lk, D)
     vt = v.transpose(0, 2, 1, 3)
-    out = _flash(qt, kt, vt, attention_mask, scale, causal, block_q)
+    out = _flash(qt, kt, vt, attention_mask, scale, causal, block_q,
+                 int(q_offset))
     return out.transpose(0, 2, 1, 3)

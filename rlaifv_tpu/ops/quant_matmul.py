@@ -74,7 +74,15 @@ def int8_matmul(
     # 7B down_proj (K=11008) stays under the ~16M scoped budget.
     # Mosaic double-buffers streamed blocks; wide-K (7B down_proj
     # K=11008) needs small tiles to fit the 16M scoped budget
-    block_m = block_m or (256 if K <= 8192 else 128)
+    if block_m is None:
+        block_m = 256 if K <= 8192 else 128
+        # prefer a block that DIVIDES M (same rationale as block_n below):
+        # padding M materializes the padded output as a separate HLO temp
+        # plus a pad/slice copy pair at EVERY call site — measured 5.6G of
+        # unfused pad/slice temps across a 32-layer remat backward at 7B
+        # paired geometry (M=5788)
+        block_m = next((b for b in (256, 128) if b <= block_m and M % b == 0),
+                       block_m)
     if block_n is None:
         # prefer a block that DIVIDES N: padding N makes the padded
         # (Mp, Np) output an HLO temp (352M per call at 7B mlp width)
@@ -157,7 +165,11 @@ def int8_matmul_dx(
     # VMEM: dy stripe (bm, N) in bf16 + f32 quant staging + int8, plus the
     # (bk, N) int8 weight block; shrink both for wide N (7B down_proj dx
     # has N=11008).
-    block_m = block_m or (256 if N <= 8192 else 128)
+    if block_m is None:
+        block_m = 256 if N <= 8192 else 128
+        # prefer an M-dividing block — see int8_matmul
+        block_m = next((b for b in (256, 128) if b <= block_m and M % b == 0),
+                       block_m)
     bm = min(block_m, ((M + 7) // 8) * 8)
     if block_k is None:
         cap = 512 if N <= 8192 else 128
@@ -273,7 +285,11 @@ def int8_matmul_prequant(
     # K*bn (weight) + bm*bn*4 (f32 out). 7B widths (K<=11008) fit 256/256;
     # EVA02-enormous fc2 (K=15360) needs 256/128 (256/256 blew the 16M
     # scoped budget by 3M on the 12B serve bench).
-    block_m = block_m or (512 if K <= 8192 else 256)
+    if block_m is None:
+        block_m = 512 if K <= 8192 else 256
+        # prefer an M-dividing block — see int8_matmul
+        block_m = next((b for b in (512, 256, 128)
+                        if b <= block_m and M % b == 0), block_m)
     if block_n is None:
         cap = 512 if K <= 8192 else 256 if K <= 12288 else 128
         block_n = next((b for b in (512, 256, 128) if b <= cap and N % b == 0),

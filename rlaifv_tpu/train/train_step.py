@@ -95,6 +95,41 @@ class LlavaDPOAdapter:
             return llm["lm_head"]["kernel"]
         return llm["model"]["tok_embed"]["embedding"].T  # tied embeddings
 
+    def embed_ids(self, params, input_ids):
+        """Token embeddings only (patch-slot sentinels clamped)."""
+        return self.module.apply(
+            _as_variables(params), jnp.maximum(input_ids, 0),
+            method=lambda m, ids: m.llm.embed(ids),
+        )
+
+    def logits_from_hidden(self, params, hidden):
+        return self.module.apply(
+            _as_variables(params), hidden,
+            method=lambda m, h: m.llm.logits(h),
+        )
+
+    def splice_features(self, embeds, feats, starts):
+        from rlaifv_tpu.models.llava import splice_image_features
+
+        return splice_image_features(embeds, feats, starts)
+
+    def paired_hidden(self, params, prefix_embeds, suffix_embeds,
+                      prefix_mask, suffix_mask, suffix_pos_start=None):
+        """Shared-prefix paired forward (train/paired_forward.py): the
+        prompt prefix runs ONCE per pair, suffixes attend over its KV.
+        Returns (prefix_hidden (B, Pa, D), suffix_hidden (2B, W, D))."""
+        from rlaifv_tpu.train.paired_forward import PairedLlamaModel
+
+        mod = PairedLlamaModel(self.module.cfg.llm)
+        v = _as_variables(params)
+        sub = {}
+        for col, tree in v.items():
+            t = tree["llm"] if "llm" in tree else tree
+            sub[col] = t["model"] if "model" in t else t
+        return mod.apply(sub, prefix_embeds, suffix_embeds,
+                         prefix_mask, suffix_mask,
+                         suffix_pos_start=suffix_pos_start)
+
 
 @dataclasses.dataclass(frozen=True)
 class DPOHparams:
@@ -113,6 +148,69 @@ class DPOHparams:
     # by L/compact_len, numerically identical (see get_batch_logps_compact).
     lm_head_impl: str = "xla"
     compact_len: int = 0  # static per-row bound on loss positions ("compact")
+    # > 0: win/rej share the first shared_prefix_len tokens (prompt prefix);
+    # the pair's prefix runs ONCE (train/paired_forward.py — per-pair token
+    # work P + 2W instead of 2L). The caller must guarantee, per batch:
+    # shared_prefix_len <= every pair's common-prefix length, and every
+    # image span ends at or before it. Internally the prefix array pads to
+    # the next multiple of 128 (masked rows, exact) so every hot shape is
+    # flash-block / int8-row-block aligned — unaligned P compiled but cost
+    # +5.2G of materialized pad/slice temps at 7B (measured).
+    shared_prefix_len: int = 0
+    # with shared_prefix_len > 0: carry only the first shared_suffix_len
+    # suffix tokens (static; 0 = all L-P). Dropping the tail is EXACT as
+    # long as no supervised label lies beyond P+W (causal logps never
+    # depend on later tokens; validate_shared_prefix enforces it) — the
+    # batch tail past prompt+answer is padding, so W ~ answer length, not
+    # L-P. Pick a multiple of 128.
+    shared_suffix_len: int = 0
+
+
+def validate_shared_prefix(
+    batch, P: int, num_patches: int = 0, suffix_len: int = 0
+) -> None:
+    """Host-side guard for the shared-prefix paired forward (numpy, cheap).
+
+    The paired math is exact iff (a) win row i and rej row i carry identical
+    tokens in [0, P), (b) every image span ends at or before P, and (c) with
+    suffix trimming, no supervised label lies at or beyond P+suffix_len. A
+    batch violating any would train on silently-wrong logps, so callers
+    hard-fail (same policy as the compact-head overflow check)."""
+    import numpy as np
+
+    from rlaifv_tpu.constants import IGNORE_INDEX
+
+    ids = np.asarray(batch["input_ids"])
+    B = ids.shape[0] // 2
+    diverge = (ids[:B, :P] != ids[B:, :P]).any(axis=1)
+    if diverge.any():
+        i = int(np.argmax(diverge))
+        j = int(np.argmax(ids[i, :P] != ids[B + i, :P]))
+        raise ValueError(
+            f"shared_prefix_len={P} but pair {i} diverges at token {j}; "
+            f"lower training.shared_prefix_len (or set 0 for the plain path)"
+        )
+    if num_patches and "images" in batch:
+        starts = np.asarray(batch["image_starts"])
+        bad = (starts >= 0) & (starts + num_patches > P)
+        if bad.any():
+            i = int(np.argmax(bad))
+            raise ValueError(
+                f"shared_prefix_len={P} cuts the image span of row {i} "
+                f"(start {int(starts[i])} + {num_patches} patches > {P})"
+            )
+    if suffix_len > 0 and "labels" in batch:
+        labels = np.asarray(batch["labels"])
+        if labels.shape[1] > P + suffix_len:
+            tail = labels[:, P + suffix_len:] != IGNORE_INDEX
+            if tail.any():
+                rows = np.where(tail.any(axis=1))[0]
+                last = int(np.max(np.where(tail[rows[0]])[0])) + P + suffix_len
+                raise ValueError(
+                    f"shared_suffix_len={suffix_len} drops supervised labels "
+                    f"(row {int(rows[0])} has a label at {last} >= "
+                    f"P+W={P + suffix_len}); raise training.shared_suffix_len"
+                )
 
 
 @jax.tree_util.register_pytree_node_class
@@ -159,7 +257,54 @@ def dpo_forward_logps(
     fwd_text = model.hidden_text if use_hidden else model.forward_text
 
     images = batch.get("images")
-    if "win_images" in batch:
+    if hp.shared_prefix_len > 0 and "win_images" not in batch:
+        # shared-prefix paired forward: prefix (B, P) once per pair,
+        # suffixes (2B, W) attend over its KV (train/paired_forward.py).
+        # The prefix ARRAY pads to Pa = ceil128(P) with masked rows so
+        # every per-layer shape is flash/int8-block aligned (unaligned P
+        # costs gigabytes of materialized pad/slice temps at 7B); RoPE
+        # stays at real positions and pad rows never reach the loss.
+        P = hp.shared_prefix_len
+        L = input_ids.shape[1]
+        if not 0 < P < L:
+            raise ValueError(f"shared_prefix_len {P} outside (0, {L})")
+        W = hp.shared_suffix_len or (L - P)
+        if not 0 < W <= L - P:
+            raise ValueError(
+                f"shared_suffix_len {W} outside (0, {L - P}] at P={P}"
+            )
+        Pa = -(-P // 128) * 128
+        pad = Pa - P
+        amask = batch["attention_mask"]
+        pmask = jnp.pad(amask[:B, :P], ((0, 0), (0, pad)))
+        smask = jnp.concatenate(
+            [jnp.concatenate([pmask, pmask], 0), amask[:, P:P + W]], axis=1
+        )
+        prefix_embeds = model.embed_ids(
+            params, jnp.pad(input_ids[:B, :P], ((0, 0), (0, pad)))
+        )
+        if images is not None:
+            feats = model.encode_images_fn(params, images)  # (B, Pimg, D)
+            prefix_embeds = model.splice_features(
+                prefix_embeds, feats, batch["image_starts"][:B]
+            )
+        suffix_embeds = model.embed_ids(params, input_ids[:, P:P + W])
+        hp_hidden, hs_hidden = model.paired_hidden(
+            params, prefix_embeds, suffix_embeds, pmask, smask,
+            suffix_pos_start=P,
+        )
+        from rlaifv_tpu.train.paired_forward import merge_paired_hidden
+
+        out = merge_paired_hidden(hp_hidden, hs_hidden, real_prefix_len=P)
+        if not use_hidden:  # "xla": logits from the merged hidden
+            out = model.logits_from_hidden(params, out)
+        if W < L - P:
+            # suffix trim: out covers positions [0, P+W); slice the label
+            # arrays to match (exact — validate_shared_prefix guarantees
+            # no supervised label lies beyond, and causal logps of kept
+            # positions never depend on dropped later tokens)
+            labels = labels[:, :P + W]
+    elif "win_images" in batch:
         # KTO task: win/rej rows carry different images
         # (ref trainers.py:193-196 torch.cat([win_images, rej_images]))
         both = jnp.concatenate([batch["win_images"], batch["rej_images"]], 0)
@@ -201,7 +346,7 @@ def dpo_forward_logps(
     if hp.dpo_token_weighted:
         token_weight = jnp.concatenate(
             [batch["win_token_weight"], batch["rej_token_weight"]], axis=0
-        )
+        )[:, :labels.shape[1] - 1]  # (2B, L'-1): match the trimmed labels
         if compact:
             # Gather the weights onto the same compact slots; masked slots
             # carry 0 in per_token, so sums match compute_weighted_logp.

@@ -102,8 +102,13 @@ class DPOTrainer:
             dpo_weight=t.dpo_weight,
             lm_head_impl=head,
             compact_len=compact_len,
+            shared_prefix_len=int(getattr(t, "shared_prefix_len", 0)),
+            shared_suffix_len=int(getattr(t, "shared_suffix_len", 0)),
         )
         self.hp = hp
+        self._num_patches = getattr(
+            getattr(model, "cfg", None), "num_image_tokens", 0
+        ) or 0
         self.optimizer = make_optimizer(
             t.learning_rate,
             total_steps=t.max_steps,
@@ -238,6 +243,17 @@ class DPOTrainer:
                     break
                 if pending_overflow is not None:
                     self._check_overflow(*pending_overflow)
+                if self.hp.shared_prefix_len > 0:
+                    # exactness guard for the paired forward: cheap numpy
+                    # equality on the host batch (see validate_shared_prefix)
+                    from rlaifv_tpu.train.train_step import (
+                        validate_shared_prefix,
+                    )
+
+                    validate_shared_prefix(
+                        batch, self.hp.shared_prefix_len, self._num_patches,
+                        suffix_len=self.hp.shared_suffix_len,
+                    )
                 sb = shard_batch(batch, self.mesh)
                 if self.use_lora:
                     self.state, metrics = self._step(

@@ -81,6 +81,35 @@ def main():
                             answer_len=256 if not tiny else 32)
     n_valid = int((np.asarray(batch["labels"])[:, 1:] != -100).sum(-1).max())
     compact_len = int(np.ceil(max(n_valid, 64) / 64) * 64)
+
+    # BENCH7B_PREFIX=auto|<int>|0: shared-prefix paired forward — the pair's
+    # prompt prefix runs ONCE (train/paired_forward.py). auto = the full
+    # common prompt (validated like the trainer does).
+    prefix_env = os.environ.get("BENCH7B_PREFIX", "0")
+    shared_suffix = 0
+    if prefix_env == "auto":
+        ids = np.asarray(batch["input_ids"])
+        eq = ids[:n_pairs] == ids[n_pairs:]
+        full = eq.all(axis=1)
+        firsts = np.where(full, ids.shape[1], np.argmin(eq, axis=1))
+        shared_prefix = int(firsts.min())
+        # suffix trim: carry only up to the last supervised label, rounded
+        # up to a flash-block multiple (exact: causal logps of kept
+        # positions never depend on dropped later padding)
+        labels_np = np.asarray(batch["labels"])
+        last = int(np.max(np.where(labels_np != -100)[1])) + 1
+        shared_suffix = min(
+            -(-max(last - shared_prefix, 1) // 128) * 128,
+            seq_len - shared_prefix,
+        )
+    else:
+        shared_prefix = int(prefix_env)
+    if shared_prefix > 0:
+        from rlaifv_tpu.train.train_step import validate_shared_prefix
+
+        validate_shared_prefix(batch, shared_prefix, cfg.num_image_tokens,
+                               suffix_len=shared_suffix)
+
     batch = {k: jnp.asarray(v) for k, v in batch.items()}
 
     # init the 7B base ON DEVICE (host->device through the tunnel is
@@ -99,7 +128,9 @@ def main():
     n_adapter = sum(int(np.prod(x.shape))
                     for x in jax.tree_util.tree_leaves(lora))
 
-    hp = DPOHparams(beta=0.1, lm_head_impl="compact", compact_len=compact_len)
+    hp = DPOHparams(beta=0.1, lm_head_impl="compact", compact_len=compact_len,
+                    shared_prefix_len=shared_prefix,
+                    shared_suffix_len=shared_suffix)
     # ref LoRA lr llava15_train_lora.sh:31; bf16 first moment frees ~320M
     # of HBM on 160M adapters (4 pairs/batch was 195M over capacity)
     opt = optax.adamw(1e-5, weight_decay=0.0, mu_dtype=jnp.bfloat16)
@@ -151,6 +182,8 @@ def main():
             "base": "int8 weight-only (bf16 head)",
             "adapters": f"lora r={r} ({n_adapter/1e6:.0f}M params)",
             "seq_len": seq_len,
+            "shared_prefix": shared_prefix,
+            "shared_suffix": shared_suffix,
             "pairs_per_batch": n_pairs,
             "step_ms": round(dt * 1e3, 1),
             "mfu_ref_flops": round(mfu, 3),

@@ -72,6 +72,47 @@ def main():
         failures += not (ok_fwd and ok_grad)
         print(f"flash kvh={kvh}: fwd={fwd:.2e} grads={grad_diffs} [{status}]")
 
+    # rectangular shared-prefix shape: suffix queries (W) over prefix+suffix
+    # keys (P+W), static q_offset=P (the paired DPO training path).
+    # (2, 384, 256): aligned fast path; (2, 601, 423): the real-prompt
+    # unaligned case riding the transparent-padding wrapper.
+    for B, P, W in ((2, 384, 256), (2, 601, 423)):
+        kvh, H, D = 2, 8, 128
+        Lk = P + W
+        q = jnp.asarray(rng.normal(size=(B, W, H, D)), jnp.float32)
+        k = jnp.asarray(rng.normal(size=(B, Lk, kvh, D)), jnp.float32)
+        v = jnp.asarray(rng.normal(size=(B, Lk, kvh, D)), jnp.float32)
+        mask = np.ones((B, Lk), np.int32)
+        mask[1, Lk - 48:] = 0
+        mask = jnp.asarray(mask)
+
+        def rref(q, k, v):
+            with jax.default_matmul_precision("highest"):
+                n_rep = q.shape[2] // k.shape[2]
+                bias = _build_bias(W, Lk, mask, True, P, B)
+                return dense_attention(
+                    q, repeat_kv(k, n_rep), repeat_kv(v, n_rep), bias
+                )
+
+        out = flash_attention(q, k, v, attention_mask=mask, q_offset=P)
+        fwd = float(jnp.abs(out - rref(q, k, v)).max())
+        ok_fwd = fwd < 1e-5
+        g = jnp.asarray(rng.normal(size=out.shape), jnp.float32)
+        gf = jax.grad(
+            lambda q, k, v: (flash_attention(
+                q, k, v, attention_mask=mask, q_offset=P) * g).sum(),
+            argnums=(0, 1, 2),
+        )(q, k, v)
+        gd = jax.grad(
+            lambda q, k, v: (rref(q, k, v) * g).sum(), argnums=(0, 1, 2)
+        )(q, k, v)
+        grad_diffs = [float(jnp.abs(a - b).max()) for a, b in zip(gf, gd)]
+        ok_grad = all(d < 1e-3 for d in grad_diffs)
+        status = "OK" if (ok_fwd and ok_grad) else "FAIL"
+        failures += not (ok_fwd and ok_grad)
+        print(f"flash rect P={P} W={W}: fwd={fwd:.2e} grads={grad_diffs} "
+              f"[{status}]")
+
     for kvh in (8, 4):
         B, L, H, D = 4, 896, 8, 128
         q = jnp.asarray(rng.normal(size=(B, H, D)), jnp.float32)

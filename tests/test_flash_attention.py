@@ -69,3 +69,47 @@ def test_flash_grads_match_dense(kvh):
             np.asarray(a), np.asarray(b), atol=4e-2, rtol=2e-2,
             err_msg=f"grad mismatch for {name}",
         )
+
+
+@pytest.mark.parametrize("kvh,P,W", [(8, 128, 128), (2, 128, 128),
+                                     (8, 98, 73)])
+def test_flash_rectangular_q_offset_matches_dense(kvh, P, W):
+    """Shared-prefix training shape: suffix queries (W) over prefix+suffix
+    keys (P+W) with a static q_offset=P. fwd + grads vs the dense oracle.
+    The (98, 73) case exercises the transparent-padding wrapper (real
+    prompt prefixes are never 128-aligned)."""
+    from rlaifv_tpu.ops.flash_attention import flash_attention
+
+    rng = np.random.default_rng(3)
+    B, H, D = 1, 8, 128
+    Lk = P + W
+    q = jnp.asarray(rng.normal(size=(B, W, H, D)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(B, Lk, kvh, D)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(B, Lk, kvh, D)), jnp.float32)
+    mask = np.ones((B, Lk), np.int32)
+    mask[0, Lk - 16:] = 0  # padded suffix tail
+    mask = jnp.asarray(mask)
+
+    def ref(q, k, v):
+        n_rep = q.shape[2] // k.shape[2]
+        bias = _build_bias(W, Lk, mask, True, P, B)
+        return dense_attention(q, repeat_kv(k, n_rep), repeat_kv(v, n_rep),
+                               bias)
+
+    out = flash_attention(q, k, v, attention_mask=mask, q_offset=P)
+    want = ref(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want), atol=2e-3)
+
+    co = jnp.asarray(rng.normal(size=out.shape), jnp.float32)
+    gf = jax.grad(
+        lambda q, k, v: (flash_attention(
+            q, k, v, attention_mask=mask, q_offset=P) * co).sum(),
+        argnums=(0, 1, 2),
+    )(q, k, v)
+    gd = jax.grad(
+        lambda q, k, v: (ref(q, k, v) * co).sum(), argnums=(0, 1, 2)
+    )(q, k, v)
+    for a, b, name in zip(gf, gd, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-3, err_msg=f"d{name}"
+        )
