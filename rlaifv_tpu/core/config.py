@@ -74,7 +74,9 @@ class TrainingArguments:
     # >0: win/rej rows share the first shared_prefix_len tokens; the pair's
     # prompt prefix runs ONCE per step (train/paired_forward.py). Safe value
     # for LLaVA-1.5: system + image span (the trainer validates every batch
-    # and hard-fails on violation). 0 = plain concatenated forward.
+    # and hard-fails on violation). -1: derive from the first batch via the
+    # image-end rule (train_step.derive_shared_prefix_len). 0 = plain
+    # concatenated forward.
     shared_prefix_len: int = 0
     # with shared_prefix_len > 0: carry only the first shared_suffix_len
     # tokens after the prefix (multiple of 128; 0 = all). Exact as long as

@@ -166,6 +166,36 @@ class DPOHparams:
     shared_suffix_len: int = 0
 
 
+def derive_shared_prefix_len(batch, num_patches: int = 0) -> int:
+    """Safe static shared_prefix_len derived from one batch (host, numpy).
+
+    Multimodal batches use the image-end rule: P = max(image_start) +
+    num_patches. Under the standard templates the image sits at a fixed
+    position (after the system prompt), every pair's common prompt runs
+    at least through system + image + question, and the question follows
+    the image — so this P is valid for EVERY batch, not just the one
+    inspected. Text-only batches (and nonstandard variable image
+    positions) fall back to this batch's minimum pair-common prefix —
+    a later batch with a shorter prompt hard-fails in
+    validate_shared_prefix (loud, not silent).
+    Returns 0 when no paired speedup is expressible (e.g. divergence
+    before the image ends)."""
+    import numpy as np
+
+    ids = np.asarray(batch["input_ids"])
+    B, L = ids.shape[0] // 2, ids.shape[1]
+    eq = ids[:B] == ids[B:]
+    full = eq.all(axis=1)
+    common = int(np.where(full, L, np.argmin(eq, axis=1)).min())
+    if num_patches and "images" in batch:
+        starts = np.asarray(batch["image_starts"])
+        real = starts[starts >= 0]
+        if real.size:
+            P = int(real.max()) + num_patches
+            return P if P <= common and 0 < P < L else 0
+    return common if 0 < common < L else 0
+
+
 def validate_shared_prefix(
     batch, P: int, num_patches: int = 0, suffix_len: int = 0
 ) -> None:

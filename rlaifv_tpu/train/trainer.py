@@ -105,7 +105,6 @@ class DPOTrainer:
             shared_prefix_len=int(getattr(t, "shared_prefix_len", 0)),
             shared_suffix_len=int(getattr(t, "shared_suffix_len", 0)),
         )
-        self.hp = hp
         self._num_patches = getattr(
             getattr(model, "cfg", None), "num_image_tokens", 0
         ) or 0
@@ -137,14 +136,8 @@ class DPOTrainer:
                 jnp.int32(0), train_params, self.optimizer.init(train_params)
             )
 
-        if self.use_lora:
-            step = make_lora_dpo_train_step(
-                self.adapter, self.optimizer, hp, lora_alpha=lora_alpha
-            )
-            self._step = jax.jit(step, donate_argnums=0)
-        else:
-            step = make_dpo_train_step(self.adapter, self.optimizer, hp)
-            self._step = jax.jit(step, donate_argnums=0)
+        self._lora_alpha = lora_alpha
+        self._build_step(hp)
 
         self.logger = MetricLogger(t.output_dir)
         self.ckpt = CheckpointManager(
@@ -217,6 +210,17 @@ class DPOTrainer:
                 f"training.lm_head_impl='xla'/'fused'"
             )
 
+    def _build_step(self, hp) -> None:
+        self.hp = hp
+        if self.use_lora:
+            step = make_lora_dpo_train_step(
+                self.adapter, self.optimizer, hp,
+                lora_alpha=self._lora_alpha,
+            )
+        else:
+            step = make_dpo_train_step(self.adapter, self.optimizer, hp)
+        self._step = jax.jit(step, donate_argnums=0)
+
     def train(self) -> DPOTrainState:
         t = self.config.training
         from rlaifv_tpu.core.distributed import assert_consistent
@@ -243,6 +247,23 @@ class DPOTrainer:
                     break
                 if pending_overflow is not None:
                     self._check_overflow(*pending_overflow)
+                if self.hp.shared_prefix_len < 0:
+                    # shared_prefix_len=-1: derive a safe static P from the
+                    # first batch (image-end rule — see
+                    # derive_shared_prefix_len) and rebuild the step once.
+                    # 0 = no paired speedup expressible -> plain path.
+                    from rlaifv_tpu.train.train_step import (
+                        derive_shared_prefix_len,
+                    )
+                    import dataclasses as _dc
+
+                    P = derive_shared_prefix_len(batch, self._num_patches)
+                    self.logger.log(
+                        step, {"derived_shared_prefix_len": P}
+                    )
+                    self._build_step(
+                        _dc.replace(self.hp, shared_prefix_len=P)
+                    )
                 if self.hp.shared_prefix_len > 0:
                     # exactness guard for the paired forward: cheap numpy
                     # equality on the host batch (see validate_shared_prefix)

@@ -202,6 +202,35 @@ def test_paired_text_only(setup):
     np.testing.assert_allclose(float(l1), float(l0), rtol=2e-5)
 
 
+def test_derive_shared_prefix_len(setup):
+    from rlaifv_tpu.train.train_step import (
+        derive_shared_prefix_len,
+        validate_shared_prefix,
+    )
+
+    _, jb, _, P = setup
+    batch = {k: np.asarray(v) for k, v in jb.items()}
+    got = derive_shared_prefix_len(batch, num_patches=16)
+    # image-end rule: starts are the same for every fixture row, so the
+    # derived P is image_start + 16, <= the true common prefix
+    assert got == int(batch["image_starts"].max()) + 16
+    assert 0 < got <= P
+    validate_shared_prefix(batch, got, num_patches=16)
+
+    text_only = {k: v for k, v in batch.items() if k != "images"}
+    got_t = derive_shared_prefix_len(text_only, num_patches=0)
+    assert got_t == P  # min pair-common prefix of this batch
+    validate_shared_prefix(text_only, got_t)
+
+    # divergence before the image ends -> no paired speedup expressible
+    bad = dict(batch)
+    ids = batch["input_ids"].copy()
+    B = ids.shape[0] // 2
+    ids[0, 1] = ids[B, 1] + 1
+    bad["input_ids"] = ids
+    assert derive_shared_prefix_len(bad, num_patches=16) == 0
+
+
 def test_validate_shared_prefix(setup):
     from rlaifv_tpu.train.train_step import validate_shared_prefix
 
