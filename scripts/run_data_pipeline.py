@@ -19,6 +19,9 @@ from __future__ import annotations
 
 import argparse
 import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 from rlaifv_tpu.data.datasets import GenDataset
 from rlaifv_tpu.utils.file_io import read_jsonlines, write_jsonlines

@@ -10,6 +10,9 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 from rlaifv_tpu.utils.file_io import (
     read_json_or_jsonlines,
