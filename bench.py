@@ -194,6 +194,35 @@ def main():
     # static bound comes from the actual batch, rounded up to a lane multiple.
     n_valid = int((np.asarray(batch["labels"])[:, 1:] != -100).sum(-1).max())
     compact_len = int(np.ceil(n_valid / 64) * 64)
+
+    # shared-prefix paired forward (train/paired_forward.py): win/rej share
+    # the question+image prompt, so the pair's prefix runs ONCE and the dead
+    # padded tail past the answers is trimmed — identical loss/grads
+    # (tests/test_paired_prefix.py), ~half the executed token work. Same
+    # derivation as the trainer's shared_prefix_len=-1 / bench_7b_lora
+    # BENCH7B_PREFIX=auto. BENCH_PREFIX=0 restores the plain path.
+    prefix_env = os.environ.get("BENCH_PREFIX", "auto")
+    shared_prefix = shared_suffix = 0
+    if prefix_env == "auto":
+        ids = np.asarray(batch["input_ids"])
+        eq = ids[:n_pairs] == ids[n_pairs:]
+        full = eq.all(axis=1)
+        firsts = np.where(full, ids.shape[1], np.argmin(eq, axis=1))
+        shared_prefix = int(firsts.min())
+        labels_np = np.asarray(batch["labels"])
+        last = int(np.max(np.where(labels_np != -100)[1])) + 1
+        shared_suffix = min(
+            -(-max(last - shared_prefix, 1) // 128) * 128,
+            seq_len - shared_prefix,
+        )
+    elif int(prefix_env) > 0:
+        shared_prefix = int(prefix_env)
+    if shared_prefix > 0:
+        from rlaifv_tpu.train.train_step import validate_shared_prefix
+
+        validate_shared_prefix(batch, shared_prefix, cfg.num_image_tokens,
+                               suffix_len=shared_suffix)
+
     batch = {k: jnp.asarray(v) for k, v in batch.items()}
 
     # batch-of-1 init: images are per-pair while ids/starts are per-row
@@ -204,7 +233,9 @@ def main():
         image_starts=batch["image_starts"][:1],
     )["params"]
 
-    hp = DPOHparams(beta=0.1, lm_head_impl="compact", compact_len=compact_len)
+    hp = DPOHparams(beta=0.1, lm_head_impl="compact", compact_len=compact_len,
+                    shared_prefix_len=shared_prefix,
+                    shared_suffix_len=shared_suffix)
     opt = make_optimizer(5e-7, total_steps=100)
     state = DPOTrainState(jnp.int32(0), params, opt.init(params))
     step_fn = make_dpo_train_step(adapter, opt, hp)
@@ -245,7 +276,8 @@ def main():
 
     pairs_per_sec = n_pairs / dt
     fpp = llava_flops_per_pair(cfg, seq_len)
-    fpp_hw = llava_flops_per_pair_hw(cfg, seq_len, compact_len)
+    fpp_hw = llava_flops_per_pair_hw(cfg, seq_len, compact_len,
+                                     shared_prefix, shared_suffix)
     peak = 197e12 if on_tpu else 1e12  # v5e bf16 peak
     # effective MFU in reference-FLOPs (counts head work the compact head
     # skips) vs hardware MFU (FLOPs actually executed) — report both
@@ -308,6 +340,8 @@ def main():
             "pairs_per_batch": n_pairs,
             "lm_head_impl": "compact",
             "compact_len": compact_len,
+            "shared_prefix": shared_prefix,
+            "shared_suffix": shared_suffix,
             "step_ms": round(dt * 1000, 1),
             "mfu_ref_flops": round(mfu_ref, 3),
             "mfu_hw": round(mfu_hw, 3),

@@ -253,3 +253,26 @@ def test_validate_shared_prefix(setup):
     with pytest.raises(ValueError, match="drops supervised"):
         validate_shared_prefix(batch, P, num_patches=16,
                                suffix_len=last - P - 2)
+
+
+def test_paired_hw_flops_accounting():
+    # the paired-forward hardware-FLOP count (bench MFU denominator) must be
+    # strictly below the plain count and above the head+vision floor
+    from rlaifv_tpu.models.llava import LlavaConfig
+    from rlaifv_tpu.utils.synth import (
+        llava_flops_per_pair,
+        llava_flops_per_pair_hw,
+    )
+
+    cfg = LlavaConfig.tiny()
+    L, C, P, W = 1024, 320, 290, 384
+    plain = llava_flops_per_pair_hw(cfg, L, C)
+    paired = llava_flops_per_pair_hw(cfg, L, C, P, W)
+    assert paired < plain
+    # token work ratio bounds the drop: (Pa + 2W) / (2L) with Pa=ceil128(P)
+    Pa = -(-P // 128) * 128
+    assert paired / plain > (Pa + 2 * W) / (2 * L) * 0.5
+    # W=0 means "no trim" (suffix = L - P), still cheaper than plain
+    assert llava_flops_per_pair_hw(cfg, L, C, P, 0) < plain
+    # and the reference accounting is untouched by paired args
+    assert llava_flops_per_pair(cfg, L) > plain
