@@ -47,6 +47,16 @@ class CheckpointManager:
             step, args=ocp.args.StandardRestore(state_template)
         )
 
+    def restore_raw(self, step: Optional[int] = None) -> Tree:
+        """Restore without a template (host numpy arrays, saved structure).
+
+        For offline consumers — HF export (models/export.py), checkpoint
+        sweeps — that must not build the model just to read its weights."""
+        step = step if step is not None else self.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"no checkpoint under {self.directory}")
+        return self._mgr.restore(step)
+
     def wait(self):
         self._mgr.wait_until_finished()
 

@@ -726,7 +726,18 @@ def load_pretrained_llava(
     try:
         adapter_sd = load_state_dict_dir(model_path)
     except FileNotFoundError:
+        # peft's torch-format save name (builder.py loads it explicitly);
+        # load_state_dict_dir's bin glob only matches pytorch_model*.bin
         adapter_sd = {}
+        abin = os.path.join(model_path, "adapter_model.bin")
+        if os.path.exists(abin):
+            import torch
+
+            adapter_sd = {
+                k: _np(v) for k, v in torch.load(
+                    abin, map_location="cpu", weights_only=True
+                ).items()
+            }
     lora = convert_peft_lora(adapter_sd, dtype=dtype)
     if lora:
         from rlaifv_tpu.train.lora import lora_merge
