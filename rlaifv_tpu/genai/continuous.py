@@ -202,18 +202,34 @@ class ContinuousGenerator:
 
     def _build_window_prefill(self, Lp: int, mode: str):
         """Prefill ONE prompt into a standalone (1, Lp) window cache (the
-        serving cache dtype) and return it with the next-token logits. The
-        window is position-independent (content-relative RoPE), so it can be
+        serving cache dtype; fused engines: a mini stacked h-major int8
+        cache) and return it with the next-token logits. The window is
+        position-independent (content-relative RoPE), so it can be
         scattered into any slots at any gt, any number of times."""
-        key = ("cont_wprefill", Lp, mode)
+        key = ("cont_wprefill", Lp, mode, self.fused)
         if key in self._fns:
             return self._fns[key]
 
         engine, model = self.engine, self.model
+        fused = self.fused
 
         @jax.jit
-        def wprefill(params, ids, mask, media, starts):
+        def wprefill(params, stacked, ids, mask, media, starts):
             pos = jnp.maximum(jnp.cumsum(mask, axis=1) - 1, 0)
+            if fused:
+                from rlaifv_tpu.ops.fused_decode import init_stacked_cache
+
+                mini = init_stacked_cache(engine._llm_cfg(), 1, Lp)
+                embeds = engine._embed_spliced(
+                    params, ids,
+                    media if mode == "images" else None, starts,
+                    media if mode == "spans" else None, starts,
+                )
+                x, mini = engine._fused_prefill_tower(
+                    params, stacked, mini, embeds, mask, pos, jnp.int32(0),
+                    slot_ids=jnp.zeros((1,), jnp.int32), n_slots=1,
+                )
+                return mini, engine._head(params, x[:, -1])
             sub_cache = model.init_cache(1, Lp)
             if mode != "text":
                 embeds = engine._embed_spliced(
@@ -242,11 +258,12 @@ class ContinuousGenerator:
         window KV into cache columns [gt-Lp, gt) at `slot_ids` and reset all
         per-slot state — no forward pass. Rows of slot_ids equal to B are
         dropped (dummy pow2 padding), exactly like _build_refill."""
-        key = ("cont_scatter", K, Lp, self.use_rep)
+        key = ("cont_scatter", K, Lp, self.use_rep, self.fused)
         if key in self._fns:
             return self._fns[key]
 
         use_rep = self.use_rep
+        fused = self.fused
 
         @partial(jax.jit, donate_argnums=(0, 1, 2, 3, 4, 5, 6, 7))
         def scatter(cache, cache_mask, token_seen, last_logits, cur_pos,
@@ -268,10 +285,32 @@ class ContinuousGenerator:
                     glob, win, (0, start) + zeros
                 )
 
-            cache = [
-                {k2: put(c[k2], s[k2]) for k2 in c}
-                for c, s in zip(cache, window)
-            ]
+            def put_stacked(glob, sub):
+                # stacked h-major layout (n_layers, KVH, B, L[, Dh]):
+                # slots on axis 2, columns on axis 3; window is (.., 1, Lp)
+                zeros = (0,) * (glob.ndim - 4)
+                win = jax.lax.dynamic_slice(
+                    glob, (0, 0, 0, start) + zeros,
+                    glob.shape[:2] + (B, Lp) + glob.shape[4:],
+                )
+                src = jnp.broadcast_to(
+                    sub.astype(glob.dtype),
+                    sub.shape[:2] + (K,) + sub.shape[3:],
+                )
+                win = win.at[:, :, slot_ids].set(src, mode="drop")
+                return jax.lax.dynamic_update_slice(
+                    glob, win, (0, 0, 0, start) + zeros
+                )
+
+            if fused:
+                cache = {
+                    k2: put_stacked(cache[k2], window[k2]) for k2 in cache
+                }
+            else:
+                cache = [
+                    {k2: put(c[k2], s[k2]) for k2 in c}
+                    for c, s in zip(cache, window)
+                ]
             cm = cache_mask.at[slot_ids].set(0, mode="drop")
             win = jax.lax.dynamic_slice(cm, (0, start), (B, Lp))
             win = win.at[slot_ids].set(
@@ -456,7 +495,7 @@ class ContinuousGenerator:
         # is the classic makespan heuristic. With share_keys, same-key
         # prompts stay adjacent (equal keys imply equal length, so this
         # never violates longest-first) so a refill wave sees whole runs.
-        share = share_keys is not None and not self.fused
+        share = share_keys is not None
         if share:
             rank: dict = {}
             for i in range(N):
@@ -542,8 +581,8 @@ class ContinuousGenerator:
                         else "spans" if span_features is not None else "text")
                 wfn = self._build_window_prefill(Lp_r, mode)
                 window, first = wfn(
-                    engine.params, jnp.asarray(ids), jnp.asarray(mask),
-                    media, starts,
+                    engine.params, engine._fused_stacked,
+                    jnp.asarray(ids), jnp.asarray(mask), media, starts,
                 )
                 saved = dict(key=key_r, Lp=Lp_r, window=window, first=first,
                              ids=jnp.asarray(ids), mask=jnp.asarray(mask))
