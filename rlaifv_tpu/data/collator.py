@@ -41,6 +41,11 @@ class DPOCollator:
     beta: float = 0.1
     mod_token_weight: float = 1.0  # train default (llava15_train.sh passes 1.0)
     expand_images: bool = True  # False when ids are already text-expanded
+    # With expand_images=False and a token id set here, image_start is
+    # located as the first occurrence of this id in each row (the OmniLMM
+    # convention: the prompt carries literal <im_patch>*N tokens, ref
+    # omnilmm/model/omnilmm.py:183-265 splices at those positions).
+    image_patch_id: Optional[int] = None
     # "DPO": one image per pair (win's). "KTO": each side carries its own
     # image -> win_images/rej_images (ref trainers.py:188-196 is_kto branch).
     task: str = "DPO"
@@ -57,10 +62,15 @@ class DPOCollator:
         if self.expand_images:
             ex = expand_image_sentinels(ids, labels, self.num_patches, L)
         else:
+            start = -1
+            if self.image_patch_id is not None:
+                hits = np.where(ids[:L] == self.image_patch_id)[0]
+                if len(hits):
+                    start = int(hits[0])
             ex = {
                 "input_ids": ids[:L].astype(np.int32),
                 "labels": labels[:L].astype(np.int32),
-                "image_start": np.int32(-1),
+                "image_start": np.int32(start),
             }
         length = len(ex["input_ids"])
         return {

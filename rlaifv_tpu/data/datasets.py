@@ -156,10 +156,12 @@ def write_logp_parquet(
 
 class DPODataset:
     """RLAIFVDataset rows -> encoded (rej, win) pairs for the DPO collator
-    (ref: muffin/train/train_llava15.py:124-146)."""
+    (ref: muffin/train/train_llava15.py:124-146; the OmniLMM encode goes
+    through omni_preprocess per the vestigial reference branch,
+    omnilmm/train/train_utils.py:50-150 — see train/family.py)."""
 
     def __init__(self, tokenizer, data_dir: str, multimodal_cfg: dict,
-                 score_fn=None):
+                 score_fn=None, preprocess_func=None):
         from functools import partial as _partial
 
         from rlaifv_tpu.data.preprocess import (
@@ -170,12 +172,15 @@ class DPODataset:
         self.tokenizer = tokenizer
         self.dataset = RLAIFVDataset(data_dir, score_fn=score_fn)
         self.multimodal_cfg = dict(multimodal_cfg)
-        self.multimodal_cfg["keep_image_tag"] = True
+        if preprocess_func is None:
+            # llava15 default: keep the <image> sentinel for host expansion
+            self.multimodal_cfg.setdefault("keep_image_tag", True)
+            preprocess_func = _partial(preprocess_v1, has_image=True)
         self._encode = _partial(
             encode_preference_sample,
             tokenizer=tokenizer,
             multimodal_cfg=self.multimodal_cfg,
-            preprocess_func=_partial(preprocess_v1, has_image=True),
+            preprocess_func=preprocess_func,
         )
 
     def __len__(self) -> int:

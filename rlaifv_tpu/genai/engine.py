@@ -727,8 +727,11 @@ class DecodeEngine:
                 params, pids, images, image_starts, None, None
             )
             ppos = jnp.maximum(jnp.cumsum(pmask, axis=1) - 1, 0)
+            # keys during the cached prefill span the FULL (Pmax+W) cache;
+            # the mask must cover the dead suffix columns too (zeros)
+            pmask_full = jnp.pad(pmask, ((0, 0), (0, W)))
             _, pcache = self._llm(
-                params, inputs_embeds=embeds, attention_mask=pmask,
+                params, inputs_embeds=embeds, attention_mask=pmask_full,
                 position_ids=ppos, cache=self._fp_cache(B, Pmax + W),
                 cache_index=jnp.int32(0),
             )

@@ -120,6 +120,35 @@ class OmniLMMForCausalLM(nn.Module):
         )
         return logits
 
+    def hidden_with_features(
+        self,
+        input_ids: Array,
+        image_features: Array,
+        image_starts: Array,
+        attention_mask: Optional[Array] = None,
+    ) -> Array:
+        """forward_with_features stopping before the lm_head: (B, L, H).
+        Feeds the fused/compact-head DPO logp paths (train/train_step.py) —
+        the DPO train step for OmniLMM (ref get_beta_and_logps
+        is_llava15=False, muffin/train/trainers.py:161-275) runs the same
+        fused win‖rej forward as LLaVA, just with the resampled features
+        overwriting the <im_patch> span."""
+        ids = jnp.maximum(input_ids, 0)
+        embeds = splice_image_features(
+            self.llm.embed(ids), image_features, image_starts
+        )
+        hidden, _ = self.llm.model(
+            inputs_embeds=embeds, attention_mask=attention_mask
+        )
+        return hidden
+
+    def hidden_text(self, input_ids: Array,
+                    attention_mask: Optional[Array] = None) -> Array:
+        hidden, _ = self.llm.model(
+            input_ids=jnp.maximum(input_ids, 0), attention_mask=attention_mask
+        )
+        return hidden
+
     def __call__(
         self,
         input_ids: Array,

@@ -22,7 +22,6 @@ import jax.numpy as jnp
 from rlaifv_tpu.constants import IGNORE_INDEX
 from rlaifv_tpu.data.collator import DPOCollator
 from rlaifv_tpu.data.datasets import shard_indices, write_logp_parquet
-from rlaifv_tpu.data.image_processing import ClipImageProcessor
 from rlaifv_tpu.data.preprocess import encode_preference_sample, preprocess_v1
 from rlaifv_tpu.train.dpo import get_batch_logps
 
@@ -109,7 +108,11 @@ def make_score_fn(model, params, *, shift: bool = True,
     return score
 
 
-def _encode_rows(rows, tokenizer, mm_cfg):
+def _encode_rows(rows, tokenizer, mm_cfg, preprocess_func=None):
+    if preprocess_func is None:
+        # llava15 contract: has_image tokenization with the kept <image>
+        # tag (ref PreferenceInferenceDataset, muffin_inference_logp.py:159)
+        preprocess_func = partial(preprocess_v1, has_image=True)
     encoded = []
     for row in rows:
         # wrap raw parquet columns as conversation turns
@@ -122,12 +125,9 @@ def _encode_rows(rows, tokenizer, mm_cfg):
         }
         if "image_bytes" in row or "image" in row:
             src["image"] = row.get("image_bytes", row.get("image"))
-        # llava15 contract: has_image tokenization with the kept <image>
-        # tag (ref PreferenceInferenceDataset, muffin_inference_logp.py:159)
         encoded.append(
             encode_preference_sample(
-                src, tokenizer, mm_cfg,
-                preprocess_func=partial(preprocess_v1, has_image=True),
+                src, tokenizer, mm_cfg, preprocess_func=preprocess_func,
             )
         )
     return encoded
@@ -172,7 +172,8 @@ def _shared_split(ex_w, ex_r, num_patches: int):
 
 
 def _score_rows_shared(rows, model, params, tokenizer, *, max_len,
-                       num_patches, batch_pairs, mm_cfg, progress):
+                       num_patches, batch_pairs, mm_cfg, progress,
+                       family=None):
     """Shared-prefix variant of score_preference_rows: the prompt prefix
     (system + image tokens + question) prefills ONCE per pair; only the two
     answer suffixes run the second forward (engine.score_pair_logps). Exact
@@ -183,22 +184,17 @@ def _score_rows_shared(rows, model, params, tokenizer, *, max_len,
     muffin/eval/muffin_inference_logp.py:213-280."""
     import numpy as np
 
-    from rlaifv_tpu.data.multimodal import expand_image_sentinels
     from rlaifv_tpu.genai.engine import DecodeEngine
+    from rlaifv_tpu.train.family import get_family
 
-    encoded = _encode_rows(rows, tokenizer, mm_cfg)
+    spec = get_family(family or "llava15")
+    encoded = _encode_rows(rows, tokenizer, mm_cfg, spec.preprocess_func)
     prefixes, sfx_w, sfx_r, lab_w, lab_r = [], [], [], [], []
     images, starts, order, fallback = [], [], [], []
     meta = []  # (S, win_valid, rej_valid)
     for i, (rej, win) in enumerate(encoded):
-        ex_w = expand_image_sentinels(
-            np.asarray(win["input_ids"]), np.asarray(win["labels"]),
-            num_patches, max_len,
-        )
-        ex_r = expand_image_sentinels(
-            np.asarray(rej["input_ids"]), np.asarray(rej["labels"]),
-            num_patches, max_len,
-        )
+        ex_w = spec.expand_inst(win, num_patches, max_len, tokenizer)
+        ex_r = spec.expand_inst(rej, num_patches, max_len, tokenizer)
         split = _shared_split(ex_w, ex_r, num_patches)
         if split is None or win.get("image") is None:
             fallback.append(i)
@@ -257,7 +253,7 @@ def _score_rows_shared(rows, model, params, tokenizer, *, max_len,
             [rows[i] for i in fallback], model, params, tokenizer,
             max_len=max_len, num_patches=num_patches,
             batch_pairs=batch_pairs, multimodal_cfg=mm_cfg,
-            progress=False, shared_prefix=False,
+            progress=False, shared_prefix=False, family=family,
         )
         for i, res in zip(fallback, plain):
             out[i] = res
@@ -279,6 +275,7 @@ def score_preference_rows(
     lm_head_impl: str = "xla",
     compact_len: int = 0,
     shared_prefix: bool = False,
+    family: Optional[str] = None,
 ) -> List[list]:
     """Returns per-row [win_logp, win_avg, win_per_token, rej_logp,
     rej_avg, rej_per_token] (the reference 'logps' tuple order).
@@ -286,25 +283,27 @@ def score_preference_rows(
     shared_prefix=True prefills each pair's shared prompt prefix once and
     scores only the win/rej answer suffixes (~1.5-2x on prompt-heavy rows;
     see _score_rows_shared). lm_head_impl is ignored on that path (the
-    suffix logits are already compact: answers only)."""
-    image_processor = image_processor or ClipImageProcessor()
-    mm_cfg = multimodal_cfg or {
-        "is_multimodal": True,
-        "image_processor": image_processor,
-        "image_token_len": num_patches,
-        "use_im_start_end": False,
-        "keep_image_tag": True,
-    }
+    suffix logits are already compact: answers only).
+
+    family ("llava15" default | "omnilmm") picks the encode convention —
+    preprocess_v1 + sentinel expansion vs omni_preprocess + literal
+    <im_patch> spans (train/family.py)."""
+    from rlaifv_tpu.train.family import get_family
+
+    spec = get_family(family or "llava15")
+    image_processor = image_processor or spec.image_processor()
+    mm_cfg = multimodal_cfg or spec.mm_cfg(image_processor, num_patches)
     if shared_prefix:
         return _score_rows_shared(
             rows, model, params, tokenizer, max_len=max_len,
             num_patches=num_patches, batch_pairs=batch_pairs,
-            mm_cfg=mm_cfg, progress=progress,
+            mm_cfg=mm_cfg, progress=progress, family=family,
         )
     collator = DPOCollator(
         pad_token_id=tokenizer.pad_token_id,
         max_len=max_len,
         num_patches=num_patches,
+        **spec.collator_kwargs(tokenizer),
     )
     score = make_score_fn(model, params, lm_head_impl=lm_head_impl,
                           compact_len=compact_len)
@@ -317,7 +316,7 @@ def score_preference_rows(
         it = tqdm.tqdm(it, desc="ref-logp")
     for start in it:
         chunk = rows[start : start + batch_pairs]
-        encoded = _encode_rows(chunk, tokenizer, mm_cfg)
+        encoded = _encode_rows(chunk, tokenizer, mm_cfg, spec.preprocess_func)
         batch = collator(encoded)
         if lm_head_impl == "compact":
             # a too-small bound would silently zero dropped tokens in the
@@ -365,6 +364,7 @@ def inference_logp(
     lm_head_impl: str = "xla",
     compact_len: int = 0,
     shared_prefix: bool = True,
+    family: Optional[str] = None,
 ) -> None:
     """Score all rows (sharded across hosts) and write the logp parquet cache.
 
@@ -380,7 +380,7 @@ def inference_logp(
         local_rows, model, params, tokenizer,
         max_len=max_len, num_patches=num_patches, batch_pairs=batch_pairs,
         image_processor=image_processor, lm_head_impl=lm_head_impl,
-        compact_len=compact_len, shared_prefix=shared_prefix,
+        compact_len=compact_len, shared_prefix=shared_prefix, family=family,
     )
 
     if world > 1:

@@ -35,6 +35,9 @@ from rlaifv_tpu.train.dpo import (
 
 Tree = Any
 
+# one-shot guard for the KTO/shared-prefix fallback warning (trace-time)
+_WARNED_PAIRED_KTO_FALLBACK = False
+
 
 def _as_variables(params):
     """Accept a bare params tree OR a dict of flax collections
@@ -129,6 +132,24 @@ class LlavaDPOAdapter:
         return mod.apply(sub, prefix_embeds, suffix_embeds,
                          prefix_mask, suffix_mask,
                          suffix_pos_start=suffix_pos_start)
+
+
+class OmnilmmDPOAdapter(LlavaDPOAdapter):
+    """OmniLMM-12B facade for the same train step (BASELINE config 4).
+
+    The reference's non-LLaVA DPO branch (ref: muffin/train/trainers.py:
+    161-275 `get_beta_and_logps(is_llava15=False)` + forward_DPO :66-88)
+    runs the identical concatenated win‖rej forward; the only model-side
+    difference is where vision lands — OmniLMM's prompt already carries
+    literal <im_start><im_patch>*N<im_end> tokens (text expansion,
+    omnilmm/train/train_utils.py:161-174) and the EVA02+resampler features
+    overwrite that span. Our `splice_image_features` covers both, and
+    OmniLMM's llm is the same LlamaForCausalLM module (Mistral geometry),
+    so every method — including the shared-prefix `paired_hidden`
+    (PairedLlamaModel reads `cfg.llm`) and `lm_head_kernel` (Mistral's head
+    is untied) — inherits unchanged. The class exists so call sites name
+    the family explicitly and as the anchor for omni-specific divergence.
+    """
 
 
 @dataclasses.dataclass(frozen=True)
@@ -335,6 +356,23 @@ def dpo_forward_logps(
             # positions never depend on dropped later tokens)
             labels = labels[:, :P + W]
     elif "win_images" in batch:
+        if hp.shared_prefix_len > 0:
+            # KTO rows carry per-side images inside the prompt prefix, so
+            # the prefix is NOT shared and the paired forward cannot apply.
+            # Falling back is correct but must not be silent (the user's
+            # shared_prefix_len knob did nothing) — warn once per process.
+            global _WARNED_PAIRED_KTO_FALLBACK
+            if not _WARNED_PAIRED_KTO_FALLBACK:
+                _WARNED_PAIRED_KTO_FALLBACK = True
+                import warnings
+
+                warnings.warn(
+                    f"shared_prefix_len={hp.shared_prefix_len} is ignored for "
+                    "KTO batches (win/rej carry different images, so the "
+                    "prompt prefix is not shared); using the plain "
+                    "concatenated forward",
+                    stacklevel=2,
+                )
         # KTO task: win/rej rows carry different images
         # (ref trainers.py:193-196 torch.cat([win_images, rej_images]))
         both = jnp.concatenate([batch["win_images"], batch["rej_images"]], 0)

@@ -69,12 +69,13 @@ class DPOTrainer:
         mesh=None,
         base_params=None,  # set when LoRA: params is the adapter tree
         lora_alpha: float = 16.0,
+        adapter=None,  # family facade; default LlavaDPOAdapter (family.py)
     ):
         t = config.training
         self.config = config
         self.dataset = dataset
         self.collator = collator
-        self.adapter = LlavaDPOAdapter(model)
+        self.adapter = adapter or LlavaDPOAdapter(model)
         self.use_lora = base_params is not None
 
         self.mesh = mesh or create_mesh(

@@ -47,6 +47,77 @@ def synth_preference_pairs(
     return pairs
 
 
+def synth_omni_preference_pairs(
+    cfg,
+    n_pairs: int,
+    *,
+    answer_len: int = 96,
+    question_len: int = 24,
+    seed: int = 0,
+    im_patch_id: int = 250,
+    im_start_id: int = 251,
+    im_end_id: int = 252,
+):
+    """Random OmniLMM-convention preference pairs: the prompt carries a
+    literal <im_start><im_patch>*num_query<im_end> span (text expansion,
+    ref omnilmm/train/train_utils.py:161-174) instead of the -200 sentinel.
+    Token ids for the im markers default inside the tiny vocab (256)."""
+    rng = np.random.default_rng(seed)
+    vocab = min(cfg.llm.vocab_size, im_patch_id)  # keep ids below markers
+    size = cfg.vision.image_size
+    P = cfg.num_image_tokens
+    pairs = []
+    for _ in range(n_pairs):
+        q = rng.integers(5, vocab, size=question_len).tolist()
+        image = rng.normal(size=(size, size, 3)).astype(np.float32)
+        span = [im_start_id] + [im_patch_id] * P + [im_end_id]
+
+        def side(ans_len):
+            ans = rng.integers(5, vocab, size=ans_len).tolist()
+            ids = [1, *span, *q, *ans, 2]
+            labels = [IGNORE_INDEX] * (len(ids) - len(ans) - 1) + ans + [2]
+            return {
+                "input_ids": np.asarray(ids, np.int64),
+                "labels": np.asarray(labels, np.int64),
+                "image": image,
+            }
+
+        win = side(answer_len)
+        jitter = int(rng.integers(-16, 16))
+        rej = side(max(4, answer_len + jitter))
+        win.update(ref_win_logp=float(rng.normal(-200, 20)),
+                   ref_win_avg_logp=float(rng.normal(-2, 0.2)))
+        rej.update(ref_rej_logp=float(rng.normal(-210, 20)),
+                   ref_rej_avg_logp=float(rng.normal(-2.2, 0.2)))
+        pairs.append((rej, win))
+    return pairs
+
+
+def synth_omni_dpo_batch(
+    cfg,
+    n_pairs: int,
+    max_len: int,
+    *,
+    answer_len: int = 96,
+    seed: int = 0,
+    beta: float = 0.1,
+    im_patch_id: int = 250,
+):
+    coll = DPOCollator(
+        pad_token_id=0,
+        max_len=max_len,
+        num_patches=cfg.num_image_tokens,
+        beta=beta,
+        bucket=None,
+        expand_images=False,
+        image_patch_id=im_patch_id,
+    )
+    return coll(synth_omni_preference_pairs(
+        cfg, n_pairs, answer_len=answer_len, seed=seed,
+        im_patch_id=im_patch_id,
+    ))
+
+
 def synth_dpo_batch(
     cfg: LlavaConfig,
     n_pairs: int,

@@ -19,8 +19,6 @@ import sys
 
 
 def build_llava(config):
-    import jax.numpy as jnp
-
     from rlaifv_tpu.core.config import resolve_dtype
     from rlaifv_tpu.models.clip_vit import CLIPVisionConfig
     from rlaifv_tpu.models.llama import LlamaConfig
@@ -39,11 +37,75 @@ def build_llava(config):
     return cfg, LlavaForCausalLM(cfg)
 
 
+def build_omnilmm(config):
+    """OmniLMM-12B DPO (BASELINE config 4): EVA02-enormous + resampler +
+    Mistral-7B decoder (ref: muffin/train/trainers.py:161-275 carries the
+    non-LLaVA DPO branch; the 12B RLAIF-V headline model is DPO-trained
+    from OmniLMM)."""
+    from rlaifv_tpu.core.config import resolve_dtype
+    from rlaifv_tpu.models.eva02 import EvaConfig
+    from rlaifv_tpu.models.llama import LlamaConfig
+    from rlaifv_tpu.models.omnilmm import OmniLMMConfig, OmniLMMForCausalLM
+
+    dtype = resolve_dtype(config.model.dtype)
+    pdtype = resolve_dtype(config.model.param_dtype)
+    cfg = OmniLMMConfig(
+        llm=LlamaConfig.mistral_7b(
+            dtype=dtype, param_dtype=pdtype, remat=config.model.remat,
+            quantize=config.model.quantize, quantize_lm_head=False,
+        ),
+        vision=EvaConfig.enormous(dtype=dtype, param_dtype=pdtype),
+        num_query=64,
+    )
+    return cfg, OmniLMMForCausalLM(cfg)
+
+
+MODEL_BUILDERS = {"llava15": build_llava, "omnilmm": build_omnilmm}
+
+
+def load_params(config, cfg):
+    """Checkpoint -> param pytree for the configured family (+ optional
+    int8 quantization of the frozen LLM base for QLoRA)."""
+    import numpy as np
+
+    family = config.model.model_family
+    dtype = (np.float32 if config.model.param_dtype == "float32"
+             else np.dtype("bfloat16") if hasattr(np, "bfloat16")
+             else np.float32)
+    if family == "llava15":
+        from rlaifv_tpu.models.convert import load_llava_checkpoint
+
+        params = load_llava_checkpoint(
+            config.model.model_name_or_path, dtype=dtype,
+            vision_layers_to_run=cfg.vision.layers_to_run,
+        )
+    else:
+        from rlaifv_tpu.models.convert import (
+            convert_omnilmm,
+            load_state_dict_dir,
+        )
+
+        params = convert_omnilmm(
+            load_state_dict_dir(config.model.model_name_or_path), dtype=dtype
+        )
+    if config.model.quantize:
+        from rlaifv_tpu.models.convert import quantize_llm_int8
+
+        assert config.training.use_lora, (
+            "model.quantize trains nothing by itself — the int8 base is "
+            "frozen; combine with training.use_lora (QLoRA)"
+        )
+        params["llm"] = quantize_llm_int8(params["llm"], include_lm_head=False)
+    return params
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", type=str, default=None)
     ap.add_argument("--demo", action="store_true",
                     help="tiny synthetic end-to-end run (no checkpoint needed)")
+    ap.add_argument("--family", type=str, default=None,
+                    help="override model.model_family (llava15|omnilmm)")
     ap.add_argument("--output-dir", type=str, default=None)
     ap.add_argument("--max-steps", type=int, default=None)
     args = ap.parse_args(argv)
@@ -52,10 +114,17 @@ def main(argv=None):
 
     jax.config.update("jax_compilation_cache_dir",
                       os.environ.get("JAX_CACHE", "/root/.jax_cache"))
+    if os.environ.get("JAX_PLATFORMS"):
+        # this image's axon TPU plugin re-registers itself regardless of
+        # JAX_PLATFORMS; pin at config level so CPU smoke runs stay on CPU
+        # (same workaround as __graft_entry__.py / tests/conftest.py)
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
     from rlaifv_tpu.core.config import Config
 
     config = Config.from_json(args.config) if args.config else Config()
+    if args.family:
+        config.model.model_family = args.family
     if args.output_dir:
         config.training.output_dir = args.output_dir
     if args.max_steps:
@@ -68,43 +137,28 @@ def main(argv=None):
 
     from rlaifv_tpu.data.collator import DPOCollator
     from rlaifv_tpu.data.datasets import DPODataset
-    from rlaifv_tpu.data.image_processing import ClipImageProcessor
-    from rlaifv_tpu.models.convert import load_llava_checkpoint
+    from rlaifv_tpu.train.family import get_family
     from rlaifv_tpu.train.ref_logp import inference_logp
     from rlaifv_tpu.train.trainer import DPOTrainer
 
-    cfg, model = build_llava(config)
+    family = config.model.model_family
+    if family not in MODEL_BUILDERS:
+        get_family(family)  # raises with the trainable-family list
+    cfg, model = MODEL_BUILDERS[family](config)
+    spec = get_family(family)
     print(f"[train] loading checkpoint {config.model.model_name_or_path}")
-    import numpy as np
-
-    params = load_llava_checkpoint(
-        config.model.model_name_or_path,
-        dtype=np.float32 if config.model.param_dtype == "float32" else np.dtype("bfloat16")
-        if hasattr(np, "bfloat16") else np.float32,
-        vision_layers_to_run=cfg.vision.layers_to_run,
-    )
-    if config.model.quantize:
-        from rlaifv_tpu.models.convert import quantize_llm_int8
-
-        assert config.training.use_lora, (
-            "model.quantize trains nothing by itself — the int8 base is "
-            "frozen; combine with training.use_lora (QLoRA)"
-        )
-        params["llm"] = quantize_llm_int8(params["llm"], include_lm_head=False)
+    params = load_params(config, cfg)
     tokenizer = AutoTokenizer.from_pretrained(
-        config.model.model_name_or_path, use_fast=False
+        config.model.model_name_or_path,
+        use_fast=(family != "llava15"),
     )
     tokenizer.model_max_length = config.data.max_len
     if tokenizer.pad_token is None:
         tokenizer.pad_token = tokenizer.unk_token
 
-    proc = ClipImageProcessor(image_size=cfg.vision.image_size)
-    mm_cfg = {
-        "is_multimodal": config.data.is_multimodal,
-        "image_processor": proc,
-        "image_token_len": cfg.num_image_tokens,
-        "use_im_start_end": False,
-    }
+    proc = spec.image_processor(cfg.vision.image_size)
+    mm_cfg = spec.mm_cfg(proc, cfg.num_image_tokens)
+    mm_cfg["is_multimodal"] = config.data.is_multimodal
 
     def score_fn(data_dir):
         # lazy reference-logp precompute on the frozen starting policy
@@ -128,10 +182,12 @@ def main(argv=None):
             # same head impl as the train step: keeps the policy==reference
             # => loss = log 2 cancellation exact
             lm_head_impl=head,
+            family=family,
         )
 
     dataset = DPODataset(tokenizer, config.data.data_dir, mm_cfg,
-                         score_fn=score_fn)
+                         score_fn=score_fn,
+                         preprocess_func=spec.preprocess_func)
     collator = DPOCollator(
         pad_token_id=tokenizer.pad_token_id,
         max_len=config.data.max_len,
@@ -139,6 +195,7 @@ def main(argv=None):
         beta=config.training.dpo_beta,
         mod_token_weight=config.training.dpo_token_weight,
         task=config.training.task,
+        **spec.collator_kwargs(tokenizer),
     )
 
     if config.training.use_lora:
@@ -157,27 +214,47 @@ def main(argv=None):
         trainer = DPOTrainer(
             config, model, lora, dataset, collator,
             base_params=params, lora_alpha=config.training.lora_alpha,
+            adapter=spec.adapter(model),
         )
     else:
-        trainer = DPOTrainer(config, model, params, dataset, collator)
+        trainer = DPOTrainer(config, model, params, dataset, collator,
+                             adapter=spec.adapter(model))
     trainer.train()
     print("[train] done")
 
 
 def run_demo(config):
+    """Tiny synthetic end-to-end run for the configured model_family
+    (llava15 or omnilmm) — no checkpoint needed."""
     import jax
-
-    from rlaifv_tpu.data.collator import DPOCollator
-    from rlaifv_tpu.models.llava import LlavaConfig, LlavaForCausalLM
-    from rlaifv_tpu.train.trainer import DPOTrainer
-    from rlaifv_tpu.utils.synth import synth_preference_pairs
-
     import jax.numpy as jnp
 
-    cfg = LlavaConfig.tiny()
-    model = LlavaForCausalLM(cfg)
+    from rlaifv_tpu.data.collator import DPOCollator
+    from rlaifv_tpu.train.trainer import DPOTrainer
+
+    family = config.model.model_family
+    if family == "omnilmm":
+        from rlaifv_tpu.models.omnilmm import OmniLMMConfig, OmniLMMForCausalLM
+        from rlaifv_tpu.train.train_step import OmnilmmDPOAdapter
+        from rlaifv_tpu.utils.synth import synth_omni_preference_pairs
+
+        cfg = OmniLMMConfig.tiny()
+        model = OmniLMMForCausalLM(cfg)
+        pairs = synth_omni_preference_pairs(
+            cfg, 16, answer_len=12, question_len=8
+        )
+        adapter = OmnilmmDPOAdapter(model)
+        collator_kw = {"expand_images": False, "image_patch_id": 250}
+    else:
+        from rlaifv_tpu.models.llava import LlavaConfig, LlavaForCausalLM
+        from rlaifv_tpu.utils.synth import synth_preference_pairs
+
+        cfg = LlavaConfig.tiny()
+        model = LlavaForCausalLM(cfg)
+        pairs = synth_preference_pairs(cfg, 16, answer_len=12, question_len=8)
+        adapter = None
+        collator_kw = {}
     P = cfg.num_image_tokens
-    pairs = synth_preference_pairs(cfg, 16, answer_len=12, question_len=8)
 
     class _DS:
         def __len__(self):
@@ -197,10 +274,16 @@ def run_demo(config):
     config.training.learning_rate = 1e-3
     config.training.save_steps = 4
     config.training.mesh_fsdp = 1
-    collator = DPOCollator(pad_token_id=0, max_len=48, num_patches=P)
-    trainer = DPOTrainer(config, model, params, _DS(), collator)
+    if config.training.output_dir == "./output":
+        # default dir is shared across families; a llava demo checkpoint
+        # must not auto-resume into an omni tree (and vice versa)
+        config.training.output_dir = f"./output/demo_{family}"
+    collator = DPOCollator(pad_token_id=0, max_len=64, num_patches=P,
+                           **collator_kw)
+    trainer = DPOTrainer(config, model, params, _DS(), collator,
+                         adapter=adapter)
     state = trainer.train()
-    print(f"[demo] finished at step {int(state.step)}")
+    print(f"[demo:{family}] finished at step {int(state.step)}")
 
 
 if __name__ == "__main__":
