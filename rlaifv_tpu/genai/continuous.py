@@ -629,9 +629,15 @@ class ContinuousGenerator:
                         runs[-1][1].append(p)
                     else:
                         runs.append((k, [p]))
+                # a singleton whose key recurs LATER in the queue still
+                # wants the shared path: its window gets saved, so the next
+                # wave's occurrences refill with no forward at all (a
+                # batched-refill singleton would make them pay a second
+                # full prefill)
+                pending = {share_keys[q] for q in queue}
                 for k, ps in runs:
                     skey = saved["key"] if saved else object()
-                    if len(ps) >= 2 or k == skey:
+                    if len(ps) >= 2 or k == skey or k in pending:
                         shared_runs.append((k, ps))
                     else:
                         group.extend(ps)

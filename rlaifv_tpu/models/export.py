@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 from typing import Any, Dict, Mapping, Optional
 
@@ -201,7 +202,12 @@ def _hf_config_from_llava(cfg) -> dict:
         "mm_projector_type": cfg.projector_type,
         "mm_vision_select_layer": vis.select_layer,
         "mm_vision_select_feature": "patch",
-        "mm_vision_tower": "openai/clip-vit-large-patch14-336",
+        # the reference tower ids follow this naming (e.g.
+        # clip-vit-large-patch14-336) — derive from geometry instead of
+        # hardcoding so a 224-px or patch-16 config round-trips
+        "mm_vision_tower": (
+            f"openai/clip-vit-large-patch{vis.patch_size}-{vis.image_size}"
+        ),
         "mm_use_im_patch_tokens": False,
         "mm_use_im_start_end": False,
         "image_aspect_ratio": cfg.image_aspect_ratio,
@@ -258,6 +264,29 @@ def export_llava_hf(
             raise ValueError("export_llava_hf needs cfg or base_dir for "
                              "config.json")
         raw_cfg = _hf_config_from_llava(cfg)
+    if not base_dir:
+        # the flax tree only carries the ViT blocks the forward runs
+        # (layers_to_run = depth + select_layer + 1 at import); without a
+        # base_dir the exported checkpoint is missing the tail blocks +
+        # post_layernorm, which the reference from_pretrained RANDOMLY
+        # initializes — dead at select_layer=-2, silently wrong for any
+        # consumer reading a later layer. Say so loudly.
+        import warnings
+
+        depth = int(raw_cfg.get("vision_config", {}).get(
+            "num_hidden_layers", 0))
+        exported = len({k.split("encoder.layers.")[1].split(".")[0]
+                        for k in sd if "encoder.layers." in k})
+        missing = [f"encoder.layers.{i}" for i in range(exported, depth)]
+        missing.append("post_layernorm")
+        warnings.warn(
+            "export_llava_hf without base_dir: the checkpoint will be "
+            f"missing vision keys {missing} (never run at "
+            f"select_layer={raw_cfg.get('mm_vision_select_layer')}); the "
+            "reference loader will randomly initialize them — pass the "
+            "base checkpoint dir to carry them through",
+            stacklevel=2,
+        )
     with open(os.path.join(out_dir, "config.json"), "w") as f:
         json.dump(raw_cfg, f, indent=2)
 
@@ -289,6 +318,15 @@ def export_peft_lora(
         if isinstance(node, dict) and set(node) >= {"a", "b"}:
             # path like llm/model/layer_N/attn/q_proj
             parts = path.split("/")
+            if (len(parts) < 3
+                    or not re.fullmatch(r"layer_\d+", parts[-3])
+                    or parts[-2] not in ("attn", "mlp")):
+                raise ValueError(
+                    f"export_peft_lora: adapter at {path!r} is not a "
+                    "layer_N/(attn|mlp)/<proj> target — peft's key layout "
+                    "only covers decoder-layer projections (lm_head/vision "
+                    "adapters have no reference-loadable encoding)"
+                )
             layer = parts[-3].split("_")[1]
             block = {"attn": "self_attn", "mlp": "mlp"}[parts[-2]]
             proj = parts[-1]

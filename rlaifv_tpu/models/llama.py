@@ -454,6 +454,33 @@ class LlamaBlock(nn.Module):
         return x, new_cache
 
 
+def _embed_lookup(tok_embed: nn.Embed, input_ids: Array, dtype) -> Array:
+    """Token embedding lookup, SPMD-friendly under a data-parallel mesh.
+
+    Under a mesh with dp*fsdp > 1, a gather from the (tp, fsdp)-sharded
+    table makes GSPMD replicate-then-repartition around it in BOTH
+    directions (fwd gather output, bwd scatter-add of the grad) — XLA's
+    "involuntary full rematerialization" warning. A one-hot matmul
+    (MaxText's iota-embed trick) partitions natively: the vocab contraction
+    psums over tp, hidden all-gathers over fsdp, batch axes stay put.
+    Exact (one nonzero per row; adding zeros is exact in any float dtype),
+    ~V/(6*I*layers) extra FLOPs at training shapes. Decode (L==1) and
+    meshless runs keep the cheap gather — a per-step full-table read would
+    swamp decode HBM traffic.
+    """
+    from rlaifv_tpu.parallel.sharding import active_mesh
+
+    mesh = active_mesh()
+    data = 1
+    if not mesh.empty and "dp" in mesh.shape:
+        data = mesh.shape["dp"] * mesh.shape["fsdp"]
+    if data > 1 and input_ids.ndim >= 2 and input_ids.shape[-1] > 1:
+        table = tok_embed.embedding.astype(dtype)
+        hot = jax.nn.one_hot(input_ids, table.shape[0], dtype=dtype)
+        return hot @ table
+    return tok_embed(input_ids)
+
+
 class LlamaModel(nn.Module):
     """Decoder stack. Accepts either token ids or pre-built input embeddings
     (the LLaVA meta-arch feeds spliced embeddings, ref llava_arch.py:150)."""
@@ -486,7 +513,7 @@ class LlamaModel(nn.Module):
         self.ln_f = RMSNorm(cfg.rms_norm_eps, cfg.param_dtype, name="ln_f")
 
     def embed(self, input_ids: Array) -> Array:
-        return self.tok_embed(input_ids)
+        return _embed_lookup(self.tok_embed, input_ids, self.cfg.dtype)
 
     def __call__(
         self,
@@ -500,7 +527,7 @@ class LlamaModel(nn.Module):
     ):
         cfg = self.cfg
         if inputs_embeds is None:
-            inputs_embeds = self.tok_embed(input_ids)
+            inputs_embeds = _embed_lookup(self.tok_embed, input_ids, cfg.dtype)
         B, L, _ = inputs_embeds.shape
 
         if position_ids is None:

@@ -114,6 +114,15 @@ def multi_head_attention(
         and (Lq == Lk or (static_off and q_offset + Lq == Lk))
     )
     if use_flash:
+        if q_offset is not None and not static_off:
+            # only reachable with impl="flash" forced: the kernel needs a
+            # compile-time offset for its causal mask; silently zeroing a
+            # traced one (decode cache_index) would mis-mask every row
+            raise ValueError(
+                "impl='flash' requires a static (Python int) q_offset; got "
+                f"a traced {type(q_offset).__name__} — use impl='auto' (it "
+                "falls back to dense/decode for traced offsets)"
+            )
         from rlaifv_tpu.ops.flash_attention import flash_attention
 
         return flash_attention(

@@ -141,3 +141,40 @@ def shard_batch(batch: Tree, mesh: Mesh) -> Tree:
         )
 
     return jax.tree.map(one, batch)
+
+
+def active_mesh() -> Mesh:
+    """The mesh installed by an enclosing `with mesh:` (empty Mesh if none).
+
+    jax.interpreters.pxla.thread_resources is deprecated since 0.8.2; the
+    replacement lives in jax._src.mesh (same object).
+    """
+    try:
+        from jax._src import mesh as _mesh_lib
+
+        return _mesh_lib.thread_resources.env.physical_mesh
+    except Exception:  # pragma: no cover — future-jax fallback
+        from jax.interpreters import pxla
+
+        return pxla.thread_resources.env.physical_mesh
+
+
+def pin_batch_activation(x):
+    """Constrain an activation's leading dim to the (dp, fsdp) data axes.
+
+    No-op when no mesh is active (single-chip jit) or when the leading dim
+    doesn't divide the data axes. Used by the paired forward: without the
+    pin, GSPMD propagation picks a (dp, ., tp)-sharded layout for the
+    suffix stream (the tiled-prefix KV concat confuses it) and then pays a
+    replicate-then-repartition ("involuntary full rematerialization") in
+    front of every MLP matmul.
+    """
+    mesh = active_mesh()
+    if mesh.empty or "dp" not in mesh.shape:
+        return x
+    data = mesh.shape["dp"] * mesh.shape["fsdp"]
+    if x.ndim == 0 or x.shape[0] % data:
+        return x
+    return jax.lax.with_sharding_constraint(
+        x, P(("dp", "fsdp"), *([None] * (x.ndim - 1)))
+    )

@@ -169,7 +169,9 @@ class PairedLlamaModel(nn.Module):
         self.ln_f = RMSNorm(cfg.rms_norm_eps, cfg.param_dtype, name="ln_f")
 
     def embed(self, input_ids: Array) -> Array:
-        return self.tok_embed(input_ids)
+        from rlaifv_tpu.models.llama import _embed_lookup
+
+        return _embed_lookup(self.tok_embed, input_ids, self.cfg.dtype)
 
     def __call__(
         self,
@@ -201,10 +203,20 @@ class PairedLlamaModel(nn.Module):
         coss, sins = rope_cos_sin(pos_s, cfg.head_size, cfg.rope_theta,
                                   cfg.dtype)
 
-        xp, xs = prefix_embeds, suffix_embeds
+        # Pin both streams to batch-over-(dp,fsdp) at every layer boundary:
+        # GSPMD propagation otherwise infers a (dp, ., tp)-sharded layout
+        # for the suffix stream (the tiled-prefix KV concat in the merged
+        # attention confuses it) and inserts a replicate-then-repartition
+        # before each MLP matmul (XLA "involuntary full rematerialization").
+        from rlaifv_tpu.parallel.sharding import pin_batch_activation
+
+        xp, xs = pin_batch_activation(prefix_embeds), pin_batch_activation(
+            suffix_embeds
+        )
         for blk in self.blocks:
             xp, xs = blk(xp, xs, cosp, sinp, coss, sins,
                          prefix_mask, suffix_mask)
+            xp, xs = pin_batch_activation(xp), pin_batch_activation(xs)
         return self.ln_f(xp), self.ln_f(xs)
 
 

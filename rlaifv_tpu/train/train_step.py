@@ -331,6 +331,11 @@ def dpo_forward_logps(
         smask = jnp.concatenate(
             [jnp.concatenate([pmask, pmask], 0), amask[:, P:P + W]], axis=1
         )
+        from rlaifv_tpu.parallel.sharding import pin_batch_activation
+
+        # model.embed_ids is SPMD-safe under a mesh (iota-embed,
+        # models/llama.py::_embed_lookup); the pins keep both streams
+        # batch-sharded into the paired blocks
         prefix_embeds = model.embed_ids(
             params, jnp.pad(input_ids[:B, :P], ((0, 0), (0, pad)))
         )
@@ -339,7 +344,10 @@ def dpo_forward_logps(
             prefix_embeds = model.splice_features(
                 prefix_embeds, feats, batch["image_starts"][:B]
             )
-        suffix_embeds = model.embed_ids(params, input_ids[:, P:P + W])
+        prefix_embeds = pin_batch_activation(prefix_embeds)
+        suffix_embeds = pin_batch_activation(
+            model.embed_ids(params, input_ids[:, P:P + W])
+        )
         hp_hidden, hs_hidden = model.paired_hidden(
             params, prefix_embeds, suffix_embeds, pmask, smask,
             suffix_pos_start=P,

@@ -106,6 +106,10 @@ class DPOTrainer:
             shared_prefix_len=int(getattr(t, "shared_prefix_len", 0)),
             shared_suffix_len=int(getattr(t, "shared_suffix_len", 0)),
         )
+        # -1 = derive P from data; remembered so a later batch with a
+        # SHORTER common prefix re-derives instead of hard-failing (an
+        # explicitly configured P keeps the hard-fail contract)
+        self._auto_prefix = hp.shared_prefix_len < 0
         self._num_patches = getattr(
             getattr(model, "cfg", None), "num_image_tokens", 0
         ) or 0
@@ -272,10 +276,47 @@ class DPOTrainer:
                         validate_shared_prefix,
                     )
 
-                    validate_shared_prefix(
-                        batch, self.hp.shared_prefix_len, self._num_patches,
-                        suffix_len=self.hp.shared_suffix_len,
-                    )
+                    try:
+                        validate_shared_prefix(
+                            batch, self.hp.shared_prefix_len,
+                            self._num_patches,
+                            suffix_len=self.hp.shared_suffix_len,
+                        )
+                    except ValueError:
+                        if not self._auto_prefix:
+                            raise  # explicit config P: wrong data, not ours
+                        # derived-P mode: this batch's common prefix is
+                        # shorter than the first batch's — re-derive and
+                        # rebuild (exact; one recompile), or fall back to
+                        # the plain path at P=0, instead of killing a long
+                        # run mid-flight
+                        from rlaifv_tpu.train.train_step import (
+                            derive_shared_prefix_len,
+                        )
+                        import dataclasses as _dc
+                        import warnings as _w
+
+                        P = derive_shared_prefix_len(
+                            batch, self._num_patches
+                        )
+                        _w.warn(
+                            f"batch at step {step} breaks the derived "
+                            f"shared prefix P={self.hp.shared_prefix_len}; "
+                            f"re-deriving P={P} "
+                            + ("(plain path)" if P == 0 else "(rebuilt)"),
+                            stacklevel=2,
+                        )
+                        self.logger.log(
+                            step, {"derived_shared_prefix_len": P}
+                        )
+                        self._build_step(
+                            _dc.replace(self.hp, shared_prefix_len=P)
+                        )
+                        if P > 0:
+                            validate_shared_prefix(
+                                batch, P, self._num_patches,
+                                suffix_len=self.hp.shared_suffix_len,
+                            )
                 sb = shard_batch(batch, self.mesh)
                 if self.use_lora:
                     self.state, metrics = self._step(

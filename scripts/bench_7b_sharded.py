@@ -99,15 +99,18 @@ def main():
     fsdp = n_devices // (dp * tp)
     mesh = create_mesh(dp=dp, fsdp=fsdp, tp=tp)
 
-    # BASELINE's recipe is seq 2048 (llava15_train.sh:38); 1024 keeps the
-    # default AOT compile fast on this 1-vCPU host — set BENCH7B_SEQ=2048
-    # for the exact reference geometry
-    seq_len = int(os.environ.get("BENCH7B_SEQ", 1024))
+    # BASELINE's recipe is seq 2048 (llava15_train.sh:38). BENCH7B_SEQ=1024
+    # halves the AOT compile on this 1-vCPU host when iterating.
+    seq_len = int(os.environ.get("BENCH7B_SEQ", 2048))
     n_pairs = int(os.environ.get("BENCH7B_PAIRS", 8))
+    # suffix trim for the paired program (0 = no trim, W = L - P); 384
+    # covers the 256-token answers + slack, the committed r03 real-chip
+    # configuration
+    suffix_trim = int(os.environ.get("BENCH7B_SUFFIX", 384))
     compact_len = 320
     hp = DPOHparams(beta=0.1, lm_head_impl="compact", compact_len=compact_len)
 
-    def build(num_layers):
+    def build(num_layers, hparams=None):
         cfg = LlavaConfig(
             llm=LlamaConfig.vicuna_7b(
                 num_layers=num_layers,
@@ -120,13 +123,29 @@ def main():
         model = LlavaForCausalLM(cfg)
         adapter = LlavaDPOAdapter(model)
         opt = make_optimizer(2e-6, total_steps=1000)
-        step_fn = make_dpo_train_step(adapter, opt, hp)
+        step_fn = make_dpo_train_step(adapter, opt, hparams or hp)
         return cfg, model, opt, step_fn
 
     # ---- A: AOT-compile the full 32-layer 7B step over the mesh --------
     cfg7, model7, opt7, step7 = build(32)
     batch = synth_dpo_batch(cfg7, n_pairs=n_pairs, max_len=seq_len,
                             answer_len=compact_len - 64)
+
+    # the round-3+ trainer runs the shared-prefix paired forward with an
+    # auto-derived P (shared_prefix_len=-1); derive the same P here so the
+    # compiled program is what `train.py` would actually run on a v5p-8
+    from rlaifv_tpu.train.train_step import (
+        derive_shared_prefix_len,
+        validate_shared_prefix,
+    )
+
+    P = derive_shared_prefix_len(batch, cfg7.num_image_tokens)
+    W = min(suffix_trim or (seq_len - P), seq_len - P)
+    validate_shared_prefix(batch, P, cfg7.num_image_tokens, suffix_len=W)
+    hp_paired = DPOHparams(beta=0.1, lm_head_impl="compact",
+                           compact_len=compact_len, shared_prefix_len=P,
+                           shared_suffix_len=W)
+    _, _, _, step7p = build(32, hp_paired)
 
     ids0 = jnp.zeros((2, seq_len), jnp.int32)
     img0 = jnp.zeros((2, 336, 336, 3), jnp.float32)
@@ -143,23 +162,31 @@ def main():
     )
     abs_batch = _abstract_batch(batch, mesh)
 
-    t0 = time.perf_counter()
-    with mesh:
-        lowered = jax.jit(step7).lower(abs_state, abs_batch)
-    t_lower = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    compiled = lowered.compile()
-    t_compile = time.perf_counter() - t0
+    def aot(step_fn):
+        print("[sharded] lowering...", file=sys.stderr, flush=True)
+        t0 = time.perf_counter()
+        with mesh:
+            lowered = jax.jit(step_fn).lower(abs_state, abs_batch)
+        t_lower = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        print("[sharded] compiling...", file=sys.stderr, flush=True)
+        compiled = lowered.compile()
+        t_compile = time.perf_counter() - t0
+        print(f"[sharded] compiled in {t_compile:.0f}s", file=sys.stderr,
+              flush=True)
+        cost = compiled.cost_analysis() or {}
+        return t_lower, t_compile, float(cost.get("flops", 0.0))
 
-    cost = compiled.cost_analysis() or {}
-    xla_flops = float(cost.get("flops", 0.0))
+    t_lower, t_compile, xla_flops = aot(step7)
+    t_lower_p, t_compile_p, xla_flops_p = aot(step7p)
     fpp_ref = llava_flops_per_pair(cfg7, seq_len)
     n_params = sum(int(np.prod(l.shape)) for l in jax.tree.leaves(abs_params))
 
     # ---- B: execute one step at reduced depth, same layer geometry ----
-    exec_loss = None
+    exec_loss = exec_loss_paired = None
     exec_layers = int(os.environ.get("BENCH7B_EXEC_LAYERS", 2))
     if os.environ.get("BENCH7B_SKIP_EXEC", "") != "1":
+        print("[sharded] exec phase...", file=sys.stderr, flush=True)
         cfgx, modelx, optx, stepx = build(exec_layers)
         # max_len must fit the 576 CLIP-L-336 image tokens + text
         xb = synth_dpo_batch(cfgx, n_pairs=2, max_len=768, answer_len=64)
@@ -171,13 +198,22 @@ def main():
             images=jnp.asarray(xb["images"][:2]),
             image_starts=jnp.asarray(xb["image_starts"][:2]),
         )["params"]
+        Px = derive_shared_prefix_len(xb, cfgx.num_image_tokens)
+        hpxp = DPOHparams(beta=0.1, lm_head_impl="compact", compact_len=96,
+                          shared_prefix_len=Px)
+        stepxp = make_dpo_train_step(LlavaDPOAdapter(modelx), optx, hpxp)
         with mesh:
             sharded = shard_params(params, mesh)
             state = DPOTrainState(jnp.int32(0), sharded, optx.init(sharded))
             sb = shard_batch(xb, mesh)
             state, metrics = jax.jit(stepx)(state, sb)
             exec_loss = float(metrics["loss"])
+            state, pmetrics = jax.jit(stepxp)(state, sb)
+            exec_loss_paired = float(pmetrics["loss"])
         assert np.isfinite(exec_loss), f"non-finite loss {exec_loss}"
+        assert np.isfinite(exec_loss_paired), (
+            f"non-finite paired loss {exec_loss_paired}"
+        )
 
     print(json.dumps({
         "metric": "sharded_7b_step_compile",
@@ -201,6 +237,18 @@ def main():
             "analytic_flops_per_step": fpp_ref * n_pairs,
             "exec_layers": exec_layers,
             "exec_loss": exec_loss,
+            # the trainer's actual program (shared_prefix_len=-1 -> derived
+            # P): prefix runs once per pair, suffixes trimmed to W
+            "paired": {
+                "shared_prefix_len": int(P),
+                "shared_suffix_len": int(W),
+                "lower_s": round(t_lower_p, 1),
+                "compile_s": round(t_compile_p, 1),
+                "xla_flops_per_step_per_device": xla_flops_p,
+                "flops_vs_plain": round(xla_flops_p / xla_flops, 4)
+                if xla_flops else None,
+                "exec_loss": exec_loss_paired,
+            },
             "note": "compiled for 8 virtual CPU devices; same GSPMD "
                     "partitioning a v5p-8 would run — time it there",
         },

@@ -406,3 +406,45 @@ def test_continuous_share_keys_sampled_rows_differ(tiny_lm):
     res = gen.run(prompts, share_keys=keys, seed=3)
     rows = {tuple(res.tokens[i]) for i in range(6)}
     assert len(rows) > 1, "all sampled continuations identical"
+
+
+def test_continuous_share_keys_singleton_saves_window(tiny_lm):
+    """A repeated key whose FIRST wave holds only one instance must still
+    route through the shared path so its window is saved — the next wave's
+    occurrences then refill with no prefill at all (ADVICE r3:
+    continuous.py singleton fallthrough)."""
+    _, model, params = tiny_lm
+    engine = DecodeEngine(model, params, eos_id=-1, pad_id=0)
+    rng = np.random.default_rng(5)
+    pa = list(map(int, rng.integers(3, 200, size=9)))
+    pb = list(map(int, rng.integers(3, 200, size=7)))
+    # slots=3 -> wave 1 pops [A, A, B]: B is a singleton with two more
+    # queued occurrences behind it
+    prompts = [list(pa), list(pa), list(pb), list(pb), list(pb)]
+    keys = ["A", "A", "B", "B", "B"]
+
+    sp = SamplingParams.greedy()
+    max_new = 5
+    gen = ContinuousGenerator(
+        engine, slots=3, chunk=4, max_new_tokens=max_new,
+        sampling=sp, prompt_bucket=8,
+    )
+    n_prefills = [0]
+    orig = gen._build_window_prefill
+
+    def counting(Lp, mode):
+        fn = orig(Lp, mode)
+
+        def wrapped(*a, **kw):
+            n_prefills[0] += 1
+            return fn(*a, **kw)
+
+        return wrapped
+
+    gen._build_window_prefill = counting
+    res = gen.run(prompts, share_keys=keys)
+    ref_toks, ref_lens = _reference(engine, prompts, sp, max_new)
+    _check(res, ref_toks, ref_lens, max_new)
+    # exactly one window prefill per distinct key: B's singleton saved its
+    # window in wave 1, so wave 2's two B rows scatter from it
+    assert n_prefills[0] == 2, n_prefills[0]

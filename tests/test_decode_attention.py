@@ -51,3 +51,21 @@ def test_decode_attention_prefix_parity(valid_len):
         q[:, None], repeat_kv(k, H // KVH), repeat_kv(v, H // KVH), bias
     )[:, 0]
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_forced_flash_rejects_traced_q_offset():
+    """impl='flash' with a traced q_offset must raise instead of silently
+    masking with q_offset=0 (ADVICE r3: ops/attention.py)."""
+    import jax
+    import pytest
+
+    from rlaifv_tpu.ops.attention import multi_head_attention
+
+    q = jnp.zeros((1, 128, 4, 32))
+    kv = jnp.zeros((1, 160, 4, 32))
+
+    def f(off):
+        return multi_head_attention(q, kv, kv, impl="flash", q_offset=off)
+
+    with pytest.raises(ValueError, match="static"):
+        jax.jit(f)(jnp.int32(32))

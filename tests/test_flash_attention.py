@@ -113,3 +113,4 @@ def test_flash_rectangular_q_offset_matches_dense(kvh, P, W):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=5e-3, err_msg=f"d{name}"
         )
+

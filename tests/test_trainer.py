@@ -254,3 +254,63 @@ def test_qlora_trainer_int8_base(setup, tmp_path):
     )
     assert tr2.start_step == 3
     tr2.train()
+
+
+@pytest.mark.slow
+def test_auto_prefix_rederives_on_shorter_batch(setup, tmp_path):
+    """shared_prefix_len=-1 (text-only data): the first batch derives P;
+    a later batch whose pair-common prefix is SHORTER must re-derive and
+    rebuild the step with a logged warning instead of hard-failing a long
+    run mid-flight (ADVICE r3: trainer.py)."""
+    cfg, model, _, _, params = setup
+    rng = np.random.default_rng(0)
+    vocab = cfg.llm.vocab_size
+    L = 32
+
+    def mk_pair(diverge_at):
+        base = rng.integers(5, vocab, size=L).astype(np.int64)
+        win_ids, rej_ids = base.copy(), base.copy()
+        rej_ids[diverge_at:] = rng.integers(5, vocab, size=L - diverge_at)
+        def side(ids):
+            labels = ids.copy()
+            labels[:diverge_at] = -100
+            return {"input_ids": ids, "labels": labels}
+        win, rej = side(win_ids), side(rej_ids)
+        win.update(ref_win_logp=-20.0, ref_win_avg_logp=-2.0)
+        rej.update(ref_rej_logp=-22.0, ref_rej_avg_logp=-2.2)
+        return rej, win
+
+    # place the LONG-prefix pair wherever the seed-0 permutation visits
+    # first, so step 1 derives P=20 and step 2 hits the P=10 pair
+    order = np.random.default_rng(0).permutation(2)
+    pairs = [None, None]
+    pairs[int(order[0])] = mk_pair(20)
+    pairs[int(order[1])] = mk_pair(10)
+
+    coll = DPOCollator(pad_token_id=0, max_len=L, num_patches=0)
+    mesh = create_mesh(dp=1, fsdp=1, tp=1, devices=jax.devices()[:1])
+    config = _config(tmp_path / "redrive", steps=2, seed=0,
+                     per_device_batch_pairs=1, mesh_fsdp=1,
+                     shared_prefix_len=-1)
+    import warnings
+
+    fresh = jax.tree.map(lambda x: jnp.array(np.asarray(x)), params)
+    trainer = DPOTrainer(config, model, fresh, _ListDataset(pairs),
+                         coll, mesh=mesh)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        state = trainer.train()
+    assert int(state.step) == 2
+    msgs = [str(w.message) for w in caught]
+    assert any("re-deriving P=10" in m for m in msgs), msgs
+    assert trainer.hp.shared_prefix_len == 10
+
+    # explicit (non-auto) P keeps the hard-fail contract
+    config2 = _config(tmp_path / "hard", steps=2, seed=0,
+                      per_device_batch_pairs=1, mesh_fsdp=1,
+                      shared_prefix_len=20)
+    fresh2 = jax.tree.map(lambda x: jnp.array(np.asarray(x)), params)
+    trainer2 = DPOTrainer(config2, model, fresh2, _ListDataset(pairs),
+                          coll, mesh=mesh)
+    with pytest.raises(ValueError):
+        trainer2.train()
