@@ -51,6 +51,11 @@ _RG_SUBBENCHES = [
     # same loss/grads (tests/test_paired_prefix.py), ~3x the pairs/s
     ("qlora7b_dpo_paired", "bench_7b_lora.py",
      {"BENCH7B_PREFIX": "auto", "BENCH7B_PAIRS": "8"}),
+    # shared-prefix ref-logp precompute vs the plain batched scorer
+    # (engine.score_pair_logps; the one-time pass over 83k pairs)
+    ("ref_logp_shared", "bench_7b_ref_logp.py", {}),
+    # OmniLMM-12B QLoRA DPO (BASELINE config 4) on one 16G chip
+    ("qlora12b_omni_dpo", "bench_12b_omni_lora.py", {}),
     ("autocheck_shared_llava", "bench_autocheck_shared.py",
      {"BENCH_MODEL": "llava"}),
 ]

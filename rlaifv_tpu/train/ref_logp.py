@@ -49,8 +49,10 @@ def make_score_fn(model, params, *, shift: bool = True,
         raise ValueError("lm_head_impl='compact' requires compact_len > 0")
     use_hidden = fused or compact
 
+    # params must be a jit ARGUMENT: a closed-over 7B tree gets baked into
+    # the program as constants (7.6 GB captured at lowering, measured)
     @jax.jit
-    def score(batch):
+    def _score(params, batch):
         fwd_feats = (
             model.hidden_with_features if use_hidden
             else model.forward_with_features
@@ -104,6 +106,9 @@ def make_score_fn(model, params, *, shift: bool = True,
         else:
             lp = get_batch_logps(out, batch["labels"], shift=shift)
         return lp.sum, lp.mean, lp.per_token
+
+    def score(batch):
+        return _score(params, batch)
 
     return score
 
