@@ -727,17 +727,26 @@ class DecodeEngine:
                 params, pids, images, image_starts, None, None
             )
             ppos = jnp.maximum(jnp.cumsum(pmask, axis=1) - 1, 0)
-            # keys during the cached prefill span the FULL (Pmax+W) cache;
-            # the mask must cover the dead suffix columns too (zeros)
-            pmask_full = jnp.pad(pmask, ((0, 0), (0, W)))
+            # cache width EXACTLY Pmax and a PYTHON-int cache_index: both
+            # phases then satisfy the flash kernel's static-offset rule
+            # (phase 1 square Lq==Lk, phase 2 the rectangular q_offset mode
+            # the paired trainer uses). A traced jnp.int32 index forced the
+            # dense fallback — (2B, H, W, Pmax+W) f32 scores per layer made
+            # shared-prefix scoring SLOWER than the plain flash forward at
+            # 7B (0.63x, measured); flash makes the token-work saving real.
             _, pcache = self._llm(
-                params, inputs_embeds=embeds, attention_mask=pmask_full,
-                position_ids=ppos, cache=self._fp_cache(B, Pmax + W),
-                cache_index=jnp.int32(0),
+                params, inputs_embeds=embeds, attention_mask=pmask,
+                position_ids=ppos, cache=self._fp_cache(B, Pmax),
+                cache_index=0,
             )
-            # win rows 0..B-1 and rej rows B..2B-1 share prefix i -> tile KV
+            # win rows 0..B-1 and rej rows B..2B-1 share prefix i -> tile
+            # KV and append W empty suffix slots
             cache2 = jax.tree.map(
-                lambda c: jnp.concatenate([c, c], axis=0), pcache
+                lambda c: jnp.pad(
+                    jnp.concatenate([c, c], axis=0),
+                    ((0, 0), (0, W)) + ((0, 0),) * (c.ndim - 2),
+                ),
+                pcache,
             )
             pmask2 = jnp.concatenate([pmask, pmask], axis=0)
             cmask = jnp.zeros((2 * B, Pmax + W), jnp.int32)
@@ -749,12 +758,16 @@ class DecodeEngine:
             spos = jnp.maximum(spos, 0)
             logits, _ = self._llm(
                 params, input_ids=jnp.maximum(sids, 0), attention_mask=cmask,
-                position_ids=spos, cache=cache2, cache_index=jnp.int32(Pmax),
+                position_ids=spos, cache=cache2, cache_index=Pmax,
             )
-            logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+            # label-logit minus logsumexp == log_softmax gathered at the
+            # label, WITHOUT writing the (2B, W, V) f32 normalized tensor
+            # (XLA fuses the exp into the reduction)
+            logits32 = logits.astype(jnp.float32)
+            lse = jax.scipy.special.logsumexp(logits32, axis=-1)
             tok = jnp.take_along_axis(
-                logp, jnp.maximum(slabels, 0)[..., None], axis=-1
-            )[..., 0]
+                logits32, jnp.maximum(slabels, 0)[..., None], axis=-1
+            )[..., 0] - lse
             m = ((slabels != IGNORE_INDEX) & (smask == 1)).astype(jnp.float32)
             per_token = tok * m
             sums = per_token.sum(axis=1)

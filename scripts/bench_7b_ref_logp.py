@@ -49,7 +49,7 @@ def main():
 
     if tiny:
         cfg = LlavaConfig.tiny()
-        n_rows, batch_pairs, max_len = 4, 2, 320
+        n_small, n_big, batch_pairs, max_len = 2, 4, 2, 320
         q_chars, a_chars = 24, 20
     else:
         cfg = LlavaConfig(
@@ -63,7 +63,8 @@ def main():
                 dtype=dtype, param_dtype=dtype,
             ),
         )
-        n_rows = int(os.environ.get("BENCH7B_ROWS", 16))
+        n_small = int(os.environ.get("BENCH7B_ROWS", 16))
+        n_big = 3 * n_small
         batch_pairs = int(os.environ.get("BENCH7B_PAIRS", 8))
         max_len = 1024
         q_chars, a_chars = 130, 220
@@ -86,7 +87,7 @@ def main():
         return "".join(rng.choice(letters, size=n))
 
     rows = []
-    for i in range(n_rows):
+    for i in range(n_big):
         rows.append({
             "idx": str(i),
             "question": text(q_chars),
@@ -114,27 +115,40 @@ def main():
     DecodeEngine.score_pair_logps = spy
 
     def timed(shared):
+        """Steady-state pairs/s via CALL-LEVEL differencing.
+
+        Each score_preference_rows call rebuilds its jitted closures, so a
+        single-call timing is dominated by re-tracing/lowering (~15 s at
+        7B) that the REAL job — one call over the whole 83k-row dataset —
+        pays exactly once. t(3N rows) - t(N rows) cancels the per-call
+        fixed cost (same programs, XLA disk-cache hot after the warm call)
+        and leaves 2N pairs of pure chunk throughput, host encode and
+        image upload included.
+        """
         k = dict(kw, shared_prefix=shared)
-        score_preference_rows(rows, model, params, tok, **k)  # compile
+        score_preference_rows(rows[:n_small], model, params, tok, **k)
+        t0 = time.perf_counter()
+        out_small = score_preference_rows(rows[:n_small], model, params,
+                                          tok, **k)
+        t_sm = time.perf_counter() - t0
         t0 = time.perf_counter()
         out = score_preference_rows(rows, model, params, tok, **k)
-        dt = time.perf_counter() - t0
-        return dt, out
+        t_bg = time.perf_counter() - t0
+        del out_small
+        return (n_big - n_small) / max(t_bg - t_sm, 1e-9), out
 
-    t_plain, out_plain = timed(False)
+    pairs_s_plain, out_plain = timed(False)
     shared_rows[0] = 0
-    t_shared, out_shared = timed(True)  # compile pass + timed pass
-    assert shared_rows[0] == 2 * n_rows, (
-        f"shared path scored {shared_rows[0]}/{2 * n_rows} rows — the rest "
+    pairs_s_shared, out_shared = timed(True)  # warm + small + big passes
+    want_rows = 2 * n_small + n_big
+    assert shared_rows[0] == want_rows, (
+        f"shared path scored {shared_rows[0]}/{want_rows} rows — the rest "
         "silently fell back to the plain scorer"
     )
     # exactness on the bench rows too (sums within bf16 accumulation noise)
     for a, b in zip(out_plain, out_shared):
         np.testing.assert_allclose(a[0], b[0], rtol=2e-3, atol=2e-1)
         np.testing.assert_allclose(a[3], b[3], rtol=2e-3, atol=2e-1)
-
-    pairs_s_plain = n_rows / t_plain
-    pairs_s_shared = n_rows / t_shared
     print(json.dumps({
         "metric": "ref_logp_shared_pairs_per_sec_per_chip",
         "value": round(pairs_s_shared, 2),
@@ -143,11 +157,12 @@ def main():
         "detail": {
             "model": ("llava15-7b-geometry int8 (bf16 head)"
                       if not tiny else "tiny-smoke"),
-            "rows": n_rows,
+            "rows": f"{n_big}-{n_small} call-differenced",
             "batch_pairs": batch_pairs,
             "max_len": max_len,
             "pairs_per_sec_plain": round(pairs_s_plain, 2),
-            "speedup_shared_vs_plain": round(t_plain / t_shared, 2),
+            "speedup_shared_vs_plain": round(
+                pairs_s_shared / pairs_s_plain, 2),
             "hours_for_83k_pairs_plain": round(83000 / pairs_s_plain / 3600,
                                                2),
             "hours_for_83k_pairs_shared": round(

@@ -77,6 +77,7 @@ def _setup_from(cfg, base_cfg, B=2, L=128, prompt_len=5):
     return cfg, model, fused_params, cache, mask, tok, prompt_len
 
 
+@pytest.mark.slow
 def test_fused_decode_matches_flax():
     cfg, model, params, cache, mask, tok, t = _setup()
     B, L = mask.shape

@@ -192,6 +192,7 @@ def test_generate_repeated_matches_generate(tiny_gen):
                                atol=1e-4)
 
 
+@pytest.mark.slow
 def test_diverse_gen_share_repeats(tiny_gen):
     """repeat_time-style items (identical question+image runs) go through
     the shared-prefill path; output order and row schema are preserved."""
@@ -207,6 +208,7 @@ def test_diverse_gen_share_repeats(tiny_gen):
         assert r["model_path"] == "tiny-test"
 
 
+@pytest.mark.slow
 def test_autocheck_shared_prefix_parity(tiny_gen):
     """The shared-prefix fast path (one prefill per image, suffix-only
     per fact) must reproduce the plain full-prefill scores: causal

@@ -136,6 +136,7 @@ def test_minicpmv_tiny_forward():
     assert np.isfinite(np.asarray(logits)).all()
 
 
+@pytest.mark.slow
 def test_minicpmv_int8_serving_engine():
     """Int8 LM + int8 KV single-chip serving config drives the span-splice
     engine end-to-end at tiny geometry (the 2.5 labeler path)."""

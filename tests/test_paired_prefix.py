@@ -75,6 +75,7 @@ def _loss_and_grads(adapter, params, jb, hp):
     return jax.value_and_grad(f)(params)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("variant", [
     dict(),
     dict(dpo_use_average=True),
@@ -139,6 +140,7 @@ def test_paired_matches_plain_remat(setup):
     np.testing.assert_allclose(float(loss_pair), float(loss_plain), rtol=2e-5)
 
 
+@pytest.mark.slow
 def test_paired_suffix_trim_matches_plain(setup):
     """shared_suffix_len drops the padded tail past the answers — loss and
     grads must still match the full plain forward exactly."""
@@ -165,6 +167,7 @@ def test_paired_suffix_trim_matches_plain(setup):
         )
 
 
+@pytest.mark.slow
 def test_paired_suffix_trim_token_weighted(setup):
     adapter, jb, params, P = setup
     B, L = jb["win_labels"].shape
