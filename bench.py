@@ -10,7 +10,7 @@ pairs/s/chip (the largest config that fits one v5e chip,
 scripts/bench_7b_lora.py) and shared-prefix autocheck facts/s
 (scripts/bench_autocheck_shared.py) — measured IN-RUN as subprocesses (one
 process owns the TPU at a time, so they run before the proxy claims the
-chip). Each sub-bench gets a slice of BENCH_RG_BUDGET_S (default 1200 s,
+chip). Each sub-bench gets a slice of BENCH_RG_BUDGET_S (default 2400 s,
 persistent compile cache at /root/.jax_cache keeps warm runs ~1-3 min); on
 budget-trip or failure the last committed numbers from
 BENCH_REAL_GEOMETRY.json are emitted with "stale": true rather than nothing.
@@ -94,7 +94,7 @@ def real_geometry_section() -> dict:
         # numbers are TPU-measured, so emitting them here would mislabel
         return {"skipped": f"non-tpu platform ({platform})"}
     out = {}
-    budget = float(os.environ.get("BENCH_RG_BUDGET_S", "1200"))
+    budget = float(os.environ.get("BENCH_RG_BUDGET_S", "2400"))
     t0 = time.perf_counter()
     stale_all = {}
     if os.path.exists(_STALE_FILE):

@@ -32,7 +32,7 @@ class RLAIFV7B:
 
     def __init__(self, model_path: str, model_base: Optional[str] = None,
                  max_new_tokens: int = 1024, load_8bit: bool = False,
-                 kv_int8: bool = False):
+                 load_4bit: bool = False, kv_int8: bool = False):
         import jax
         import numpy as np
 
@@ -44,10 +44,14 @@ class RLAIFV7B:
             load_pretrained_llava,
         )
 
-        # load_8bit: weight-only int8 LLM (QuantDense; the TPU answer to the
-        # reference loader's bitsandbytes option, builder.py:30-49)
+        # load_8bit / load_4bit: weight-only int8 / packed-int4 LLM
+        # (QuantDense; the TPU answer to the reference loader's
+        # bitsandbytes load_8bit/load_4bit pair, builder.py:30-49)
         llm_over = {}
-        if load_8bit:
+        if load_4bit:
+            llm_over.update(quantize=True, quantize_bits=4,
+                            quantize_lm_head=False)
+        elif load_8bit:
             llm_over["quantize"] = True
         if kv_int8:
             # int8 decode cache: ~1% decode-logit quantization error,
@@ -62,7 +66,7 @@ class RLAIFV7B:
         params = load_pretrained_llava(
             model_path, model_base=model_base,
             vision_layers_to_run=cfg.vision.layers_to_run,
-            quantize_llm=load_8bit,
+            quantize_llm="int4" if load_4bit else load_8bit,
         )
 
         try:
@@ -149,13 +153,15 @@ class RLAIFVChat:
     """Pick the model family by path substring (ref chat.py:221-228)."""
 
     def __init__(self, model_path: str, load_8bit: bool = False,
-                 kv_int8: bool = False):
+                 load_4bit: bool = False, kv_int8: bool = False):
         if "12B" in model_path:
             from rlaifv_tpu.genai.omni_gen import OmniLMMChat  # noqa: F401
 
             # --load-8bit => the single-chip 12B config (int8 both towers
-            # + int8 KV); bf16 12B needs a bigger device
-            self.model = OmniLMMChat(model_path, int8=load_8bit)
+            # + int8 KV); --load-4bit halves the weights again; bf16 12B
+            # needs a bigger device
+            self.model = OmniLMMChat(model_path, int8=load_8bit,
+                                     int4=load_4bit)
         elif "minicpm" in model_path.lower():
             # framework extension: the reference chat.py stops at 7B/12B;
             # MiniCPM-Llama3-V 2.5 rides the same API here
@@ -170,7 +176,8 @@ class RLAIFVChat:
                     "RLAIFV_MODEL_BASE", "liuhaotian/llava-v1.5-7b"
                 )
             self.model = RLAIFV7B(model_path, model_base=base,
-                                  load_8bit=load_8bit, kv_int8=kv_int8)
+                                  load_8bit=load_8bit, load_4bit=load_4bit,
+                                  kv_int8=kv_int8)
 
     def chat(self, input: dict) -> str:
         return self.model.chat(input)
@@ -186,8 +193,11 @@ if __name__ == "__main__":
                          "quantization error)")
     ap.add_argument("--load-8bit", action="store_true",
                     help="weight-only int8 LLM (halves weight HBM)")
+    ap.add_argument("--load-4bit", action="store_true",
+                    help="weight-only packed int4 LLM, group-128 scales "
+                         "(halves weight HBM again vs int8)")
     args = ap.parse_args()
 
     chat_model = RLAIFVChat(args.model_path, load_8bit=args.load_8bit,
-                            kv_int8=args.kv_int8)
+                            load_4bit=args.load_4bit, kv_int8=args.kv_int8)
     print(chat_model.chat({"image": args.image, "question": args.question}))

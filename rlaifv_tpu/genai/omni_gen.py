@@ -286,28 +286,39 @@ class OmniLMMChat:
 
     def __init__(self, model_path: str, *, tokenizer=None,
                  max_new_tokens: int = 1024, image_size: int = 448,
-                 int8: bool = False):
+                 int8: bool = False, int4: bool = False):
         from rlaifv_tpu.models.convert import (
             convert_omnilmm,
             load_state_dict_dir,
             omnilmm_config_from_hf,
+            quantize_llm_int4,
             quantize_llm_int8,
+            quantize_vision_int4,
             quantize_vision_int8,
         )
         from rlaifv_tpu.models.omnilmm import OmniLMMForCausalLM
 
         # int8: the single-chip 12B serving config — weight-only int8 on
         # BOTH towers + int8 KV cache (bf16 12B cannot load on 16G;
-        # scripts/bench_12b_serve.py measures this path at full geometry)
+        # scripts/bench_12b_serve.py measures this path at full geometry).
+        # int4: same shape, half the weight footprint again (5.8G total
+        # s4 + group scales) — decode speed AND memory headroom.
+        bits = 4 if int4 else 8
         overrides = (dict(
-            llm=dict(quantize=True, quantize_lm_head=False,
-                     kv_cache_dtype="int8"),
-            vision=dict(quantize=True),
-        ) if int8 else {})
+            llm=dict(quantize=True, quantize_bits=bits,
+                     quantize_lm_head=False, kv_cache_dtype="int8"),
+            vision=dict(quantize=True, quantize_bits=bits),
+        ) if (int8 or int4) else {})
         cfg = omnilmm_config_from_hf(model_path, **overrides)
         model = OmniLMMForCausalLM(cfg)
         params = convert_omnilmm(load_state_dict_dir(model_path))
-        if int8:
+        if int4:
+            params = {
+                **params,
+                "llm": quantize_llm_int4(params["llm"]),
+                "vision_tower": quantize_vision_int4(params["vision_tower"]),
+            }
+        elif int8:
             params = {
                 **params,
                 "llm": quantize_llm_int8(params["llm"],

@@ -598,6 +598,34 @@ def quantize_llm_int8(llm_params: Tree, include_lm_head: bool = True) -> Tree:
     return walk(llm_params, "")
 
 
+def quantize_llm_int4(llm_params: Tree, include_lm_head: bool = False) -> Tree:
+    """Weight-only int4 for projection/mlp kernels (the TPU answer to the
+    reference loader's load_4bit, builder.py:30-49): native s4 storage
+    (XLA packs two per byte in HBM), group-wise scales (G=128, the
+    AWQ/GPTQ convention — per-column int4 is too coarse at 7B quality).
+    Matches QuantDense(bits=4)'s {kernel: int4 (K, N), scale: f32
+    (K//G, N)} layout; see ops/int4_matmul.py. The lm_head defaults to
+    UNQUANTIZED (bits matter most in the logit projection; the int8 path
+    keeps it bf16 under QLoRA for the same reason)."""
+    from rlaifv_tpu.ops.int4_matmul import pick_int4_group, quantize_int4
+
+    def walk(node, name):
+        if isinstance(node, dict):
+            if (
+                _QUANT_PROJ.match(name or "")
+                and (include_lm_head or name != "lm_head")
+                and set(node) == {"kernel"}
+                and np.ndim(node["kernel"]) == 2
+            ):
+                w = np.asarray(node["kernel"])
+                q4, gs = quantize_int4(w, group=pick_int4_group(w.shape[0]))
+                return {"kernel": q4, "scale": gs}
+            return {k: walk(v, k) for k, v in node.items()}
+        return node
+
+    return walk(llm_params, "")
+
+
 _VISION_QUANT = re.compile(
     r"^(qkv|q_proj|k_proj|v_proj|proj|out_proj|w1|w2|w3|fc1|fc2)$"
 )
@@ -630,6 +658,33 @@ def quantize_vision_int8(params: Tree) -> Tree:
     return walk(params, "")
 
 
+def quantize_vision_int4(params: Tree) -> Tree:
+    """Weight-only int4 for ViT projection/MLP kernels (EVA02/CLIP/SigLIP
+    naming) — native s4 + group scales, matching QuantDense(bits=4,
+    use_bias=...). Vision prefill is compute-bound, so this buys MEMORY:
+    EVA02-enormous 4.4G int8 -> 2.2G, headroom for longer sequences or
+    bigger batches beside the 12B LM on a 16G chip."""
+    from rlaifv_tpu.ops.int4_matmul import pick_int4_group, quantize_int4
+
+    def walk(node, name):
+        if isinstance(node, dict):
+            if (
+                _VISION_QUANT.match(name or "")
+                and "kernel" in node
+                and np.ndim(node["kernel"]) == 2
+            ):
+                w = np.asarray(node["kernel"])
+                q4, gs = quantize_int4(w, group=pick_int4_group(w.shape[0]))
+                out = {"kernel": q4, "scale": gs}
+                if "bias" in node:
+                    out["bias"] = node["bias"]
+                return out
+            return {k: walk(v, k) for k, v in node.items()}
+        return node
+
+    return walk(params, "")
+
+
 def fuse_llm_projections(llm_params: Tree) -> Tree:
     """Rewrite a Llama param tree for LlamaConfig.fuse_proj: q/k/v kernels
     concat into qkv_proj, gate/up into gate_up_proj (out axis). Works on
@@ -643,9 +698,13 @@ def fuse_llm_projections(llm_params: Tree) -> Tree:
             [np.asarray(p["kernel"]) for p in parts], axis=1
         )}
         if "scale" in parts[0]:
-            fused["scale"] = np.concatenate(
-                [np.asarray(p["scale"]) for p in parts]
-            )
+            scales = [np.asarray(p["scale"]) for p in parts]
+            # int8: (N,) per-out-channel -> concat; int4 (QuantDense
+            # bits=4): (K//G, N) group scales -> concat the out axis.
+            # Both packing (along K) and grouping are orthogonal to the
+            # out-axis concat, so fused stays bit-identical to separate.
+            axis = 0 if scales[0].ndim == 1 else 1
+            fused["scale"] = np.concatenate(scales, axis=axis)
         mods[out_name] = fused
 
     def walk(node):
@@ -659,6 +718,15 @@ def fuse_llm_projections(llm_params: Tree) -> Tree:
         return node
 
     return walk(llm_params)
+
+
+def _quantize_llm(llm: Tree, mode) -> Tree:
+    """quantize_llm=True/"int8" -> int8 per-out-channel; "int4" -> packed
+    nibbles + group scales (the loader's load_8bit/load_4bit pair,
+    ref llava/model/builder.py:30-49)."""
+    if mode == "int4":
+        return quantize_llm_int4(llm)
+    return quantize_llm_int8(llm)
 
 
 def load_pretrained_llava(
@@ -683,7 +751,7 @@ def load_pretrained_llava(
             model_path, dtype=dtype, vision_layers_to_run=vision_layers_to_run
         )
         if quantize_llm:
-            params["llm"] = quantize_llm_int8(params["llm"])
+            params["llm"] = _quantize_llm(params["llm"], quantize_llm)
         return params
 
     params = load_llava_checkpoint(
@@ -744,5 +812,5 @@ def load_pretrained_llava(
 
         params = lora_merge(params, lora, alpha=lora_alpha)
     if quantize_llm:
-        params["llm"] = quantize_llm_int8(params["llm"])
+        params["llm"] = _quantize_llm(params["llm"], quantize_llm)
     return params

@@ -52,6 +52,9 @@ class EvaConfig:
     quantize: bool = False  # weight-only int8 projections (QuantDense):
     # EVA02-enormous bf16 is 8.8G — int8 (4.4G) is what lets the 12B
     # OmniLMM serve next to its int8 LM on one 16G chip
+    quantize_bits: int = 8  # 4 = native-s4 + group scales (2.2G tower):
+    # vision prefill is compute-bound so int4 buys MEMORY, not speed —
+    # headroom for longer sequences / bigger batches beside the 12B LM
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
 
@@ -78,7 +81,8 @@ def _dense(features: int, use_bias: bool, cfg: EvaConfig, name: str):
         from rlaifv_tpu.models.llama import QuantDense
 
         return QuantDense(features, dtype=cfg.dtype, use_bias=use_bias,
-                          param_dtype=cfg.param_dtype, name=name)
+                          param_dtype=cfg.param_dtype, name=name,
+                          bits=getattr(cfg, "quantize_bits", 8))
     return nn.Dense(features, use_bias=use_bias, dtype=cfg.dtype,
                     param_dtype=cfg.param_dtype, name=name)
 

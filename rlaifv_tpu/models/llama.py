@@ -52,6 +52,14 @@ class LlamaConfig:
     # w.r.t. activations (ops/quant_matmul.py dx kernel), so QLoRA-style
     # adapter training over the frozen int8 base works.
     quantize: bool = False
+    # 8 = QuantDense int8 (per-out-channel scales); 4 = packed int4 with
+    # group-wise scales (ops/int4_matmul.py — the TPU answer to the
+    # reference loader's bitsandbytes `load_4bit`, llava/model/builder.py:
+    # 30-49): weight HBM traffic halves again vs int8, which is the decode
+    # floor. Both are differentiable w.r.t. activations, so QLoRA-style
+    # adapter training works over either frozen base (int4 base + bf16
+    # adapters IS the original QLoRA recipe).
+    quantize_bits: int = 8
     # keep the LM head bf16 when the body is int8: the compact/fused DPO
     # head paths consume the head kernel as a plain array, and the head is
     # the quality-critical projection (QLoRA keeps it unquantized too)
@@ -205,31 +213,51 @@ class QuantDense(nn.Module):
     dtype: Any = jnp.bfloat16
     use_bias: bool = False  # vision towers (EVA02/CLIP) use biased Dense
     param_dtype: Any = jnp.float32  # bias dtype only; kernel is int8
+    bits: int = 8  # 8: per-out-channel scales; 4: packed nibbles + groups
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
-        kernel = self.param(
-            "kernel", nn.initializers.zeros_init(),
-            (x.shape[-1], self.features), jnp.int8,
-        )
-        scale = self.param(
-            "scale", nn.initializers.ones_init(),
-            (self.features,), jnp.float32,
-        )
         x = x.astype(self.dtype)
-        if jax.default_backend() == "tpu":
-            # Pallas kernel: int8 tiles dequantize in VMEM. The jnp fallback
-            # below makes XLA materialize the full dequantized weight in HBM
-            # on every call — measured 21x slower decode.
-            from rlaifv_tpu.ops.quant_matmul import int8_matmul_grad
+        if self.bits == 4:
+            # native s4 storage (XLA packs two per byte in HBM) + group
+            # scales along K — see ops/int4_matmul.py
+            from rlaifv_tpu.ops.int4_matmul import (
+                int4_matmul_grad, pick_int4_group,
+            )
 
-            # differentiable w.r.t. x (dx kernel keeps q int8, no transpose
-            # materialized) — the QLoRA training path needs gradients to
-            # flow THROUGH the frozen int8 base into earlier adapters.
-            y = int8_matmul_grad(x, kernel, scale)
+            K = x.shape[-1]
+            G = pick_int4_group(K)
+            kernel = self.param(
+                "kernel", nn.initializers.zeros_init(),
+                (K, self.features), jnp.int4,
+            )
+            scale = self.param(
+                "scale", nn.initializers.ones_init(),
+                (K // G, self.features), jnp.float32,
+            )
+            y = int4_matmul_grad(x, kernel, scale)
         else:
-            w = kernel.astype(self.dtype) * scale.astype(self.dtype)[None, :]
-            y = x @ w
+            kernel = self.param(
+                "kernel", nn.initializers.zeros_init(),
+                (x.shape[-1], self.features), jnp.int8,
+            )
+            scale = self.param(
+                "scale", nn.initializers.ones_init(),
+                (self.features,), jnp.float32,
+            )
+            if jax.default_backend() == "tpu":
+                # Pallas kernel: int8 tiles dequantize in VMEM. The jnp
+                # fallback below makes XLA materialize the full dequantized
+                # weight in HBM on every call — measured 21x slower decode.
+                from rlaifv_tpu.ops.quant_matmul import int8_matmul_grad
+
+                # differentiable w.r.t. x (dx kernel keeps q int8, no
+                # transpose materialized) — the QLoRA training path needs
+                # gradients to flow THROUGH the frozen base into adapters.
+                y = int8_matmul_grad(x, kernel, scale)
+            else:
+                w = kernel.astype(self.dtype) * scale.astype(self.dtype)[None, :]
+                y = x @ w
         if self.has_variable("lora", "a"):
             # QLoRA-style: bf16 adapters over the frozen int8 base (the
             # reference's 8-bit-load + peft combination,
@@ -302,7 +330,8 @@ def quantize_kernel_int8(w: "np.ndarray"):
 
 def _dense(features: int, cfg: LlamaConfig, names: Tuple[str, ...], name: str):
     if getattr(cfg, "quantize", False):
-        return QuantDense(features, dtype=cfg.dtype, name=name)
+        return QuantDense(features, dtype=cfg.dtype, name=name,
+                          bits=getattr(cfg, "quantize_bits", 8))
     return LoraDense(
         features,
         dtype=cfg.dtype,

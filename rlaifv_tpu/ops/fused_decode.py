@@ -56,6 +56,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -95,6 +96,14 @@ class FusedDecodeDims:
     bl: int
     bn_o: int
     bi: int
+    # int4 mode (QuantDense bits=4 / convert.quantize_llm_int4): weights
+    # stream packed two-nibbles-per-byte with group-wise scales; weight HBM
+    # traffic HALVES vs int8, which is the decode floor. Group sizes follow
+    # the checkpoint layout (ops/int4_matmul.pick_int4_group per matrix).
+    w4: bool = False
+    g_d: int = 128     # group along D (qkv + gate/up contractions)
+    g_o: int = 128     # group along H*Dh (o contraction; % Dh == 0)
+    g_down: int = 128  # group along I/Ip (down contraction)
 
     @property
     def Nq(self) -> int:
@@ -175,6 +184,22 @@ def default_dims(cfg, L: int) -> FusedDecodeDims:
     qkv_targets = [t for t in (2048, 1024, 512, 256, 128, Dh)
                    if H * Dh % t == 0 and KVH * Dh % t == 0 and Nq % t == 0]
     Ip, bi = _pick_intermediate(cfg.intermediate_size)
+    w4 = getattr(cfg, "quantize_bits", 8) == 4
+    g_d = g_o = g_down = 128
+    if w4:
+        from rlaifv_tpu.ops.int4_matmul import pick_int4_group
+
+        g_d = pick_int4_group(D)
+        g_o = pick_int4_group(H * Dh)
+        g_down = pick_int4_group(cfg.intermediate_size)
+        assert g_o % Dh == 0, (
+            f"int4 o-projection needs whole heads per group (g_o={g_o}, "
+            f"Dh={Dh})"
+        )
+        assert bi % g_down == 0 and Ip % g_down == 0, (
+            f"int4 mlp tiling: g_down={g_down} must divide bi={bi} and "
+            f"Ip={Ip}"
+        )
     return FusedDecodeDims(
         n_layers=cfg.num_layers, D=D, H=H, KVH=KVH, Dh=Dh,
         I=cfg.intermediate_size, Ip=Ip, L=L, eps=cfg.rms_norm_eps,
@@ -182,6 +207,7 @@ def default_dims(cfg, L: int) -> FusedDecodeDims:
         bl=_pick_block(L, (128, 256, L)),
         bn_o=_pick_block(D, (2048, 1024, 512, 256, 128, D)),
         bi=bi,
+        w4=w4, g_d=g_d, g_o=g_o, g_down=g_down,
     )
 
 
@@ -200,7 +226,6 @@ def stack_llama_params(llm_params: dict, cfg, *, consume: bool = False) -> dict:
     model = llm_params["model"]
     n = cfg.num_layers
     I = cfg.intermediate_size
-    Ip, _ = _pick_intermediate(I)
 
     kernels = [
         [model[f"layer_{i}"][grp][name]["kernel"] for i in range(n)]
@@ -215,12 +240,15 @@ def stack_llama_params(llm_params: dict, cfg, *, consume: bool = False) -> dict:
          model[f"layer_{i}"]["ln_mlp"]["scale"]]
         for i in range(n)
     ]
+    # int4 checkpoints (convert.quantize_llm_int4): 2-D group scales
+    w4 = np.ndim(scales[0][0]) == 2
+    Ip, _ = _pick_intermediate(I)
 
     def build(kernels, scales, ln):
         wqkv, wo, wgu, wdown = kernels
         sqkv, so, sgu, sdown = scales
 
-        def pad_gu(a):  # (n, [1,] 2I) or (n, D, 2I) -> ... 2Ip
+        def pad_gu(a):  # (n, [1,] 2I) or (n, D|D/2|D/g, 2I) -> ... 2Ip
             if Ip == I:
                 return a
             z = jnp.zeros(a.shape[:-1] + (Ip - I,), a.dtype)
@@ -232,15 +260,41 @@ def stack_llama_params(llm_params: dict, cfg, *, consume: bool = False) -> dict:
             z = jnp.zeros((a.shape[0], Ip - I, a.shape[2]), a.dtype)
             return jnp.concatenate([a, z], axis=1)
 
+        def pad_groups(a):  # (n, I/g, D) -> (n, Ip/g, D), zero groups
+            if Ip == I:
+                return a
+            g = I // a.shape[1]
+            z = jnp.zeros((a.shape[0], (Ip - I) // g, a.shape[2]), a.dtype)
+            return jnp.concatenate([a, z], axis=1)
+
+        if not w4:
+            return {
+                "wqkv": jnp.stack(wqkv),
+                "sqkv": jnp.stack(sqkv)[:, None],
+                "wo": jnp.stack(wo),
+                "so": jnp.stack(so)[:, None],
+                "wgu": pad_gu(jnp.stack(wgu)),
+                "sgu": pad_gu(jnp.stack(sgu)[:, None]),
+                "wdown": pad_down(jnp.stack(wdown)),
+                "sdown": jnp.stack(sdown)[:, None],
+                "ln": jnp.stack([jnp.stack(pair) for pair in ln]).astype(
+                    jnp.float32
+                ),
+            }
+
+        # int4: kernels keep the logical (K, N) shape in s4; scales are
+        # 2-D (K/g, N). Zero-padded s4 columns/rows and zero-scale groups
+        # are exact for the same reason as int8 (integer contributions of
+        # zero are zero; silu(0)*0 = 0).
         return {
-            "wqkv": jnp.stack(wqkv),
-            "sqkv": jnp.stack(sqkv)[:, None],
-            "wo": jnp.stack(wo),
-            "so": jnp.stack(so)[:, None],
-            "wgu": pad_gu(jnp.stack(wgu)),
-            "sgu": pad_gu(jnp.stack(sgu)[:, None]),
-            "wdown": pad_down(jnp.stack(wdown)),
-            "sdown": jnp.stack(sdown)[:, None],
+            "wqkv": jnp.stack(wqkv),           # (n, D, Nq) s4
+            "sqkv": jnp.stack(sqkv),           # (n, D/g_d, Nq)
+            "wo": jnp.stack(wo),               # (n, H*Dh, D) s4
+            "so": jnp.stack(so),               # (n, H*Dh/g_o, D)
+            "wgu": pad_gu(jnp.stack(wgu)),     # (n, D, 2Ip) s4
+            "sgu": pad_gu(jnp.stack(sgu)),     # (n, D/g_d, 2Ip)
+            "wdown": pad_down(jnp.stack(wdown)),  # (n, Ip, D) s4
+            "sdown": pad_groups(jnp.stack(sdown)),  # (n, Ip/g, D)
             "ln": jnp.stack([jnp.stack(pair) for pair in ln]).astype(
                 jnp.float32
             ),
@@ -323,11 +377,21 @@ def stacked_prefill_tower(stacked, scache, embeds, mask, pos, cfg,
     R, Lp = mask.shape
     D, H, KVH, Dh = (cfg.hidden_size, cfg.num_heads, cfg.num_kv_heads,
                      cfg.head_size)
-    Ip, _ = _pick_intermediate(cfg.intermediate_size)
     eps = cfg.rms_norm_eps
     cos, sin = rope_cos_sin(pos, Dh, cfg.rope_theta, cfg.dtype)
 
-    if jax.default_backend() == "tpu":
+    Ip, _ = _pick_intermediate(cfg.intermediate_size)
+    w4 = getattr(cfg, "quantize_bits", 8) == 4
+    if w4:
+        # int4 stacked layout: plain half-split packing along each
+        # contraction axis, so the generic int4 matmul applies directly
+        # (group size derives from the scale shape, bit-identical to
+        # QuantDense(bits=4))
+        from rlaifv_tpu.ops.int4_matmul import int4_matmul_grad
+
+        def _mm(x, w, s):
+            return int4_matmul_grad(x, w, s)
+    elif jax.default_backend() == "tpu":
         from rlaifv_tpu.ops.quant_matmul import int8_matmul_grad as _mm
     else:
         def _mm(x, w, s):  # QuantDense's CPU fallback, bit-for-bit
@@ -339,10 +403,13 @@ def stacked_prefill_tower(stacked, scache, embeds, mask, pos, cfg,
         xf = xf * jax.lax.rsqrt(jnp.mean(xf * xf, -1, keepdims=True) + eps)
         return (xf * scale.astype(jnp.float32)).astype(x.dtype)
 
+    def _sq(s):  # int8 stacked scales carry a leading singleton; int4 2-D
+        return s if w4 else s[0]
+
     def body(carry, wl):
         x, sc, i = carry
         xn = rms(x, wl["ln"][0])
-        qkv = _mm(xn, wl["wqkv"], wl["sqkv"][0])
+        qkv = _mm(xn, wl["wqkv"], _sq(wl["sqkv"]))
         q = qkv[..., : H * Dh].reshape(R, Lp, H, Dh)
         k = qkv[..., H * Dh : (H + KVH) * Dh].reshape(R, Lp, KVH, Dh)
         v = qkv[..., (H + KVH) * Dh :].reshape(R, Lp, KVH, Dh)
@@ -354,12 +421,12 @@ def stacked_prefill_tower(stacked, scache, embeds, mask, pos, cfg,
             q, k, v, attention_mask=mask, causal=True, q_offset=None,
             impl=cfg.attn_impl,
         ).reshape(R, Lp, H * Dh)
-        x = x + _mm(out, wl["wo"], wl["so"][0])
+        x = x + _mm(out, wl["wo"], _sq(wl["so"]))
         xn2 = rms(x, wl["ln"][1])
-        gu = _mm(xn2, wl["wgu"], wl["sgu"][0])
+        gu = _mm(xn2, wl["wgu"], _sq(wl["sgu"]))
         gate, up = gu[..., :Ip], gu[..., Ip:]
         act = jax.nn.silu(gate) * up
-        x = x + _mm(act, wl["wdown"], wl["sdown"][0])
+        x = x + _mm(act, wl["wdown"], _sq(wl["sdown"]))
         mini = {"k": kq, "k_scale": ks, "v": vq, "v_scale": vs}
         sc = write_prefill_window(sc, i, mini, col_start, slot_ids, n_slots)
         return (x, sc, i + 1), None
@@ -459,6 +526,26 @@ def _quant_rows(x):
     return q, s
 
 
+def _gdot4(xq, q4, s2d, g):
+    """Group-scaled int4 matmul tile: xq (B, K) int8, q4 (K, bn) s4 tile,
+    s2d (K/g, bn) group scales -> (B, bn) f32 (missing only the per-row
+    activation scale). The s4 tile converts to int8 once (a native Mosaic
+    op), then one int8 MXU sub-dot per group, f32 rescale-accumulate —
+    the group scale sits inside the contraction so it cannot fold into
+    one output rescale the way int8's per-column scales do."""
+    q8 = q4.astype(jnp.int8)
+    ng = q8.shape[0] // g
+    out = None
+    for i in range(ng):
+        part = jax.lax.dot_general(
+            xq[:, i * g : (i + 1) * g], q8[i * g : (i + 1) * g],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32) * s2d[i : i + 1, :]
+        out = part if out is None else out + part
+    return out
+
+
 def _rms(x, scale, eps):
     x = x.astype(jnp.float32)
     r = jax.lax.rsqrt(jnp.mean(x * x, axis=-1, keepdims=True) + eps)
@@ -503,12 +590,15 @@ def _kernel(
             x8_s[...] = q8
             xs_s[...] = qs
 
-        acc = jax.lax.dot_general(
-            x8_s[...], wqkv_ref[0],
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32,
-        )  # (B, bn)
-        y = acc.astype(jnp.float32) * xs_s[...] * sqkv_ref[0, 0][None, :]
+        if d.w4:
+            y = _gdot4(x8_s[...], wqkv_ref[0], sqkv_ref[0], d.g_d) * xs_s[...]
+        else:
+            acc = jax.lax.dot_general(
+                x8_s[...], wqkv_ref[0],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )  # (B, bn)
+            y = acc.astype(jnp.float32) * xs_s[...] * sqkv_ref[0, 0][None, :]
 
         # bn_qkv divides the q/k/v sections, so a whole phase belongs to
         # exactly one of them; chunk j is head (local_phase*chunks + j)
@@ -651,13 +741,29 @@ def _kernel(
     @pl.when((p >= d.o0) & (p < d.m0))
     def _o():
         a8 = ao8_s[...].reshape(d.H, B, d.Dh)
-        w = wo_ref[0].reshape(d.H, d.Dh, d.bn_o)
-        part = jax.lax.dot_general(
-            a8, w, (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.int32,
-        )  # (H, B, bn)
-        part = part.astype(jnp.float32) * aos_s[...].reshape(d.H, B, 1)
-        y = jnp.sum(part, axis=0) * so_ref[0, 0][None, :]
+        if d.w4:
+            # group scales are per-head-constant (g_o % Dh == 0 asserted
+            # in default_dims), applied before the head sum like the
+            # per-(head, row) activation scales
+            w = wo_ref[0].astype(jnp.int8).reshape(d.H, d.Dh, d.bn_o)
+            hpg = d.g_o // d.Dh
+            sh = so_ref[0]  # (H*Dh/g_o, bn)
+            if hpg > 1:
+                sh = jnp.repeat(sh, hpg, axis=0)  # (H, bn)
+            part = jax.lax.dot_general(
+                a8, w, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.float32)
+            part = part * aos_s[...].reshape(d.H, B, 1) * sh[:, None, :]
+            y = jnp.sum(part, axis=0)
+        else:
+            w = wo_ref[0].reshape(d.H, d.Dh, d.bn_o)
+            part = jax.lax.dot_general(
+                a8, w, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.int32,
+            )  # (H, B, bn)
+            part = part.astype(jnp.float32) * aos_s[...].reshape(d.H, B, 1)
+            y = jnp.sum(part, axis=0) * so_ref[0, 0][None, :]
         sl = pl.ds(io * d.bn_o, d.bn_o)
         x_s[:, sl] = x_s[:, sl] + y
 
@@ -665,6 +771,16 @@ def _kernel(
     pm = p - d.m0
     i_blk = pm // 3
     sub = pm - i_blk * 3
+
+    def _gu_block():
+        if d.w4:
+            return _gdot4(x8_s[...], wgu_ref[0], sgu_ref[0], d.g_d) * xs_s[...]
+        acc = jax.lax.dot_general(
+            x8_s[...], wgu_ref[0],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        return acc.astype(jnp.float32) * xs_s[...] * sgu_ref[0, 0][None, :]
 
     @pl.when((p >= d.m0) & (sub == 0))
     def _gate():
@@ -675,21 +791,11 @@ def _kernel(
             x8_s[...] = q8
             xs_s[...] = qs
 
-        acc = jax.lax.dot_general(
-            x8_s[...], wgu_ref[0],
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32,
-        )
-        g_s[...] = acc.astype(jnp.float32) * xs_s[...] * sgu_ref[0, 0][None, :]
+        g_s[...] = _gu_block()
 
     @pl.when((p >= d.m0) & (sub == 1))
     def _up():
-        acc = jax.lax.dot_general(
-            x8_s[...], wgu_ref[0],
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32,
-        )
-        up = acc.astype(jnp.float32) * xs_s[...] * sgu_ref[0, 0][None, :]
+        up = _gu_block()
         g = g_s[...]
         a = (g * jax.nn.sigmoid(g)) * up  # silu(gate) * up
         a8, asc = _quant_rows(a)
@@ -698,12 +804,16 @@ def _kernel(
 
     @pl.when((p >= d.m0) & (sub == 2))
     def _down():
-        acc = jax.lax.dot_general(
-            a8_s[...], wdown_ref[0],
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32,
-        )
-        y = acc.astype(jnp.float32) * as_s[...] * sdown_ref[0, 0][None, :]
+        if d.w4:
+            y = _gdot4(a8_s[...], wdown_ref[0], sdown_ref[0], d.g_down)
+            y = y * as_s[...]
+        else:
+            acc = jax.lax.dot_general(
+                a8_s[...], wdown_ref[0],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            y = acc.astype(jnp.float32) * as_s[...] * sdown_ref[0, 0][None, :]
         x_s[...] = x_s[...] + y
 
         @pl.when((layer == d.n_layers - 1) & (pm == 3 * d.nI - 1))
@@ -778,24 +888,43 @@ def fused_decode_step(
         blk = jnp.where(sub == 0, i, d.nI + i)
         return (l, 0, jnp.clip(blk, 0, 2 * d.nI - 1))
 
-    def sgu_map(l, p, s):
-        pm = jnp.maximum(p - m0, 0)
-        i = pm // 3
-        sub = pm - i * 3
-        blk = jnp.where(sub == 0, i, d.nI + i)
-        return (l, 0, jnp.clip(blk, 0, 2 * d.nI - 1))
+    sgu_map = gu_map
 
     def down_map(l, p, s):
         pm = p - m0
         return (l, jnp.clip((pm - 2) // 3, 0, d.nI - 1), 0)
 
-    def sdown_map(l, p, s):
-        return (l, 0, 0)
+    if d.w4:
+        # int4 group scales stream per down block (rows [i*bi/g, ...))
+        sdown_map = down_map
+    else:
+        def sdown_map(l, p, s):
+            return (l, 0, 0)
 
     def const0(l, p, s):
         return (0, 0)
 
     N = d.H * B
+    # weight blocks keep the logical (K, N) shapes under int4 (native s4
+    # dtype — XLA/Mosaic own the nibble packing); only the scale blocks
+    # differ (2-D group scales instead of leading-singleton per-column)
+    sq_rows = d.D // d.g_d if d.w4 else 1
+    so_rows = d.H * d.Dh // d.g_o if d.w4 else 1
+    sd_rows = d.bi // d.g_down if d.w4 else 1
+    w_specs = [
+        pl.BlockSpec((1, d.D, d.bn_qkv), qkv_map),            # wqkv
+        pl.BlockSpec((1, sq_rows, d.bn_qkv), sqkv_map),       # sqkv
+    ]
+    o_specs = [
+        pl.BlockSpec((1, d.H * d.Dh, d.bn_o), o_map),         # wo
+        pl.BlockSpec((1, so_rows, d.bn_o), so_map),           # so
+    ]
+    mlp_specs = [
+        pl.BlockSpec((1, d.D, d.bi), gu_map),                 # wgu
+        pl.BlockSpec((1, sq_rows, d.bi), sgu_map),            # sgu
+        pl.BlockSpec((1, d.bi, d.D), down_map),               # wdown
+        pl.BlockSpec((1, sd_rows, d.D), sdown_map),           # sdown
+    ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(d.n_layers, d.phases),
@@ -804,18 +933,13 @@ def fused_decode_step(
             pl.BlockSpec((2, B, d.Dh), lambda l, p, s: (0, 0, 0)),  # cossin
             pl.BlockSpec((B, d.bl), mask_map),                    # mask
             pl.BlockSpec((1, 2, d.D), lambda l, p, s: (l, 0, 0)),  # ln
-            pl.BlockSpec((1, d.D, d.bn_qkv), qkv_map),            # wqkv
-            pl.BlockSpec((1, 1, d.bn_qkv), sqkv_map),             # sqkv
+            *w_specs,
             pl.BlockSpec((1, d.KVH, B, d.bl, d.Dh), cache_map),   # k cache
             pl.BlockSpec((1, d.KVH, B, d.bl), cache_s_map),       # k scale
             pl.BlockSpec((1, d.KVH, B, d.bl, d.Dh), cache_map),   # v cache
             pl.BlockSpec((1, d.KVH, B, d.bl), cache_s_map),       # v scale
-            pl.BlockSpec((1, d.H * d.Dh, d.bn_o), o_map),         # wo
-            pl.BlockSpec((1, 1, d.bn_o), so_map),                 # so
-            pl.BlockSpec((1, d.D, d.bi), gu_map),                 # wgu
-            pl.BlockSpec((1, 1, d.bi), sgu_map),                  # sgu
-            pl.BlockSpec((1, d.bi, d.D), down_map),               # wdown
-            pl.BlockSpec((1, 1, d.D), sdown_map),                 # sdown
+            *o_specs,
+            *mlp_specs,
         ],
         out_specs=[
             pl.BlockSpec((B, d.D), const0),                       # x_out

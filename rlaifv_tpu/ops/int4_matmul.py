@@ -1,0 +1,325 @@
+"""Pallas weight-only-int4 matmul: native s4 storage, group-wise scales.
+
+TPU-native counterpart of the reference loader's bitsandbytes `load_4bit`
+option (ref llava/model/builder.py:30-49): weights live in HBM as jnp.int4
+(XLA packs s4 two-per-byte), so weight traffic HALVES again vs int8 — and
+decode is weight-bandwidth-bound (the fused decode kernel already runs at
+~1.2x the int8 HBM floor; see ops/fused_decode.py). Per-column int4 is too
+coarse for 7B-quality weights, so quantization is GROUP-WISE along the
+contraction axis (G=128 by default, the AWQ/GPTQ convention):
+w[k, n] = q4[k, n] * scale[k // G, n], q4 in [-7, 7].
+
+Why native s4 and not manual nibble packing: Mosaic legalizes i4 vector
+loads and i4->i8 conversion on v5e, but NOT i8 shift ops (`arith.shli/
+shrsi` fail to legalize — probed), so a manually packed int8 buffer cannot
+be unpacked in-kernel. The native dtype also keeps one (K, N) logical
+layout everywhere (flax params, fused-decode stacking, HF export walkers).
+
+The dot rides the MXU's int8 path exactly like int8_matmul_prequant:
+activations are rowwise-quantized ONCE by XLA (int8 + per-row scale), then
+the kernel converts the s4 tile to int8 (a native Mosaic op, no relayout)
+and accumulates per-GROUP int8xint8->int32 sub-dots rescaled into an f32
+accumulator — group scales sit inside the contraction, so they cannot fold
+into a single output rescale the way int8's per-column scales do.
+
+Exactness contract: int4_matmul(x, *quantize_int4(w)) == the integer-math
+oracle `rowwise-quantize -> per-group int32 dot -> rescale` (tested
+elementwise in interpret mode; tests/test_int4_matmul.py).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Array = jax.Array
+
+INT4_GROUP = 128  # quantization group size along the contraction axis
+
+
+def pick_int4_group(K: int) -> int:
+    """Group size for a K-row kernel: 128 (the AWQ/GPTQ convention) when it
+    tiles K — required by the Pallas kernels, whose per-group activation
+    slices are lane slices. Smaller K (tiny test models) falls back to one
+    group; those run the exact jnp dequant path."""
+    if K % INT4_GROUP == 0:
+        return INT4_GROUP
+    return K
+
+
+def quantize_int4(w, group: int = INT4_GROUP):
+    """(K, N) float -> (q4 jnp.int4 in [-7,7] (K, N), scales f32
+    (K//group, N)). numpy in; the q4 leaf is a ml_dtypes.int4 numpy array
+    (1 byte/elem on host — device transfer packs to nibbles)."""
+    import ml_dtypes
+    import numpy as np
+
+    w = np.asarray(w, np.float32)
+    K, N = w.shape
+    if K % group:
+        raise ValueError(f"K={K} not a multiple of group={group}")
+    g = w.reshape(K // group, group, N)
+    scale = np.abs(g).max(axis=1) / 7.0  # (K//group, N)
+    scale = np.maximum(scale, 1e-8)
+    q = np.clip(np.round(g / scale[:, None, :]), -7, 7)
+    return (
+        q.reshape(K, N).astype(ml_dtypes.int4),
+        scale.astype(np.float32),
+    )
+
+
+def dequantize_int4(q4: Array, scale: Array, dtype=jnp.float32) -> Array:
+    """(K, N) int4 + (K//G, N) scales -> (K, N) dequantized weights.
+    The jnp reference implementation (CPU fallback / parity oracle)."""
+    q4 = jnp.asarray(q4)
+    K = q4.shape[0]
+    G = K // scale.shape[0]
+    s = jnp.repeat(scale.astype(jnp.float32), G, axis=0)
+    return (q4.astype(jnp.float32) * s).astype(dtype)
+
+
+def _kernel(xq_ref, sx_ref, q_ref, gs_ref, o_ref, *, group: int):
+    # Convert the s4 tile to int8 once per (m, n) tile (native Mosaic op —
+    # no relayout), then one int8 MXU sub-dot per quantization group,
+    # rescaled into the f32 accumulator. The group scale lives INSIDE the
+    # contraction, so per-group rescale is unavoidable; the sub-dots are
+    # K=group slices of the same operands, so the MXU stays fed while the
+    # VPU applies (bm, bn) FMAs per group.
+    q8 = q_ref[:].astype(jnp.int8)  # (K, bn)
+    ng = q8.shape[0] // group
+    acc = None
+    for g in range(ng):
+        part = jax.lax.dot_general(
+            xq_ref[:, g * group : (g + 1) * group],
+            q8[g * group : (g + 1) * group],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32) * gs_ref[g : g + 1, :]
+        acc = part if acc is None else acc + part
+    o_ref[:] = (acc * sx_ref[:].astype(jnp.float32)).astype(o_ref.dtype)
+
+
+def int4_matmul(
+    x: Array,  # (..., K)
+    q4: Array,  # (K, N) jnp.int4
+    gscale: Array,  # (K//group, N) f32
+    *,
+    group: int = INT4_GROUP,
+    block_m: Optional[int] = None,
+    block_n: Optional[int] = None,
+    interpret: bool = False,
+) -> Array:
+    """-> (..., N) in x.dtype: x @ dequant(q4, gscale), s4 converted in
+    VMEM. Activations are rowwise-quantized once by XLA (the int8 prequant
+    contract: per-row symmetric |max|/127)."""
+    interpret = interpret or jax.default_backend() != "tpu"
+    batch_shape = x.shape[:-1]
+    K, N = q4.shape
+    if x.shape[-1] != K:
+        raise ValueError(f"x K={x.shape[-1]} != q4 K={K}")
+    if K % group or group % 128:
+        raise ValueError(f"group({group}) must divide K({K}) and be a "
+                         "128-multiple for the kernel path")
+    if N % 128:
+        raise ValueError(f"int4 kernel requires 128|N (N={N}); pad the "
+                         "weight at quantization time")
+    x2 = x.reshape(-1, K).astype(jnp.float32)
+    M = x2.shape[0]
+
+    amax = jnp.max(jnp.abs(x2), axis=1, keepdims=True)
+    sx = jnp.maximum(amax, 1e-20) / 127.0
+    xq = jnp.clip(jnp.round(x2 / sx), -127, 127).astype(jnp.int8)
+
+    # VMEM per program ~ bm*K (int8 x stripe) + K*bn/2 (s4 weight) + K*bn
+    # (int8 staging) + bm*bn*4 f32 acc
+    if block_m is None:
+        block_m = 512 if K <= 8192 else 256
+        block_m = next((b for b in (512, 256, 128)
+                        if b <= block_m and M % b == 0), block_m)
+    if block_n is None:
+        cap = 512 if K <= 8192 else 256 if K <= 12288 else 128
+        block_n = next((b for b in (512, 256, 128) if b <= cap and N % b == 0),
+                       cap)
+    bm = min(block_m, ((M + 7) // 8) * 8)
+    bn = block_n
+    pad_m = (-M) % bm
+    if pad_m:
+        xq = jnp.pad(xq, ((0, pad_m), (0, 0)))
+        sx = jnp.pad(sx, ((0, pad_m), (0, 0)))
+    Mp = xq.shape[0]
+    ng = K // group
+
+    out = pl.pallas_call(
+        functools.partial(_kernel, group=group),
+        grid=(Mp // bm, N // bn),
+        in_specs=[
+            pl.BlockSpec((bm, K), lambda m, n: (m, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, 1), lambda m, n: (m, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, bn), lambda m, n: (0, n),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ng, bn), lambda m, n: (0, n),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda m, n: (m, n),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Mp, N), x.dtype),
+        interpret=interpret,
+    )(xq, sx, q4, gscale)
+    if pad_m:
+        out = out[:M]
+    return out.reshape(batch_shape + (N,))
+
+
+def _jnp_fallback(x: Array, q4: Array, gscale: Array) -> Array:
+    """Exact dequant matmul (no activation quantization) — the CPU path.
+    Mirrors QuantDense's int8 CPU fallback: bit-for-bit the dequantized
+    weights, XLA owns the matmul."""
+    w = dequantize_int4(q4, gscale, x.dtype)
+    return jax.lax.dot_general(x, w, (((x.ndim - 1,), (0,)), ((), ())))
+
+
+def _dx_kernel(dy_ref, q_ref, gs_ref, o_ref, *, group: int):
+    # dx[m, k in g] = sum_n (dy[m, n] * gs[g, n]) * q4[k, n]: the group
+    # scale varies along the CONTRACTED axis n here, so it folds into dy —
+    # but differently per output group g. Each group therefore prescales
+    # the f32 dy stripe by its own gs row, rowwise-quantizes that, and
+    # runs one int8 sub-dot contracting the full N axis against the
+    # group's q4 rows. MXU work totals one (bm, N) x (N, bk) dot; the
+    # extra cost is (bk/group) prescale+quantize VPU passes over the dy
+    # stripe — at training shapes that is ~group/K of the dot's FLOPs.
+    q8 = q_ref[:].astype(jnp.int8)  # (bk, bn) rows of this tile's W
+    dy = dy_ref[:].astype(jnp.float32)
+    outs = []
+    for j in range(o_ref.shape[1] // group):
+        dys = dy * gs_ref[j : j + 1, :].astype(jnp.float32)
+        amax = jnp.max(jnp.abs(dys), axis=1, keepdims=True)
+        sy = jnp.maximum(amax, 1e-20) / 127.0
+        dyq = jnp.clip(jnp.round(dys / sy), -127, 127).astype(jnp.int8)
+        part = jax.lax.dot_general(
+            dyq, q8[j * group : (j + 1) * group],
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )  # (bm, group)
+        outs.append(part.astype(jnp.float32) * sy)
+    o_ref[:] = jnp.concatenate(outs, axis=1).astype(o_ref.dtype)
+
+
+def int4_matmul_dx(
+    dy: Array,  # (..., N) cotangent of int4_matmul's output
+    q4: Array,  # (K, N) jnp.int4 — same layout as the forward
+    gscale: Array,  # (K//group, N) f32
+    *,
+    group: int = INT4_GROUP,
+    block_m: Optional[int] = None,
+    block_k: Optional[int] = None,
+    interpret: bool = False,
+) -> Array:
+    """-> (..., K): dy @ dequant(q4, gscale)^T, W kept s4 in HBM.
+    Precision contract mirrors int8_matmul_dx: the scaled cotangent is
+    rowwise-quantized (here once per output group, since each group folds
+    a different n-wise scale into dy)."""
+    interpret = interpret or jax.default_backend() != "tpu"
+    batch_shape = dy.shape[:-1]
+    N = dy.shape[-1]
+    K = q4.shape[0]
+    if K % group or N % 128:
+        raise ValueError(f"group({group})|K({K}) and 128|N({N}) required")
+    dy2 = dy.reshape(-1, N)
+    M = dy2.shape[0]
+
+    if block_m is None:
+        block_m = 256 if N <= 8192 else 128
+        block_m = next((b for b in (256, 128) if b <= block_m and M % b == 0),
+                       block_m)
+    bm = min(block_m, ((M + 7) // 8) * 8)
+    if block_k is None:
+        # bk must be a multiple of the group so each tile owns whole groups
+        cap = 512 if N <= 8192 else 256
+        block_k = next(
+            (b for b in (512, 256, 128)
+             if b <= cap and K % b == 0 and b % group == 0),
+            group,
+        )
+    bk = block_k
+    if bk % group or K % bk:
+        raise ValueError(f"block_k={bk} needs group({group})|bk and bk|K({K})")
+    pad_m = (-M) % bm
+    if pad_m:
+        dy2 = jnp.pad(dy2, ((0, pad_m), (0, 0)))
+    Mp = dy2.shape[0]
+    gpb = bk // group  # groups per output tile
+
+    out = pl.pallas_call(
+        functools.partial(_dx_kernel, group=group),
+        grid=(Mp // bm, K // bk),
+        in_specs=[
+            pl.BlockSpec((bm, N), lambda m, k: (m, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk, N), lambda m, k: (k, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((gpb, N), lambda m, k: (k, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, bk), lambda m, k: (m, k),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Mp, K), dy.dtype),
+        interpret=interpret,
+    )(dy2, q4, gscale)
+    if pad_m:
+        out = out[:M]
+    return out.reshape(batch_shape + (K,))
+
+
+def _jnp_fallback_dx(dy: Array, q4: Array, gscale: Array) -> Array:
+    w = dequantize_int4(q4, gscale, dy.dtype)
+    return jax.lax.dot_general(dy, w, (((dy.ndim - 1,), (1,)), ((), ())))
+
+
+def _grad_group(q4: Array, gscale: Array) -> int:
+    return q4.shape[0] // gscale.shape[0]
+
+
+def _kernel_legal(q4: Array, gscale: Array) -> bool:
+    group = _grad_group(q4, gscale)
+    return group % 128 == 0 and q4.shape[1] % 128 == 0
+
+
+@jax.custom_vjp
+def int4_matmul_grad(x: Array, q4: Array, gscale: Array) -> Array:
+    """int4-weight matmul with a backward pass w.r.t. x only (the s4 base
+    is frozen by construction — true-QLoRA: 4-bit base, bf16 adapters,
+    exactly the reference's bitsandbytes-4bit + peft recipe). q4/gscale
+    cotangents are symbolic zeros. The group size derives from the param
+    shapes (QuantDense(bits=4) declares both); geometries the kernel
+    cannot tile (tiny test models) take the exact jnp dequant path."""
+    if jax.default_backend() == "tpu" and _kernel_legal(q4, gscale):
+        return int4_matmul(x, q4, gscale, group=_grad_group(q4, gscale))
+    return _jnp_fallback(x, q4, gscale)
+
+
+def _grad_fwd(x, q4, gscale):
+    return int4_matmul_grad(x, q4, gscale), (q4, gscale)
+
+
+def _grad_bwd(res, dy):
+    import numpy as np
+
+    q4, gscale = res
+    if jax.default_backend() == "tpu" and _kernel_legal(q4, gscale):
+        dx = int4_matmul_dx(dy, q4, gscale, group=_grad_group(q4, gscale))
+    else:
+        dx = _jnp_fallback_dx(dy, q4, gscale)
+    return (
+        dx,
+        np.zeros(q4.shape, dtype=jax.dtypes.float0),
+        jnp.zeros_like(gscale),
+    )
+
+
+int4_matmul_grad.defvjp(_grad_fwd, _grad_bwd)

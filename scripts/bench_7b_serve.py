@@ -48,9 +48,11 @@ def main():
     dtype = jnp.bfloat16 if on_tpu else jnp.float32
     tiny = os.environ.get("BENCH7B_TINY", "") == "1" or not on_tpu
 
+    bits = int(os.environ.get("BENCH7B_BITS", "8"))  # 8 | 4 (packed int4)
     if tiny:
         cfg = LlavaConfig.tiny()
-        llm_kw = dict(quantize=True, quantize_lm_head=False)
+        llm_kw = dict(quantize=True, quantize_bits=bits,
+                      quantize_lm_head=False)
         if fused:  # fused kernel needs fuse_proj + int8 KV + MHA, and
             # hardware-legal lanes (head_dim 128) when the smoke lands on
             # the real chip (the axon hook forces the TPU platform)
@@ -71,8 +73,8 @@ def main():
         kvq = os.environ.get("BENCH7B_KVQ", "1") == "1"
         cfg = LlavaConfig(
             llm=LlamaConfig.vicuna_7b(
-                quantize=True, quantize_lm_head=False, fuse_proj=fuse,
-                kv_cache_dtype="int8" if kvq else "fp",
+                quantize=True, quantize_bits=bits, quantize_lm_head=False,
+                fuse_proj=fuse, kv_cache_dtype="int8" if kvq else "fp",
                 dtype=dtype, param_dtype=dtype,
             ),
             vision=CLIPVisionConfig(
@@ -136,13 +138,14 @@ def main():
 
     facts_per_sec = B / t1  # autocheck: prefill + 1-token yes/no logits
     decode_tok_s = B / decode_s
+    wq = f"int{bits}"
     print(json.dumps({
-        "metric": "int8_7b_autocheck_facts_per_sec_per_chip",
+        "metric": f"{wq}_7b_autocheck_facts_per_sec_per_chip",
         "value": round(facts_per_sec, 2),
         "unit": "facts/s",
         "vs_baseline": None,
         "detail": {
-            "model": ("llava15-7b-geometry int8 (bf16 head)"
+            "model": (f"llava15-7b-geometry {wq} (bf16 head)"
                       + (" fused-proj" if not tiny and fuse else "")
                       + (" kv-int8" if not tiny and kvq else "")
                       + (" fused-decode" if fused else ""))

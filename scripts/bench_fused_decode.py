@@ -45,17 +45,19 @@ def main():
 
     on_tpu = jax.devices()[0].platform == "tpu"
     tiny = os.environ.get("BENCHFD_TINY", "") == "1" or not on_tpu
+    bits = int(os.environ.get("BENCHFD_BITS", "8"))  # 8 | 4 (packed int4)
     if tiny:
         # hardware-legal tiny geometry: lane dims must be 128 multiples
-        cfg = LlamaConfig.tiny(quantize=True, quantize_lm_head=False,
+        cfg = LlamaConfig.tiny(quantize=True, quantize_bits=bits,
+                               quantize_lm_head=False,
                                fuse_proj=True, kv_cache_dtype="int8",
                                hidden_size=256, intermediate_size=512,
                                num_heads=2, num_kv_heads=2, head_dim=128)
         B, L, t0 = 8, 128, 17
     else:
         cfg = LlamaConfig.vicuna_7b(
-            quantize=True, quantize_lm_head=False, fuse_proj=True,
-            kv_cache_dtype="int8", dtype=jnp.bfloat16,
+            quantize=True, quantize_bits=bits, quantize_lm_head=False,
+            fuse_proj=True, kv_cache_dtype="int8", dtype=jnp.bfloat16,
             param_dtype=jnp.bfloat16,
         )
         B = int(os.environ.get("BENCHFD_B", 16))
@@ -66,17 +68,30 @@ def main():
     n, D, KVH, Dh, I = d.n_layers, d.D, d.KVH, d.Dh, d.Ip
     Nq = d.Nq
 
-    stacked = {
-        "wqkv": jnp.zeros((n, D, Nq), jnp.int8),
-        "sqkv": jnp.ones((n, 1, Nq), jnp.float32) * 0.01,
-        "wo": jnp.zeros((n, d.H * Dh, D), jnp.int8),
-        "so": jnp.ones((n, 1, D), jnp.float32) * 0.01,
-        "wgu": jnp.zeros((n, D, 2 * I), jnp.int8),
-        "sgu": jnp.ones((n, 1, 2 * I), jnp.float32) * 0.01,
-        "wdown": jnp.zeros((n, I, D), jnp.int8),
-        "sdown": jnp.ones((n, 1, D), jnp.float32) * 0.01,
-        "ln": jnp.ones((n, 2, D), jnp.float32),
-    }
+    if d.w4:
+        stacked = {  # native s4 weights (XLA packs two per byte in HBM)
+            "wqkv": jnp.zeros((n, D, Nq), jnp.int4),
+            "sqkv": jnp.ones((n, D // d.g_d, Nq), jnp.float32) * 0.01,
+            "wo": jnp.zeros((n, d.H * Dh, D), jnp.int4),
+            "so": jnp.ones((n, d.H * Dh // d.g_o, D), jnp.float32) * 0.01,
+            "wgu": jnp.zeros((n, D, 2 * I), jnp.int4),
+            "sgu": jnp.ones((n, D // d.g_d, 2 * I), jnp.float32) * 0.01,
+            "wdown": jnp.zeros((n, I, D), jnp.int4),
+            "sdown": jnp.ones((n, I // d.g_down, D), jnp.float32) * 0.01,
+            "ln": jnp.ones((n, 2, D), jnp.float32),
+        }
+    else:
+        stacked = {
+            "wqkv": jnp.zeros((n, D, Nq), jnp.int8),
+            "sqkv": jnp.ones((n, 1, Nq), jnp.float32) * 0.01,
+            "wo": jnp.zeros((n, d.H * Dh, D), jnp.int8),
+            "so": jnp.ones((n, 1, D), jnp.float32) * 0.01,
+            "wgu": jnp.zeros((n, D, 2 * I), jnp.int8),
+            "sgu": jnp.ones((n, 1, 2 * I), jnp.float32) * 0.01,
+            "wdown": jnp.zeros((n, I, D), jnp.int8),
+            "sdown": jnp.ones((n, 1, D), jnp.float32) * 0.01,
+            "ln": jnp.ones((n, 2, D), jnp.float32),
+        }
     cache = {  # h-major stacked layout (see ops/fused_decode.py)
         "k": jnp.zeros((n, KVH, B, L, Dh), jnp.int8),
         "k_scale": jnp.ones((n, KVH, B, L), jnp.float32) * 0.01,
@@ -126,11 +141,13 @@ def main():
 
     tok_s = B / dt
     weights_bytes = (n * (D * Nq + d.H * Dh * D + D * 2 * I + I * D))
+    if d.w4:
+        weights_bytes //= 2  # two nibbles per byte
     kv_bytes_step = 2 * n * B * KVH * t0 * Dh  # int8 live prefix reads
     floor_ms = (weights_bytes + kv_bytes_step) / 819e9 * 1e3  # v5e ~819GB/s
 
     print(json.dumps({
-        "metric": "fused_decode_tok_per_sec",
+        "metric": f"fused_decode_int{bits}_tok_per_sec",
         "value": round(tok_s, 1),
         "unit": "tok/s",
         "vs_baseline": None,

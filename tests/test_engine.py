@@ -148,6 +148,39 @@ def test_fused_decode_engine_matches_per_layer():
     np.testing.assert_array_equal(got.lengths, want.lengths)
 
 
+@pytest.mark.slow
+def test_fused_decode_engine_int4_matches_per_layer():
+    """Engine with fused_decode=True over a packed-int4 base reproduces the
+    per-layer (flax QuantDense bits=4) greedy tokens."""
+    from rlaifv_tpu.models.convert import (
+        fuse_llm_projections,
+        quantize_llm_int4,
+    )
+    from rlaifv_tpu.models.llama import LlamaConfig, LlamaForCausalLM
+
+    cfg = LlamaConfig.tiny(quantize=True, quantize_bits=4,
+                           quantize_lm_head=False, fuse_proj=True,
+                           kv_cache_dtype="int8", num_kv_heads=4)
+    fmodel = LlamaForCausalLM(LlamaConfig.tiny(num_kv_heads=4))
+    fparams = fmodel.init(jax.random.PRNGKey(0), jnp.ones((1, 8), jnp.int32))[
+        "params"]
+    params = jax.tree.map(
+        jnp.asarray, fuse_llm_projections(quantize_llm_int4(fparams))
+    )
+    model = LlamaForCausalLM(cfg)
+
+    prompts = [[1, 7, 8, 9, 3], [1, 5, 6]]
+    kw = dict(sampling=SamplingParams.greedy(), max_new_tokens=6,
+              prompt_bucket=4)
+    base = DecodeEngine(model, params, eos_id=-1, pad_id=0)
+    want = base.generate(prompts, **kw)
+    fused = DecodeEngine(model, params, eos_id=-1, pad_id=0,
+                         fused_decode=True)
+    got = fused.generate(prompts, **kw)
+    np.testing.assert_array_equal(got.tokens, want.tokens)
+    np.testing.assert_array_equal(got.lengths, want.lengths)
+
+
 def test_fused_decode_engine_rejects_unsupported():
     from rlaifv_tpu.models.llama import LlamaConfig, LlamaForCausalLM
 

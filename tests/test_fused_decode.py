@@ -197,6 +197,7 @@ def test_pick_intermediate_lane_legal():
     assert _pick_intermediate(128) == (128, 128)
 
 
+@pytest.mark.slow
 def test_fused_decode_padded_intermediate():
     """I=96 pads to Ip=128: padded columns must contribute exactly zero
     (parity vs the flax path at the true intermediate size)."""
