@@ -61,18 +61,23 @@ class OmniLMMConfig:
 
     @staticmethod
     def omnilmm_12b_int8(dtype=jnp.bfloat16,
-                         param_dtype=jnp.bfloat16) -> "OmniLMMConfig":
+                         param_dtype=jnp.bfloat16,
+                         bits: int = 8) -> "OmniLMMConfig":
         """Single-chip 12B serving: int8 LM + int8 KV cache + int8 EVA
         tower (4.4G instead of 8.8G — bf16 12B cannot load on 16G at
         all; the reference labels with this model on A100-80G,
-        script/data_gen/omnilmm/omnilmm_autocheck.sh)."""
+        script/data_gen/omnilmm/omnilmm_autocheck.sh). bits=4: native-s4
+        weights on both towers (5.8G total) — decode bandwidth AND memory
+        headroom."""
         return OmniLMMConfig(
             llm=LlamaConfig.mistral_7b(
                 dtype=dtype, param_dtype=param_dtype, quantize=True,
-                quantize_lm_head=False, kv_cache_dtype="int8",
+                quantize_bits=bits, quantize_lm_head=False,
+                kv_cache_dtype="int8",
             ),
             vision=EvaConfig.enormous(
                 dtype=dtype, param_dtype=param_dtype, quantize=True,
+                quantize_bits=bits,
             ),
             num_query=64,
         )

@@ -55,12 +55,15 @@ def main():
     dtype = jnp.bfloat16 if on_tpu else jnp.float32
 
     tiny = os.environ.get("BENCH12B_TINY", "") == "1" or not on_tpu
+    bits = int(os.environ.get("BENCH12B_BITS", "8"))  # 8 | 4 (native s4)
     if tiny:
         base = OmniLMMConfig.tiny()
         cfg = OmniLMMConfig(
             llm=dataclasses.replace(base.llm, quantize=True,
+                                    quantize_bits=bits,
                                     quantize_lm_head=False),
-            vision=dataclasses.replace(base.vision, quantize=True),
+            vision=dataclasses.replace(base.vision, quantize=True,
+                                       quantize_bits=bits),
             num_query=base.num_query,
         )
         seq_len, n_pairs, r = 128, 1, 8
@@ -68,15 +71,19 @@ def main():
     else:
         cfg = OmniLMMConfig(
             llm=LlamaConfig.mistral_7b(
-                quantize=True, quantize_lm_head=False, remat=True,
-                dtype=dtype, param_dtype=dtype,
+                quantize=True, quantize_bits=bits, quantize_lm_head=False,
+                remat=True, dtype=dtype, param_dtype=dtype,
             ),
             vision=EvaConfig.enormous(
-                quantize=True, dtype=dtype, param_dtype=dtype,
+                quantize=True, quantize_bits=bits, dtype=dtype,
+                param_dtype=dtype,
             ),
             num_query=64,
         )
-        seq_len = int(os.environ.get("BENCH12B_SEQ", 1024))
+        # int4 halves the frozen base (11.6G int8 -> 5.8G): the freed HBM
+        # buys the reference's FULL seq 2048 on one 16G chip
+        seq_len = int(os.environ.get("BENCH12B_SEQ",
+                                     2048 if bits == 4 else 1024))
         n_pairs = int(os.environ.get("BENCH12B_PAIRS", 2))
         r = int(os.environ.get("BENCH12B_R", 64))
         # 64-token image span + ~128-token question + 256-token answers
@@ -183,7 +190,7 @@ def main():
         "detail": {
             "model": ("omnilmm-12b-geometry (EVA02-enormous + resampler + "
                       "mistral-7b)") if not tiny else "tiny-smoke",
-            "base": "int8 weight-only tower AND decoder (bf16 head)",
+            "base": f"int{bits} weight-only tower AND decoder (bf16 head)",
             "n_base_params": n_base,
             "adapters": f"lora r={r} ({n_adapter / 1e6:.0f}M params)",
             "seq_len": seq_len,

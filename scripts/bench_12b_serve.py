@@ -46,18 +46,21 @@ def main():
 
     on_tpu = jax.devices()[0].platform == "tpu"
     tiny = os.environ.get("BENCH12B_TINY", "") == "1" or not on_tpu
+    bits = int(os.environ.get("BENCH12B_BITS", "8"))  # 8 | 4 (native s4)
     if tiny:
         base = OmniLMMConfig.tiny()
         cfg = OmniLMMConfig(
             llm=dataclasses.replace(base.llm, quantize=True,
+                                    quantize_bits=bits,
                                     quantize_lm_head=False,
                                     kv_cache_dtype="int8"),
-            vision=dataclasses.replace(base.vision, quantize=True),
+            vision=dataclasses.replace(base.vision, quantize=True,
+                                       quantize_bits=bits),
             num_query=base.num_query,
         )
         B, Lq, S = 2, 32, base.vision.image_size
     else:
-        cfg = OmniLMMConfig.omnilmm_12b_int8()
+        cfg = OmniLMMConfig.omnilmm_12b_int8(bits=bits)
         B = int(os.environ.get("BENCH12B_B", 8))
         Lq = 128  # question + "Please answer yes or no." budget
         S = 448  # OmniLMM-12B input resolution (dynamic pos-embed interp)
@@ -111,7 +114,7 @@ def main():
 
     facts_per_sec = B / t1  # encode + resample + prefill + yes/no logits
     print(json.dumps({
-        "metric": "int8_12b_autocheck_facts_per_sec_per_chip",
+        "metric": f"int{bits}_12b_autocheck_facts_per_sec_per_chip",
         "value": round(facts_per_sec, 2),
         "unit": "facts/s",
         "vs_baseline": None,

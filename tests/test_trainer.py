@@ -257,6 +257,42 @@ def test_qlora_trainer_int8_base(setup, tmp_path):
 
 
 @pytest.mark.slow
+def test_qlora_trainer_int4_base(setup, tmp_path):
+    """DPOTrainer LoRA path over a frozen native-s4 int4 base (the
+    ORIGINAL QLoRA recipe: 4-bit base + bf16 adapters; train.py's
+    model.quantize_bits=4) — adapters move, the s4 base stays frozen."""
+    import dataclasses
+
+    from rlaifv_tpu.models.convert import quantize_llm_int4
+
+    cfg, _, ds, coll, params = setup
+    qcfg = dataclasses.replace(
+        cfg,
+        llm=dataclasses.replace(cfg.llm, quantize=True, quantize_bits=4,
+                                quantize_lm_head=False),
+    )
+    qmodel = LlavaForCausalLM(qcfg)
+    base = {k: v for k, v in params.items()}
+    base["llm"] = quantize_llm_int4(params["llm"])
+    base = jax.tree.map(jnp.asarray, base)
+
+    lora = lora_init(jax.random.PRNGKey(3), base, r=4)
+    mesh = create_mesh(dp=1, fsdp=2, tp=1, devices=jax.devices()[:2])
+    trainer = DPOTrainer(
+        _config(tmp_path / "qlora4", steps=2, learning_rate=1e-2,
+                save_steps=2),
+        qmodel, lora, ds, coll, mesh=mesh,
+        base_params=base, lora_alpha=16.0,
+    )
+    state = trainer.train()
+    b = state.params["llm"]["model"]["layer_0"]["attn"]["q_proj"]["b"]
+    assert float(jnp.abs(b).sum()) > 0  # adapters moved through the s4 base
+    assert trainer.base_params["llm"]["model"]["layer_0"]["attn"]["q_proj"][
+        "kernel"
+    ].dtype == jnp.int4
+
+
+@pytest.mark.slow
 def test_auto_prefix_rederives_on_shorter_batch(setup, tmp_path):
     """shared_prefix_len=-1 (text-only data): the first batch derives P;
     a later batch whose pair-common prefix is SHORTER must re-derive and

@@ -30,6 +30,7 @@ def build_llava(config):
         llm=LlamaConfig.vicuna_7b(
             dtype=dtype, param_dtype=pdtype, remat=config.model.remat,
             quantize=config.model.quantize, quantize_lm_head=False,
+            quantize_bits=config.model.quantize_bits,
         ),
         vision=CLIPVisionConfig.clip_l_336(dtype=dtype, param_dtype=pdtype),
         projector_type=config.model.mm_projector_type,
@@ -53,8 +54,15 @@ def build_omnilmm(config):
         llm=LlamaConfig.mistral_7b(
             dtype=dtype, param_dtype=pdtype, remat=config.model.remat,
             quantize=config.model.quantize, quantize_lm_head=False,
+            quantize_bits=config.model.quantize_bits,
         ),
-        vision=EvaConfig.enormous(dtype=dtype, param_dtype=pdtype),
+        vision=EvaConfig.enormous(
+            dtype=dtype, param_dtype=pdtype,
+            # the frozen tower follows the base bit-width (memory is the
+            # binding constraint for 12B QLoRA on one 16G chip)
+            quantize=config.model.quantize and config.model.quantize_bits == 4,
+            quantize_bits=config.model.quantize_bits,
+        ),
         num_query=64,
     )
     return cfg, OmniLMMForCausalLM(cfg)
@@ -89,13 +97,26 @@ def load_params(config, cfg):
             load_state_dict_dir(config.model.model_name_or_path), dtype=dtype
         )
     if config.model.quantize:
-        from rlaifv_tpu.models.convert import quantize_llm_int8
-
         assert config.training.use_lora, (
-            "model.quantize trains nothing by itself — the int8 base is "
-            "frozen; combine with training.use_lora (QLoRA)"
+            "model.quantize trains nothing by itself — the quantized base "
+            "is frozen; combine with training.use_lora (QLoRA)"
         )
-        params["llm"] = quantize_llm_int8(params["llm"], include_lm_head=False)
+        if config.model.quantize_bits == 4:
+            from rlaifv_tpu.models.convert import (
+                quantize_llm_int4,
+                quantize_vision_int4,
+            )
+
+            params["llm"] = quantize_llm_int4(params["llm"])
+            if family != "llava15":
+                params["vision_tower"] = quantize_vision_int4(
+                    params["vision_tower"]
+                )
+        else:
+            from rlaifv_tpu.models.convert import quantize_llm_int8
+
+            params["llm"] = quantize_llm_int8(params["llm"],
+                                              include_lm_head=False)
     return params
 
 
