@@ -151,12 +151,15 @@ def construct_question_yesno(path: str, save_path: str) -> List[dict]:
 def make_llama3_backend(model_path: str, *, temperature: float = 0.2,
                         top_p: float = 0.9, max_new_tokens: int = 256,
                         continuous: bool = False, slots: int = 8,
-                        int8: bool = False, fused_decode: bool = False):
+                        int8: bool = False, int4: bool = False,
+                        fused_decode: bool = False):
     """Converted Llama3-8B + jitted decode engine as the generate_fn.
 
     int8: weight-only int8 LLM + fused projections + int8 KV cache (the
-    single-chip 8B serving config). fused_decode additionally runs the
-    whole GQA layer stack as one Pallas kernel per token (implies int8)."""
+    single-chip 8B serving config). int4: native-s4 weights instead —
+    the weight HBM floor that bounds this decode-heavy stage halves
+    again. fused_decode additionally runs the whole GQA layer stack as
+    one Pallas kernel per token (implies a quantized base)."""
     from transformers import AutoTokenizer
 
     from rlaifv_tpu.genai.engine import DecodeEngine
@@ -165,19 +168,24 @@ def make_llama3_backend(model_path: str, *, temperature: float = 0.2,
         convert_llama,
         fuse_llm_projections,
         load_state_dict_dir,
+        quantize_llm_int4,
         quantize_llm_int8,
     )
     from rlaifv_tpu.models.llama import LlamaConfig, LlamaForCausalLM
 
     tokenizer = AutoTokenizer.from_pretrained(model_path)
-    int8 = int8 or fused_decode
+    int8 = int8 or (fused_decode and not int4)
+    quant = int8 or int4
     cfg = LlamaConfig.llama3_8b(
-        **(dict(quantize=True, quantize_lm_head=False, fuse_proj=True,
-                kv_cache_dtype="int8") if int8 else {})
+        **(dict(quantize=True, quantize_bits=4 if int4 else 8,
+                quantize_lm_head=False, fuse_proj=True,
+                kv_cache_dtype="int8") if quant else {})
     )
     model = LlamaForCausalLM(cfg)
     params = convert_llama(load_state_dict_dir(model_path))
-    if int8:
+    if int4:
+        params = fuse_llm_projections(quantize_llm_int4(params))
+    elif int8:
         params = fuse_llm_projections(
             quantize_llm_int8(params, include_lm_head=False)
         )

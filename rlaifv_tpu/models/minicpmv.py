@@ -92,15 +92,18 @@ class MiniCPMVConfig:
 
     @staticmethod
     def minicpm_llama3_v25_int8(dtype=jnp.bfloat16,
-                                param_dtype=jnp.bfloat16):
+                                param_dtype=jnp.bfloat16,
+                                bits: int = 8):
         """Single-chip serving: Llama3-8B bf16 alone is 16G; int8 LM +
         int8 KV fits next to the bf16 SigLIP-400M tower (~10G total).
         Convert with models.convert.quantize_llm_int8(params['llm'],
-        include_lm_head=False)."""
+        include_lm_head=False) — or quantize_llm_int4 with bits=4 (s4
+        LM base 4G: half the decode weight traffic again)."""
         return MiniCPMVConfig(
             llm=LlamaConfig.llama3_8b(
                 dtype=dtype, param_dtype=param_dtype, quantize=True,
-                quantize_lm_head=False, kv_cache_dtype="int8",
+                quantize_bits=bits, quantize_lm_head=False,
+                kv_cache_dtype="int8",
             ),
             vision=SiglipVisionConfig.so400m(dtype=dtype,
                                              param_dtype=param_dtype),

@@ -44,10 +44,12 @@ def main():
 
     on_tpu = jax.devices()[0].platform == "tpu"
     tiny = os.environ.get("BENCH7B_TINY", "") == "1" or not on_tpu
+    bits = int(os.environ.get("BENCH7B_BITS", "8"))  # 8 | 4 (native s4)
     if tiny:
         hw = (dict(hidden_size=256, intermediate_size=512, num_heads=2,
                    num_kv_heads=2, head_dim=128) if fused else {})
-        cfg = LlamaConfig.tiny(quantize=True, quantize_lm_head=False,
+        cfg = LlamaConfig.tiny(quantize=True, quantize_bits=bits,
+                               quantize_lm_head=False,
                                kv_cache_dtype="int8", fuse_proj=True, **hw)
         N, slots, prompt_len, max_new = 6, 2, 16, 12
     else:
@@ -55,8 +57,8 @@ def main():
         mk = (LlamaConfig.llama3_8b if fam == "llama3"
               else LlamaConfig.vicuna_7b)
         cfg = mk(
-            quantize=True, quantize_lm_head=False, fuse_proj=True,
-            kv_cache_dtype="int8",
+            quantize=True, quantize_bits=bits, quantize_lm_head=False,
+            fuse_proj=True, kv_cache_dtype="int8",
             dtype=jnp.bfloat16, param_dtype=jnp.bfloat16,
         )
         N = int(os.environ.get("BENCH7B_N", 32))
@@ -128,7 +130,7 @@ def main():
     tok_s = float(budgets.sum()) / dt
     samples_s = N / dt
     print(json.dumps({
-        "metric": "int8_7b_continuous_diverse_gen_tok_per_sec",
+        "metric": f"int{bits}_7b_continuous_diverse_gen_tok_per_sec",
         "value": round(tok_s, 1),
         "unit": "tok/s",
         "vs_baseline": None,

@@ -38,6 +38,7 @@ def main():
 
     on_tpu = jax.devices()[0].platform == "tpu"
     tiny = os.environ.get("BENCHMCV_TINY", "") == "1" or not on_tpu
+    bits = int(os.environ.get("BENCHMCV_BITS", "8"))  # 8 | 4 (native s4)
     if tiny:
         import dataclasses
 
@@ -45,12 +46,13 @@ def main():
         cfg = dataclasses.replace(
             base,
             llm=dataclasses.replace(base.llm, quantize=True,
+                                    quantize_bits=bits,
                                     quantize_lm_head=False,
                                     kv_cache_dtype="int8"),
         )
         B, S, Lq = 2, 2, 16
     else:
-        cfg = MiniCPMVConfig.minicpm_llama3_v25_int8()
+        cfg = MiniCPMVConfig.minicpm_llama3_v25_int8(bits=bits)
         B = int(os.environ.get("BENCHMCV_B", 8))
         S = int(os.environ.get("BENCHMCV_SLICES", 5))  # source + 2x2 grid
         Lq = 96
@@ -129,7 +131,7 @@ def main():
 
     facts_per_sec = B / (t_enc + t1)
     print(json.dumps({
-        "metric": "int8_minicpmv25_autocheck_facts_per_sec_per_chip",
+        "metric": f"int{bits}_minicpmv25_autocheck_facts_per_sec_per_chip",
         "value": round(facts_per_sec, 2),
         "unit": "facts/s",
         "vs_baseline": None,

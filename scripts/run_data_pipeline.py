@@ -176,9 +176,13 @@ def main():
     ap.add_argument("--llm-int8", action="store_true",
                     help="serve the Llama3-8B divide/changeq models "
                          "weight-only int8 + fused proj + int8 KV cache")
+    ap.add_argument("--llm-int4", action="store_true",
+                    help="serve the Llama3-8B divide/changeq models "
+                         "weight-only native-s4 int4 (half the int8 "
+                         "weight traffic on this decode-heavy stage)")
     ap.add_argument("--llm-fused-decode", action="store_true",
                     help="decode Llama3-8B with the whole-layer-stack "
-                         "Pallas kernel (implies --llm-int8)")
+                         "Pallas kernel (implies a quantized base)")
     args = ap.parse_args()
 
     from transformers import AutoTokenizer
@@ -210,8 +214,10 @@ def main():
     out = run_pipeline(
         generator, labeler,
         make_llama3_backend(args.divide_model, int8=args.llm_int8,
+                            int4=args.llm_int4,
                             fused_decode=args.llm_fused_decode),
         make_llama3_backend(args.changeq_model, int8=args.llm_int8,
+                            int4=args.llm_int4,
                             fused_decode=args.llm_fused_decode),
         args.ques_file, args.ans_dir,
         start=args.start, end=args.end, sample_num=args.sample_num,
