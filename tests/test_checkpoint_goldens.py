@@ -376,3 +376,39 @@ def test_llama_int8_drift_goldens():
             assert agree >= 0.9, f"{path} seq {i}: greedy agreement {agree}"
             rel = np.abs(got - want).max() / (np.abs(want).max() + 1e-9)
             assert rel < 0.05, f"{path} seq {i}: rel logit drift {rel}"
+
+
+def test_llama_int4_drift_goldens():
+    """int4 (native s4 + group-128 scales) quality gate on real weights:
+    greedy next-token agreement vs the recorded fp32 logits. Looser than
+    the int8 gate (4-bit grouped quantization is the bitsandbytes-nf4
+    quality class, not lossless) but still catches a broken converter or
+    kernel the moment real goldens exist — the probe sequences at ~14%
+    weight RMS error must keep the argmax on most positions."""
+    recs = _load("llama_hf")
+    _skip_if_empty(recs, "llama_hf")
+    import jax.numpy as jnp
+
+    from rlaifv_tpu.models.convert import (
+        convert_llama,
+        llama_config_from_hf,
+        load_state_dict_dir,
+        quantize_llm_int4,
+    )
+    from rlaifv_tpu.models.llama import LlamaForCausalLM
+
+    for path, z in recs:
+        ckpt = _ckpt_path(z)
+        cfg = llama_config_from_hf(ckpt, quantize=True, quantize_bits=4,
+                                   quantize_lm_head=False)
+        model = LlamaForCausalLM(cfg)
+        params = quantize_llm_int4(convert_llama(load_state_dict_dir(ckpt)))
+        for i in range(3):
+            ids = jnp.asarray(z[f"ids_{i}"])[None]
+            logits, _ = model.apply({"params": params}, ids)
+            got = np.asarray(logits[0], np.float32)
+            want = z[f"logits_{i}"]
+            agree = (got.argmax(-1) == want.argmax(-1)).mean()
+            assert agree >= 0.75, f"{path} seq {i}: greedy agreement {agree}"
+            rel = np.abs(got - want).max() / (np.abs(want).max() + 1e-9)
+            assert rel < 0.15, f"{path} seq {i}: rel logit drift {rel}"
