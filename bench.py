@@ -10,7 +10,7 @@ pairs/s/chip (the largest config that fits one v5e chip,
 scripts/bench_7b_lora.py) and shared-prefix autocheck facts/s
 (scripts/bench_autocheck_shared.py) — measured IN-RUN as subprocesses (one
 process owns the TPU at a time, so they run before the proxy claims the
-chip). Each sub-bench gets a slice of BENCH_RG_BUDGET_S (default 2400 s,
+chip). Each sub-bench gets a slice of BENCH_RG_BUDGET_S (default 3000 s,
 persistent compile cache at /root/.jax_cache keeps warm runs ~1-3 min); on
 budget-trip or failure the last committed numbers from
 BENCH_REAL_GEOMETRY.json are emitted with "stale": true rather than nothing.
@@ -43,7 +43,10 @@ import numpy as np
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _STALE_FILE = os.path.join(_HERE, "BENCH_REAL_GEOMETRY.json")
 
-# (name, script, extra env) — each prints ONE JSON line on stdout
+# (name, script, extra env) — each prints ONE JSON line on stdout.
+# Ordered so a budget trip degrades gracefully: the headline 7B training
+# numbers and the autocheck metric come first, the slow-compiling 12B run
+# last (its stale fallback is the previous committed measurement).
 _RG_SUBBENCHES = [
     ("qlora7b_dpo", "bench_7b_lora.py", {}),
     # shared-prefix paired forward + suffix trim (train/paired_forward.py):
@@ -51,13 +54,13 @@ _RG_SUBBENCHES = [
     # same loss/grads (tests/test_paired_prefix.py), ~3x the pairs/s
     ("qlora7b_dpo_paired", "bench_7b_lora.py",
      {"BENCH7B_PREFIX": "auto", "BENCH7B_PAIRS": "8"}),
+    ("autocheck_shared_llava", "bench_autocheck_shared.py",
+     {"BENCH_MODEL": "llava"}),
     # shared-prefix ref-logp precompute vs the plain batched scorer
     # (engine.score_pair_logps; the one-time pass over 83k pairs)
     ("ref_logp_shared", "bench_7b_ref_logp.py", {}),
     # OmniLMM-12B QLoRA DPO (BASELINE config 4) on one 16G chip
     ("qlora12b_omni_dpo", "bench_12b_omni_lora.py", {}),
-    ("autocheck_shared_llava", "bench_autocheck_shared.py",
-     {"BENCH_MODEL": "llava"}),
 ]
 
 
@@ -94,7 +97,7 @@ def real_geometry_section() -> dict:
         # numbers are TPU-measured, so emitting them here would mislabel
         return {"skipped": f"non-tpu platform ({platform})"}
     out = {}
-    budget = float(os.environ.get("BENCH_RG_BUDGET_S", "2400"))
+    budget = float(os.environ.get("BENCH_RG_BUDGET_S", "3000"))
     t0 = time.perf_counter()
     stale_all = {}
     if os.path.exists(_STALE_FILE):
