@@ -60,6 +60,39 @@ def test_tp_serving_matches_single_device():
 
 
 @pytest.mark.slow
+def test_tp_serving_int4_matches_single_device():
+    """tp=2 over a native-s4 int4 base: s4 kernels shard by the same
+    (fsdp, tp) rules as bf16/int8, the 2-D group scales replicate."""
+    from rlaifv_tpu.models.convert import quantize_llm_int4
+
+    cfg = LlamaConfig.tiny(quantize=True, quantize_bits=4,
+                           quantize_lm_head=False)
+    fparams = LlamaForCausalLM(LlamaConfig.tiny()).init(
+        jax.random.PRNGKey(0), jnp.ones((1, 8), jnp.int32)
+    )["params"]
+    params = jax.tree.map(jnp.asarray, quantize_llm_int4(fparams))
+    model = LlamaForCausalLM(cfg)
+    prompts = _prompts(cfg)
+    kw = dict(sampling=SamplingParams.greedy(), max_new_tokens=6,
+              prompt_bucket=8)
+
+    want = DecodeEngine(model, params, eos_id=-1, pad_id=0).generate(
+        prompts, **kw
+    )
+
+    mesh = create_mesh(dp=1, fsdp=1, tp=2, devices=jax.devices()[:2])
+    sharded = shard_params(params, mesh)
+    assert sharded["model"]["layer_0"]["attn"]["q_proj"]["kernel"].dtype \
+        == jnp.int4
+    engine = DecodeEngine(model, sharded, eos_id=-1, pad_id=0)
+    with mesh:
+        got = engine.generate(prompts, **kw)
+
+    np.testing.assert_array_equal(got.tokens, want.tokens)
+    np.testing.assert_array_equal(got.lengths, want.lengths)
+
+
+@pytest.mark.slow
 def test_tp_continuous_serving_matches_single_device():
     """Slot-refill continuous batching composes with the tp mesh."""
     cfg = LlamaConfig.tiny()
