@@ -311,7 +311,15 @@ def _grad_bwd(res, dy):
     import numpy as np
 
     q4, gscale = res
-    if jax.default_backend() == "tpu" and _kernel_legal(q4, gscale):
+    # The dx kernel streams full-N stripes (f32 dy + per-group prescale
+    # staging + int8): fine for narrow outputs (q/k/v/o/down dx,
+    # N <= hidden), but a wide-N projection (gate/up at N=11k-14k) blows
+    # the 16MB scoped-VMEM budget of training processes. Wide dx takes the
+    # exact dequant fallback instead — the backward at training shapes is
+    # compute-bound, so XLA's transient dequantized weight costs bandwidth
+    # it has spare (the int8 A/B measured dequant within ~20% there).
+    if (jax.default_backend() == "tpu" and _kernel_legal(q4, gscale)
+            and dy.shape[-1] <= 8192):
         dx = int4_matmul_dx(dy, q4, gscale, group=_grad_group(q4, gscale))
     else:
         dx = _jnp_fallback_dx(dy, q4, gscale)
