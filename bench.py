@@ -61,6 +61,12 @@ _RG_SUBBENCHES = [
     ("ref_logp_shared", "bench_7b_ref_logp.py", {}),
     # OmniLMM-12B QLoRA DPO (BASELINE config 4) on one 16G chip
     ("qlora12b_omni_dpo", "bench_12b_omni_lora.py", {}),
+    # decode floor ladder: the multi-layer fused kernel at 7B geometry,
+    # int8 weights vs native-s4 int4 (weight traffic = the decode bound;
+    # int4 halves it — ops/int4_matmul.py). Tail position: if the budget
+    # trips, the headline metrics above are already fresh.
+    ("fused_decode_int8", "bench_fused_decode.py", {}),
+    ("fused_decode_int4", "bench_fused_decode.py", {"BENCHFD_BITS": "4"}),
 ]
 
 
