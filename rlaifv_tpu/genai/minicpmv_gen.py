@@ -59,10 +59,10 @@ class MiniCPMVChat:
 
 
 class MiniCPMVGenerator:
-    def __init__(self, model, params, tokenizer, *, checkpoint_name: str = ""):
+    def __init__(self, model, params, tokenizer, *, checkpoint_name: str = "",
+                 fused_decode: bool = False):
         self.model = model
         self.cfg = model.cfg
-        self.params = params
         self.tokenizer = tokenizer
         self.unk_id = tokenizer.convert_tokens_to_ids("<unk>")
         self._mean = np.asarray(OPENAI_CLIP_MEAN, np.float32)
@@ -71,7 +71,13 @@ class MiniCPMVGenerator:
             model, params,
             eos_id=tokenizer.eos_token_id,
             pad_id=tokenizer.pad_token_id or 0,
+            fused_decode=fused_decode,
         )
+        # under fused_decode the engine CONSUMES the per-layer LLM kernels
+        # into the stacked arrays — hold its stripped tree, not the donated
+        # original (the vision/resampler leaves the encode path needs are
+        # untouched by the strip)
+        self.params = self.engine.params
         self.checkpoint_name = checkpoint_name
         import jax
 

@@ -66,7 +66,7 @@ class OmniLMMGenerator:
     """Batched generation over a converted OmniLMM-12B checkpoint."""
 
     def __init__(self, model, params, tokenizer, *, image_size: int = 448,
-                 checkpoint_name: str = ""):
+                 checkpoint_name: str = "", fused_decode: bool = False):
         self.model = model
         self.tokenizer = tokenizer
         self.num_query = model.cfg.num_query
@@ -82,6 +82,7 @@ class OmniLMMGenerator:
             model, params,
             eos_id=tokenizer.eos_token_id,
             pad_id=tokenizer.pad_token_id or 0,
+            fused_decode=fused_decode,
         )
         self.checkpoint_name = checkpoint_name
 
@@ -286,9 +287,11 @@ class OmniLMMChat:
 
     def __init__(self, model_path: str, *, tokenizer=None,
                  max_new_tokens: int = 1024, image_size: int = 448,
-                 int8: bool = False, int4: bool = False):
+                 int8: bool = False, int4: bool = False,
+                 fused_decode: bool = False):
         from rlaifv_tpu.models.convert import (
             convert_omnilmm,
+            fuse_llm_projections,
             load_state_dict_dir,
             omnilmm_config_from_hf,
             quantize_llm_int4,
@@ -303,10 +306,16 @@ class OmniLMMChat:
         # scripts/bench_12b_serve.py measures this path at full geometry).
         # int4: same shape, half the weight footprint again (5.8G total
         # s4 + group scales) — decode speed AND memory headroom.
+        # fused_decode: one Pallas kernel walks the Mistral stack per
+        # decoded token (requires a quantized base; implies int8 unless
+        # int4 is chosen).
+        if fused_decode and not (int8 or int4):
+            int8 = True
         bits = 4 if int4 else 8
         overrides = (dict(
             llm=dict(quantize=True, quantize_bits=bits,
-                     quantize_lm_head=False, kv_cache_dtype="int8"),
+                     quantize_lm_head=False, kv_cache_dtype="int8",
+                     fuse_proj=fused_decode),
             vision=dict(quantize=True, quantize_bits=bits),
         ) if (int8 or int4) else {})
         cfg = omnilmm_config_from_hf(model_path, **overrides)
@@ -325,13 +334,15 @@ class OmniLMMChat:
                                          include_lm_head=False),
                 "vision_tower": quantize_vision_int8(params["vision_tower"]),
             }
+        if fused_decode:
+            params = {**params, "llm": fuse_llm_projections(params["llm"])}
         if tokenizer is None:
             from transformers import AutoTokenizer
 
             tokenizer = AutoTokenizer.from_pretrained(model_path)
         self.gen = OmniLMMGenerator(
             model, params, tokenizer, image_size=image_size,
-            checkpoint_name=model_path,
+            checkpoint_name=model_path, fused_decode=fused_decode,
         )
         self.max_new_tokens = max_new_tokens
 

@@ -34,6 +34,12 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 def main():
     import dataclasses
 
+    fused = os.environ.get("BENCH12B_FUSED", "") == "1"
+    if fused:
+        # must precede backend init (libtpu parses its args once)
+        from rlaifv_tpu.ops.fused_decode import ensure_vmem_budget
+
+        ensure_vmem_budget()
     import jax
     import jax.numpy as jnp
 
@@ -53,7 +59,8 @@ def main():
             llm=dataclasses.replace(base.llm, quantize=True,
                                     quantize_bits=bits,
                                     quantize_lm_head=False,
-                                    kv_cache_dtype="int8"),
+                                    kv_cache_dtype="int8",
+                                    fuse_proj=fused),
             vision=dataclasses.replace(base.vision, quantize=True,
                                        quantize_bits=bits),
             num_query=base.num_query,
@@ -61,6 +68,10 @@ def main():
         B, Lq, S = 2, 32, base.vision.image_size
     else:
         cfg = OmniLMMConfig.omnilmm_12b_int8(bits=bits)
+        if fused:
+            cfg = dataclasses.replace(
+                cfg, llm=dataclasses.replace(cfg.llm, fuse_proj=True)
+            )
         B = int(os.environ.get("BENCH12B_B", 8))
         Lq = 128  # question + "Please answer yes or no." budget
         S = 448  # OmniLMM-12B input resolution (dynamic pos-embed interp)
@@ -82,7 +93,8 @@ def main():
         image_starts=jnp.asarray(image_starts[:2]),
     )["params"]
 
-    engine = DecodeEngine(model, params, eos_id=-1, pad_id=0)
+    engine = DecodeEngine(model, params, eos_id=-1, pad_id=0,
+                          fused_decode=fused)
     ids_d = jnp.asarray(ids)
     mask_d = jnp.asarray(np.ones((B, Lp), np.int32))
     imgs_d = jnp.asarray(images, cfg.llm.dtype)
@@ -119,8 +131,10 @@ def main():
         "unit": "facts/s",
         "vs_baseline": None,
         "detail": {
-            "model": ("omnilmm-12b-geometry int8 LM + int8 EVA02-e tower "
-                      "+ int8 KV") if not tiny else "tiny-smoke",
+            "model": (f"omnilmm-12b-geometry int{bits} LM + int{bits} "
+                      "EVA02-e tower + int8 KV"
+                      + (" fused-decode" if fused else ""))
+            if not tiny else "tiny-smoke",
             "batch": B,
             "image_px": S,
             "prompt_len": Lp,

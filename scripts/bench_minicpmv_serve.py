@@ -26,6 +26,11 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
 def main():
+    fused = os.environ.get("BENCHMCV_FUSED", "") == "1"
+    if fused:
+        from rlaifv_tpu.ops.fused_decode import ensure_vmem_budget
+
+        ensure_vmem_budget()
     import jax
     import jax.numpy as jnp
 
@@ -39,20 +44,25 @@ def main():
     on_tpu = jax.devices()[0].platform == "tpu"
     tiny = os.environ.get("BENCHMCV_TINY", "") == "1" or not on_tpu
     bits = int(os.environ.get("BENCHMCV_BITS", "8"))  # 8 | 4 (native s4)
-    if tiny:
-        import dataclasses
+    import dataclasses
 
+    if tiny:
         base = MiniCPMVConfig.tiny()
         cfg = dataclasses.replace(
             base,
             llm=dataclasses.replace(base.llm, quantize=True,
                                     quantize_bits=bits,
                                     quantize_lm_head=False,
-                                    kv_cache_dtype="int8"),
+                                    kv_cache_dtype="int8",
+                                    fuse_proj=fused),
         )
         B, S, Lq = 2, 2, 16
     else:
         cfg = MiniCPMVConfig.minicpm_llama3_v25_int8(bits=bits)
+        if fused:
+            cfg = dataclasses.replace(
+                cfg, llm=dataclasses.replace(cfg.llm, fuse_proj=True)
+            )
         B = int(os.environ.get("BENCHMCV_B", 8))
         S = int(os.environ.get("BENCHMCV_SLICES", 5))  # source + 2x2 grid
         Lq = 96
@@ -101,7 +111,8 @@ def main():
     t_enc = time.perf_counter() - t0
     spans = feats.reshape(B, S, Q, -1)
 
-    engine = DecodeEngine(model, params, eos_id=-1, pad_id=0)
+    engine = DecodeEngine(model, params, eos_id=-1, pad_id=0,
+                          fused_decode=fused)
     ids_d = jnp.asarray(ids)
     mask_d = jnp.asarray(np.ones((B, Lp), np.int32))
     sstarts_d = jnp.asarray(span_starts)

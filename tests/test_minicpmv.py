@@ -178,3 +178,61 @@ def test_minicpmv_int8_serving_engine():
     )
     assert res.tokens.shape == (B, 3)
     assert np.isfinite(np.asarray(res.first_logits, np.float32)).all()
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("bits", [8, 4])
+def test_minicpmv_fused_decode_engine(bits):
+    """The 2.5 labeler decodes through the multi-layer fused kernel
+    (Llama3-family GQA stack): greedy tokens match the per-layer path
+    for both the int8 and int4 bases, with the span-splice prefill."""
+    import dataclasses
+
+    from rlaifv_tpu.genai.engine import DecodeEngine
+    from rlaifv_tpu.genai.sampling import SamplingParams
+    from rlaifv_tpu.models.convert import (
+        fuse_llm_projections,
+        quantize_llm_int4,
+        quantize_llm_int8,
+    )
+    from rlaifv_tpu.models.minicpmv import MiniCPMVConfig, MiniCPMVForCausalLM
+
+    base = MiniCPMVConfig.tiny()
+    cfg = dataclasses.replace(
+        base,
+        llm=dataclasses.replace(base.llm, quantize=True, quantize_bits=bits,
+                                quantize_lm_head=False,
+                                kv_cache_dtype="int8", fuse_proj=True),
+    )
+    fmodel = MiniCPMVForCausalLM(base)
+    B, S, Q = 2, 2, base.query_num
+    ids = np.full((B, 2 * Q + 6), 3, np.int32)
+    starts = np.asarray([[1, 1 + Q], [1, -1]], np.int32)
+    lm_params = fmodel.init(
+        jax.random.PRNGKey(0), jnp.asarray(ids),
+        span_features=jnp.zeros((B, S, Q, base.llm.hidden_size)),
+        span_starts=jnp.asarray(starts),
+    )["params"]
+    quant = (quantize_llm_int8 if bits == 8
+             else lambda p: quantize_llm_int4(p))
+    qparams = jax.tree.map(jnp.asarray, {
+        **lm_params,
+        "llm": fuse_llm_projections(quant(lm_params["llm"])),
+    })
+
+    model = MiniCPMVForCausalLM(cfg)
+    spans = np.random.default_rng(0).normal(
+        size=(B, S, Q, base.llm.hidden_size)).astype(np.float32)
+    kw = dict(span_features=spans, span_starts=starts,
+              sampling=SamplingParams.greedy(), max_new_tokens=3,
+              prompt_bucket=8)
+    prompts = [list(map(int, r)) for r in ids]
+
+    want = DecodeEngine(model, qparams, eos_id=-1, pad_id=0).generate(
+        prompts, **kw
+    )
+    fused = DecodeEngine(model, jax.tree.map(jnp.copy, qparams),
+                         eos_id=-1, pad_id=0, fused_decode=True)
+    got = fused.generate(prompts, **kw)
+    np.testing.assert_array_equal(got.tokens, want.tokens)
+    np.testing.assert_array_equal(got.lengths, want.lengths)

@@ -183,3 +183,64 @@ def test_omnilmm_int8_serving_engine():
     )
     assert res.tokens.shape == (2, 4)
     assert np.isfinite(np.asarray(res.first_logits, np.float32)).all()
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("bits", [8, 4])
+def test_omnilmm_fused_decode_engine(bits):
+    """The 12B labeler's decode rides the multi-layer fused kernel: the
+    Mistral-family stack is llama-shaped (GQA), so DecodeEngine's
+    fused_decode works unchanged for the multimodal model — greedy tokens
+    must match the per-layer path for both the int8 and int4 bases."""
+    import dataclasses
+
+    from rlaifv_tpu.genai.engine import DecodeEngine
+    from rlaifv_tpu.genai.sampling import SamplingParams
+    from rlaifv_tpu.models.convert import (
+        fuse_llm_projections,
+        quantize_llm_int4,
+        quantize_llm_int8,
+    )
+    from rlaifv_tpu.models.omnilmm import OmniLMMConfig, OmniLMMForCausalLM
+
+    cfg = OmniLMMConfig.tiny()
+    model = OmniLMMForCausalLM(cfg)
+    T = cfg.num_image_tokens
+    ids = jnp.ones((1, T + 6), jnp.int32)
+    img = jnp.zeros((1, 28, 28, 3))
+    params = model.init(jax.random.PRNGKey(0), ids, images=img,
+                        image_starts=jnp.asarray([1]))["params"]
+
+    quant = (quantize_llm_int8 if bits == 8
+             else lambda p: quantize_llm_int4(p))
+    qcfg = OmniLMMConfig(
+        llm=dataclasses.replace(cfg.llm, quantize=True, quantize_bits=bits,
+                                quantize_lm_head=False,
+                                kv_cache_dtype="int8", fuse_proj=True),
+        vision=cfg.vision,
+        num_query=cfg.num_query,
+    )
+    qllm = fuse_llm_projections(
+        quant(jax.tree.map(np.asarray, params["llm"]))
+    )
+    qparams = jax.tree.map(jnp.asarray, {
+        "llm": qllm,
+        "vision_tower": params["vision_tower"],
+        "resampler": params["resampler"],
+    })
+    qmodel = OmniLMMForCausalLM(qcfg)
+
+    prompts = [[3] + [0] * T + [5, 7], [2] + [0] * T + [9]]
+    images = np.zeros((2, 28, 28, 3), np.float32)
+    kw = dict(images=images, image_starts=[1, 1],
+              sampling=SamplingParams.greedy(), max_new_tokens=4,
+              prompt_bucket=8)
+
+    want = DecodeEngine(qmodel, qparams, eos_id=-1, pad_id=0).generate(
+        prompts, **kw
+    )
+    fused = DecodeEngine(qmodel, jax.tree.map(jnp.copy, qparams),
+                         eos_id=-1, pad_id=0, fused_decode=True)
+    got = fused.generate(prompts, **kw)
+    np.testing.assert_array_equal(got.tokens, want.tokens)
+    np.testing.assert_array_equal(got.lengths, want.lengths)
