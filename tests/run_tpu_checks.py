@@ -267,6 +267,129 @@ def main():
         print(f"fused_decode[{label}]: logits={diff:.2e} top1={top_ok} "
               f"[{'OK' if ok else 'FAIL'}]")
 
+    # ---- int4 (native s4 + group scales) on hardware: standalone matmul
+    # and dx vs the integer-math oracle, then the fused decode int4 mode.
+    # These kernels were designed against compile probes (i8 shifts do not
+    # legalize; s4 loads/converts do) — this is the execution check.
+    from rlaifv_tpu.ops.int4_matmul import (
+        int4_matmul,
+        int4_matmul_dx,
+        quantize_int4,
+    )
+
+    M, K, N = 16, 512, 384
+    x = rng.standard_normal((M, K)).astype(np.float32)
+    w = rng.standard_normal((K, N)).astype(np.float32)
+    q4, gsc = quantize_int4(w, group=128)
+
+    def oracle_fwd(x, q4, scale, group=128):
+        sx = np.maximum(np.abs(x).max(axis=1, keepdims=True), 1e-20) / 127.0
+        xq = np.clip(np.round(x / sx), -127, 127).astype(np.int32)
+        q = np.asarray(q4).astype(np.int32)
+        acc = np.zeros((x.shape[0], q.shape[1]), np.float32)
+        for gi in range(q.shape[0] // group):
+            sl = slice(gi * group, (gi + 1) * group)
+            acc += (xq[:, sl] @ q[sl]).astype(np.float32) * scale[gi][None, :]
+        return acc * sx
+
+    got4 = np.asarray(int4_matmul(jnp.asarray(x), jnp.asarray(q4),
+                                  jnp.asarray(gsc), group=128), np.float32)
+    want4 = oracle_fwd(x, q4, gsc)
+    d4 = float(np.abs(got4 - want4).max() / (np.abs(want4).max() + 1e-9))
+    ok4 = d4 < 1e-4
+    failures += not ok4
+    print(f"int4_matmul: rel={d4:.2e} [{'OK' if ok4 else 'FAIL'}]")
+
+    dy = rng.standard_normal((M, N)).astype(np.float32)
+
+    def oracle_dx(dy, q4, scale, group=128):
+        q = np.asarray(q4).astype(np.int32)
+        cols = []
+        for gi in range(q.shape[0] // group):
+            dys = dy * scale[gi][None, :]
+            sy = np.maximum(np.abs(dys).max(axis=1, keepdims=True),
+                            1e-20) / 127.0
+            dyq = np.clip(np.round(dys / sy), -127, 127).astype(np.int32)
+            cols.append(
+                (dyq @ q[gi * group : (gi + 1) * group].T).astype(np.float32)
+                * sy
+            )
+        return np.concatenate(cols, axis=1)
+
+    gotdx = np.asarray(int4_matmul_dx(jnp.asarray(dy), jnp.asarray(q4),
+                                      jnp.asarray(gsc), group=128),
+                       np.float32)
+    wantdx = oracle_dx(dy, q4, gsc)
+    ddx = float(np.abs(gotdx - wantdx).max() / (np.abs(wantdx).max() + 1e-9))
+    okdx = ddx < 1e-4
+    failures += not okdx
+    print(f"int4_matmul_dx: rel={ddx:.2e} [{'OK' if okdx else 'FAIL'}]")
+
+    from rlaifv_tpu.models.convert import (
+        fuse_llm_projections,
+        quantize_llm_int4,
+    )
+    from rlaifv_tpu.models.llama import LlamaForCausalLM, llama_init_cache
+
+    for label, hw in (
+        ("mha", dict(hidden_size=256, intermediate_size=512, num_heads=2,
+                     num_kv_heads=2, head_dim=128)),
+        ("gqa", dict(hidden_size=512, intermediate_size=512, num_heads=4,
+                     num_kv_heads=2, head_dim=128)),
+    ):
+        cfg4 = LlamaConfig.tiny(quantize=True, quantize_bits=4,
+                                quantize_lm_head=False, fuse_proj=True,
+                                kv_cache_dtype="int8", **hw)
+        fparams = LlamaForCausalLM(LlamaConfig.tiny(**hw)).init(
+            jax.random.PRNGKey(0), jnp.ones((2, 5), jnp.int32)
+        )["params"]
+        params4 = jax.tree.map(
+            jnp.asarray, fuse_llm_projections(quantize_llm_int4(fparams))
+        )
+        model4 = LlamaForCausalLM(cfg4)
+        B, L, t = 2, 128, 5
+        ids = jnp.asarray(rng.integers(1, 200, size=(B, t)), jnp.int32)
+        cache = llama_init_cache(cfg4, B, L)
+        mask = jnp.zeros((B, L), jnp.int32).at[:, :t].set(1)
+        logits, cache = model4.apply(
+            {"params": params4}, ids,
+            attention_mask=mask, cache=cache, cache_index=jnp.int32(0),
+        )
+        tok = jnp.argmax(logits[:, -1], -1).astype(jnp.int32)
+        mask_t = mask.at[:, t].set(1)
+        want_logits, _ = model4.apply(
+            {"params": params4}, tok[:, None],
+            attention_mask=mask_t,
+            position_ids=jnp.full((B, 1), t, jnp.int32),
+            cache=cache, cache_index=jnp.int32(t),
+        )
+        dims = default_dims(cfg4, L)
+        stacked = stack_llama_params(params4, cfg4)
+        scache = stack_cache(cache)
+        x = model4.apply({"params": params4}, tok[:, None],
+                         method=model4.embed)[:, 0]
+        x_out, new_kv = fused_decode_step(
+            stacked, scache, x, mask, jnp.full((B,), t, jnp.int32),
+            jnp.int32(t), dims, rope_theta=cfg4.rope_theta,
+        )
+        scatter_new_kv(scache, new_kv, jnp.int32(t))
+        normed = model4.apply(
+            {"params": params4}, x_out[:, None].astype(cfg4.dtype),
+            method=lambda m, h: m.model.ln_f(h),
+        )
+        got_logits = model4.apply({"params": params4}, normed,
+                                  method=lambda m, h: m.logits(h))
+        diff = float(jnp.abs(got_logits[:, 0].astype(jnp.float32)
+                             - want_logits[:, 0].astype(jnp.float32)).max())
+        top_ok = bool(
+            (jnp.argmax(got_logits[:, 0], -1)
+             == jnp.argmax(want_logits[:, 0], -1)).all()
+        )
+        ok = diff < 2e-2 and top_ok
+        failures += not ok
+        print(f"fused_decode_int4[{label}]: logits={diff:.2e} top1={top_ok} "
+              f"[{'OK' if ok else 'FAIL'}]")
+
     print("TPU kernel checks:", "PASS" if failures == 0 else f"{failures} FAILURES")
     return 1 if failures else 0
 
