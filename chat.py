@@ -167,7 +167,8 @@ class RLAIFVChat:
             # MiniCPM-Llama3-V 2.5 rides the same API here
             from rlaifv_tpu.genai.minicpmv_gen import MiniCPMVChat
 
-            self.model = MiniCPMVChat(model_path)
+            self.model = MiniCPMVChat(model_path, int8=load_8bit,
+                                      int4=load_4bit)
         else:
             base = None
             if "lora" in model_path.lower():

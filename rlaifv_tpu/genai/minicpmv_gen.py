@@ -31,23 +31,47 @@ class MiniCPMVChat:
     loaded natively)."""
 
     def __init__(self, model_path: str, *, tokenizer=None,
-                 max_new_tokens: int = 1024):
+                 max_new_tokens: int = 1024, int8: bool = False,
+                 int4: bool = False, fused_decode: bool = False):
         from rlaifv_tpu.models.convert import (
             convert_minicpmv,
+            fuse_llm_projections,
             load_state_dict_dir,
             minicpmv_config_from_hf,
+            quantize_llm_int4,
+            quantize_llm_int8,
         )
         from rlaifv_tpu.models.minicpmv import MiniCPMVForCausalLM
 
-        cfg = minicpmv_config_from_hf(model_path)
+        # int8/int4: single-chip serving (the bf16 Llama3-8B LM alone is
+        # 16G); fused_decode: the multi-layer kernel (implies a quantized
+        # base)
+        if fused_decode and not (int8 or int4):
+            int8 = True
+        overrides = {}
+        if int8 or int4:
+            overrides["llm"] = dict(
+                quantize=True, quantize_bits=4 if int4 else 8,
+                quantize_lm_head=False, kv_cache_dtype="int8",
+                fuse_proj=fused_decode,
+            )
+        cfg = minicpmv_config_from_hf(model_path, **overrides)
         model = MiniCPMVForCausalLM(cfg)
         params = convert_minicpmv(load_state_dict_dir(model_path))
+        if int4:
+            params = {**params, "llm": quantize_llm_int4(params["llm"])}
+        elif int8:
+            params = {**params, "llm": quantize_llm_int8(
+                params["llm"], include_lm_head=False)}
+        if fused_decode:
+            params = {**params, "llm": fuse_llm_projections(params["llm"])}
         if tokenizer is None:
             from transformers import AutoTokenizer
 
             tokenizer = AutoTokenizer.from_pretrained(model_path)
         self.gen = MiniCPMVGenerator(
-            model, params, tokenizer, checkpoint_name=model_path
+            model, params, tokenizer, checkpoint_name=model_path,
+            fused_decode=fused_decode,
         )
         self.max_new_tokens = max_new_tokens
 

@@ -182,6 +182,26 @@ def test_minicpmv_chat_from_checkpoint(tiny_minicpmv_checkpoint):
     assert isinstance(out, str)
 
 
+@pytest.mark.slow
+def test_minicpmv_chat_int4(tiny_minicpmv_checkpoint):
+    """--load-4bit routing for 2.5: the chat loads with an s4 LM base."""
+    import jax.numpy as jnp
+
+    from rlaifv_tpu.genai.minicpmv_gen import MiniCPMVChat
+
+    chat = MiniCPMVChat(
+        tiny_minicpmv_checkpoint, tokenizer=FakeTokenizer(),
+        max_new_tokens=4, int4=True,
+    )
+    assert chat.gen.cfg.llm.quantize and chat.gen.cfg.llm.quantize_bits == 4
+    qp = chat.gen.params["llm"]["model"]["layer_0"]["attn"]["q_proj"]
+    assert qp["kernel"].dtype == jnp.int4
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 255, size=(90, 60, 3), dtype=np.uint8)
+    out = chat.chat({"question": "what is shown?", "image": img})
+    assert isinstance(out, str)
+
+
 def test_chat_cli_picks_minicpmv(tiny_minicpmv_checkpoint, monkeypatch):
     import chat as chat_mod
 
