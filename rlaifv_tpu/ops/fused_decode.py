@@ -97,9 +97,10 @@ class FusedDecodeDims:
     bn_o: int
     bi: int
     # int4 mode (QuantDense bits=4 / convert.quantize_llm_int4): weights
-    # stream packed two-nibbles-per-byte with group-wise scales; weight HBM
-    # traffic HALVES vs int8, which is the decode floor. Group sizes follow
-    # the checkpoint layout (ops/int4_matmul.pick_int4_group per matrix).
+    # stream as native s4 (XLA packs two per byte in HBM) with group-wise
+    # scales; weight HBM traffic HALVES vs int8, which is the decode
+    # floor. Group sizes follow the checkpoint layout
+    # (ops/int4_matmul.pick_int4_group per matrix).
     w4: bool = False
     g_d: int = 128     # group along D (qkv + gate/up contractions)
     g_o: int = 128     # group along H*Dh (o contraction; % Dh == 0)
@@ -383,10 +384,9 @@ def stacked_prefill_tower(stacked, scache, embeds, mask, pos, cfg,
     Ip, _ = _pick_intermediate(cfg.intermediate_size)
     w4 = getattr(cfg, "quantize_bits", 8) == 4
     if w4:
-        # int4 stacked layout: plain half-split packing along each
-        # contraction axis, so the generic int4 matmul applies directly
-        # (group size derives from the scale shape, bit-identical to
-        # QuantDense(bits=4))
+        # int4 stacked layout: native s4 at the logical (K, N) shapes, so
+        # the generic int4 matmul applies directly (group size derives
+        # from the scale shape, bit-identical to QuantDense(bits=4))
         from rlaifv_tpu.ops.int4_matmul import int4_matmul_grad
 
         def _mm(x, w, s):
