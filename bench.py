@@ -35,6 +35,7 @@ import json
 import os
 import subprocess
 import sys
+import threading
 import time
 from functools import partial
 
@@ -42,6 +43,54 @@ import numpy as np
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _STALE_FILE = os.path.join(_HERE, "BENCH_REAL_GEOMETRY.json")
+_LAST_FILE = os.path.join(_HERE, "BENCH_LAST.json")
+
+# Output discipline (round 4 lost ALL its perf evidence to a hang + driver
+# timeout: rc=124, empty tail): the last committed full result is printed
+# FIRST (flagged stale), so the driver's tail is parseable no matter where
+# a tunnel death or compile hang strikes; a fresh line follows on success.
+# A watchdog thread force-emits the best-known result and exits before the
+# driver's timeout can void the run (os._exit fires even if the main
+# thread is stuck inside a blocked XLA/runtime call).
+_DEADLINE_S = float(os.environ.get("BENCH_DEADLINE_S", "2700"))
+_partials: dict = {}  # real-geometry results completed so far
+
+
+def _best_known_line(reason: str) -> dict:
+    out = {"metric": "dpo_pairs_per_sec_per_chip", "value": None,
+           "unit": "pairs/s", "vs_baseline": None}
+    try:
+        with open(_LAST_FILE) as f:
+            out = json.load(f)
+    except Exception:
+        pass
+    out["stale"] = True
+    out["stale_reason"] = reason
+    if _partials:  # fresh sub-bench results trump their stale copies
+        rg = dict(out.get("real_geometry") or {})
+        rg.update(_partials)
+        out["real_geometry"] = rg
+    return out
+
+
+def _emit_stale_first():
+    print(json.dumps(_best_known_line(
+        "pre-run fallback emitted before measurement; a fresh line follows "
+        "if the run completes")), flush=True)
+
+
+def _start_watchdog():
+    def fire():
+        print(json.dumps(_best_known_line(
+            f"watchdog: wall clock hit {_DEADLINE_S:.0f}s before the run "
+            "completed (hang or slow compile); partial fresh sub-benches "
+            "included")), flush=True)
+        os._exit(0)
+
+    t = threading.Timer(_DEADLINE_S, fire)
+    t.daemon = True
+    t.start()
+    return t
 
 # (name, script, extra env) — each prints ONE JSON line on stdout.
 # Ordered so a budget trip degrades gracefully: the headline 7B training
@@ -62,7 +111,7 @@ _RG_SUBBENCHES = [
     # OmniLMM-12B QLoRA DPO (BASELINE config 4) on one 16G chip
     ("qlora12b_omni_dpo", "bench_12b_omni_lora.py", {}),
     # decode floor ladder: the multi-layer fused kernel at 7B geometry,
-    # int8 weights vs native-s4 int4 (weight traffic = the decode bound;
+    # int8 weights vs nibble-packed int4 (weight traffic = the decode bound;
     # int4 halves it — ops/int4_matmul.py). Tail position: if the budget
     # trips, the headline metrics above are already fresh.
     ("fused_decode_int8", "bench_fused_decode.py", {}),

@@ -31,7 +31,7 @@ class ModelArguments:
     # 16G v5e chip (scripts/bench_7b_lora.py). The LM head stays bf16.
     quantize: bool = False
     # 8 or 4: bit-width of the frozen base when quantize=true. 4 = native
-    # s4 + group-128 scales (ops/int4_matmul.py) — half the base footprint
+    # nibble-packed int4 + group-128 scales (ops/int4_matmul.py) — half the base footprint
     # again, which buys sequence length / batch on a 16G chip (12B omni
     # QLoRA at the reference's seq 2048 instead of 1024). quantize_bits=4
     # + use_lora IS the original QLoRA recipe (4-bit base, bf16 adapters).

@@ -156,7 +156,7 @@ def make_llama3_backend(model_path: str, *, temperature: float = 0.2,
     """Converted Llama3-8B + jitted decode engine as the generate_fn.
 
     int8: weight-only int8 LLM + fused projections + int8 KV cache (the
-    single-chip 8B serving config). int4: native-s4 weights instead —
+    single-chip 8B serving config). int4: nibble-packed int4 weights instead —
     the weight HBM floor that bounds this decode-heavy stage halves
     again. fused_decode additionally runs the whole GQA layer stack as
     one Pallas kernel per token (implies a quantized base)."""

@@ -305,7 +305,7 @@ class OmniLMMChat:
         # BOTH towers + int8 KV cache (bf16 12B cannot load on 16G;
         # scripts/bench_12b_serve.py measures this path at full geometry).
         # int4: same shape, half the weight footprint again (5.8G total
-        # s4 + group scales) — decode speed AND memory headroom.
+        # packed int4 + group scales) — decode speed AND memory headroom.
         # fused_decode: one Pallas kernel walks the Mistral stack per
         # decoded token (requires a quantized base; implies int8 unless
         # int4 is chosen).

@@ -600,11 +600,11 @@ def quantize_llm_int8(llm_params: Tree, include_lm_head: bool = True) -> Tree:
 
 def quantize_llm_int4(llm_params: Tree, include_lm_head: bool = False) -> Tree:
     """Weight-only int4 for projection/mlp kernels (the TPU answer to the
-    reference loader's load_4bit, builder.py:30-49): native s4 storage
-    (XLA packs two per byte in HBM), group-wise scales (G=128, the
+    reference loader's load_4bit, builder.py:30-49): nibble-packed int8
+    storage (two weights per byte), group-wise scales (G=128, the
     AWQ/GPTQ convention — per-column int4 is too coarse at 7B quality).
-    Matches QuantDense(bits=4)'s {kernel: int4 (K, N), scale: f32
-    (K//G, N)} layout; see ops/int4_matmul.py. The lm_head defaults to
+    Matches QuantDense(bits=4)'s {kernel: int8 packed (K/2, N), scale:
+    f32 (K//G, N)} layout; see ops/int4_matmul.py. The lm_head defaults to
     UNQUANTIZED (bits matter most in the logit projection; the int8 path
     keeps it bf16 under QLoRA for the same reason)."""
     from rlaifv_tpu.ops.int4_matmul import pick_int4_group, quantize_int4
@@ -660,8 +660,9 @@ def quantize_vision_int8(params: Tree) -> Tree:
 
 def quantize_vision_int4(params: Tree) -> Tree:
     """Weight-only int4 for ViT projection/MLP kernels (EVA02/CLIP/SigLIP
-    naming) — native s4 + group scales, matching QuantDense(bits=4,
-    use_bias=...). Vision prefill is compute-bound, so this buys MEMORY:
+    naming) — nibble-packed int8 + group scales, matching
+    QuantDense(bits=4, use_bias=...). Vision prefill is compute-bound, so
+    this buys MEMORY:
     EVA02-enormous 4.4G int8 -> 2.2G, headroom for longer sequences or
     bigger batches beside the 12B LM on a 16G chip."""
     from rlaifv_tpu.ops.int4_matmul import pick_int4_group, quantize_int4

@@ -52,7 +52,7 @@ class EvaConfig:
     quantize: bool = False  # weight-only int8 projections (QuantDense):
     # EVA02-enormous bf16 is 8.8G — int8 (4.4G) is what lets the 12B
     # OmniLMM serve next to its int8 LM on one 16G chip
-    quantize_bits: int = 8  # 4 = native-s4 + group scales (2.2G tower):
+    quantize_bits: int = 8  # 4 = nibble-packed int4 + group scales (2.2G tower):
     # vision prefill is compute-bound so int4 buys MEMORY, not speed —
     # headroom for longer sequences / bigger batches beside the 12B LM
     dtype: Any = jnp.float32

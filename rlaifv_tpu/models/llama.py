@@ -219,7 +219,8 @@ class QuantDense(nn.Module):
     def __call__(self, x: Array) -> Array:
         x = x.astype(self.dtype)
         if self.bits == 4:
-            # native s4 storage (XLA packs two per byte in HBM) + group
+            # nibble-packed int8 storage (two weights per byte; the s4
+            # dtype cannot be laid out for Pallas on this runtime) + group
             # scales along K — see ops/int4_matmul.py
             from rlaifv_tpu.ops.int4_matmul import (
                 int4_matmul_grad, pick_int4_group,
@@ -229,7 +230,7 @@ class QuantDense(nn.Module):
             G = pick_int4_group(K)
             kernel = self.param(
                 "kernel", nn.initializers.zeros_init(),
-                (K, self.features), jnp.int4,
+                (K // 2, self.features), jnp.int8,
             )
             scale = self.param(
                 "scale", nn.initializers.ones_init(),

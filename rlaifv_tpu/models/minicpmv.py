@@ -97,7 +97,7 @@ class MiniCPMVConfig:
         """Single-chip serving: Llama3-8B bf16 alone is 16G; int8 LM +
         int8 KV fits next to the bf16 SigLIP-400M tower (~10G total).
         Convert with models.convert.quantize_llm_int8(params['llm'],
-        include_lm_head=False) — or quantize_llm_int4 with bits=4 (s4
+        include_lm_head=False) — or quantize_llm_int4 with bits=4 (packed int4
         LM base 4G: half the decode weight traffic again)."""
         return MiniCPMVConfig(
             llm=LlamaConfig.llama3_8b(

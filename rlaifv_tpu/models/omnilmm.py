@@ -66,7 +66,7 @@ class OmniLMMConfig:
         """Single-chip 12B serving: int8 LM + int8 KV cache + int8 EVA
         tower (4.4G instead of 8.8G — bf16 12B cannot load on 16G at
         all; the reference labels with this model on A100-80G,
-        script/data_gen/omnilmm/omnilmm_autocheck.sh). bits=4: native-s4
+        script/data_gen/omnilmm/omnilmm_autocheck.sh). bits=4: nibble-packed int4
         weights on both towers (5.8G total) — decode bandwidth AND memory
         headroom."""
         return OmniLMMConfig(

@@ -97,10 +97,10 @@ class FusedDecodeDims:
     bn_o: int
     bi: int
     # int4 mode (QuantDense bits=4 / convert.quantize_llm_int4): weights
-    # stream as native s4 (XLA packs two per byte in HBM) with group-wise
-    # scales; weight HBM traffic HALVES vs int8, which is the decode
-    # floor. Group sizes follow the checkpoint layout
-    # (ops/int4_matmul.pick_int4_group per matrix).
+    # stream as nibble-packed int8 (two per byte; ops/int4_matmul
+    # pack_int4 layout) with group-wise scales; weight HBM traffic HALVES
+    # vs int8, which is the decode floor. Group sizes follow the
+    # checkpoint layout (ops/int4_matmul.pick_int4_group per matrix).
     w4: bool = False
     g_d: int = 128     # group along D (qkv + gate/up contractions)
     g_o: int = 128     # group along H*Dh (o contraction; % Dh == 0)
@@ -255,10 +255,11 @@ def stack_llama_params(llm_params: dict, cfg, *, consume: bool = False) -> dict:
             z = jnp.zeros(a.shape[:-1] + (Ip - I,), a.dtype)
             return jnp.concatenate([a[..., :I], z, a[..., I:], z], axis=-1)
 
-        def pad_down(a):  # (n, I, D) -> (n, Ip, D)
+        def pad_down(a):  # (n, I, D) -> (n, Ip, D); w4 packed: I/2 -> Ip/2
             if Ip == I:
                 return a
-            z = jnp.zeros((a.shape[0], Ip - I, a.shape[2]), a.dtype)
+            rows = (Ip - I) // 2 if w4 else Ip - I
+            z = jnp.zeros((a.shape[0], rows, a.shape[2]), a.dtype)
             return jnp.concatenate([a, z], axis=1)
 
         def pad_groups(a):  # (n, I/g, D) -> (n, Ip/g, D), zero groups
@@ -283,18 +284,18 @@ def stack_llama_params(llm_params: dict, cfg, *, consume: bool = False) -> dict:
                 ),
             }
 
-        # int4: kernels keep the logical (K, N) shape in s4; scales are
-        # 2-D (K/g, N). Zero-padded s4 columns/rows and zero-scale groups
+        # int4: kernels are nibble-packed int8 at (K/2, N); scales are
+        # 2-D (K/g, N). Zero-padded bytes/columns and zero-scale groups
         # are exact for the same reason as int8 (integer contributions of
         # zero are zero; silu(0)*0 = 0).
         return {
-            "wqkv": jnp.stack(wqkv),           # (n, D, Nq) s4
+            "wqkv": jnp.stack(wqkv),           # (n, D/2, Nq) packed
             "sqkv": jnp.stack(sqkv),           # (n, D/g_d, Nq)
-            "wo": jnp.stack(wo),               # (n, H*Dh, D) s4
+            "wo": jnp.stack(wo),               # (n, H*Dh/2, D) packed
             "so": jnp.stack(so),               # (n, H*Dh/g_o, D)
-            "wgu": pad_gu(jnp.stack(wgu)),     # (n, D, 2Ip) s4
+            "wgu": pad_gu(jnp.stack(wgu)),     # (n, D/2, 2Ip) packed
             "sgu": pad_gu(jnp.stack(sgu)),     # (n, D/g_d, 2Ip)
-            "wdown": pad_down(jnp.stack(wdown)),  # (n, Ip, D) s4
+            "wdown": pad_down(jnp.stack(wdown)),  # (n, Ip/2, D) packed
             "sdown": pad_groups(jnp.stack(sdown)),  # (n, Ip/g, D)
             "ln": jnp.stack([jnp.stack(pair) for pair in ln]).astype(
                 jnp.float32
@@ -384,8 +385,8 @@ def stacked_prefill_tower(stacked, scache, embeds, mask, pos, cfg,
     Ip, _ = _pick_intermediate(cfg.intermediate_size)
     w4 = getattr(cfg, "quantize_bits", 8) == 4
     if w4:
-        # int4 stacked layout: native s4 at the logical (K, N) shapes, so
-        # the generic int4 matmul applies directly (group size derives
+        # int4 stacked layout: nibble-packed int8 at (K/2, N), so the
+        # generic int4 matmul applies directly (group size derives
         # from the scale shape, bit-identical to QuantDense(bits=4))
         from rlaifv_tpu.ops.int4_matmul import int4_matmul_grad
 
@@ -526,19 +527,31 @@ def _quant_rows(x):
     return q, s
 
 
-def _gdot4(xq, q4, s2d, g):
-    """Group-scaled int4 matmul tile: xq (B, K) int8, q4 (K, bn) s4 tile,
-    s2d (K/g, bn) group scales -> (B, bn) f32 (missing only the per-row
-    activation scale). The s4 tile converts to int8 once (a native Mosaic
-    op), then one int8 MXU sub-dot per group, f32 rescale-accumulate —
-    the group scale sits inside the contraction so it cannot fold into
-    one output rescale the way int8's per-column scales do."""
-    q8 = q4.astype(jnp.int8)
-    ng = q8.shape[0] // g
+def _unpack4(qp, g):
+    """(g/2, n) packed byte rows of ONE group -> (g, n) int8 in natural
+    order (ops/int4_matmul pack_int4 layout: lo block then hi block).
+    i32 widen + shift/mask — i8 shifts do not legalize in Mosaic and the
+    s4 dtype cannot be laid out for a Pallas operand on this runtime."""
+    b = qp.astype(jnp.int32)
+    lo = ((b & 0xF) ^ 8) - 8
+    hi = b >> 4
+    return jnp.concatenate([lo, hi], axis=0).astype(jnp.int8)
+
+
+def _gdot4(xq, qp, s2d, g):
+    """Group-scaled int4 matmul tile: xq (B, K) int8, qp (K/2, bn) packed
+    tile, s2d (K/g, bn) group scales -> (B, bn) f32 (missing only the
+    per-row activation scale). Each group's bytes unpack to int8 in VMEM,
+    then one int8 MXU sub-dot per group, f32 rescale-accumulate — the
+    group scale sits inside the contraction so it cannot fold into one
+    output rescale the way int8's per-column scales do."""
+    hg = g // 2
+    ng = (2 * qp.shape[0]) // g
     out = None
     for i in range(ng):
+        q8 = _unpack4(qp[i * hg : (i + 1) * hg], g)
         part = jax.lax.dot_general(
-            xq[:, i * g : (i + 1) * g], q8[i * g : (i + 1) * g],
+            xq[:, i * g : (i + 1) * g], q8,
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32,
         ).astype(jnp.float32) * s2d[i : i + 1, :]
@@ -745,7 +758,12 @@ def _kernel(
             # group scales are per-head-constant (g_o % Dh == 0 asserted
             # in default_dims), applied before the head sum like the
             # per-(head, row) activation scales
-            w = wo_ref[0].astype(jnp.int8).reshape(d.H, d.Dh, d.bn_o)
+            hgo = d.g_o // 2
+            ngo = d.H * d.Dh // d.g_o
+            w = jnp.concatenate(
+                [_unpack4(wo_ref[0][i * hgo : (i + 1) * hgo], d.g_o)
+                 for i in range(ngo)], axis=0,
+            ).reshape(d.H, d.Dh, d.bn_o)
             hpg = d.g_o // d.Dh
             sh = so_ref[0]  # (H*Dh/g_o, bn)
             if hpg > 1:
@@ -905,24 +923,28 @@ def fused_decode_step(
         return (0, 0)
 
     N = d.H * B
-    # weight blocks keep the logical (K, N) shapes under int4 (native s4
-    # dtype — XLA/Mosaic own the nibble packing); only the scale blocks
-    # differ (2-D group scales instead of leading-singleton per-column)
+    # under int4 the weight blocks halve their row counts (nibble-packed
+    # int8 (K/2, N) — ops/int4_matmul pack_int4 layout; group-local, so
+    # whole-group tiles unpack without global context) and the scale
+    # blocks are 2-D group scales instead of leading-singleton per-column
+    kq_rows = d.D // 2 if d.w4 else d.D
+    ko_rows = d.H * d.Dh // 2 if d.w4 else d.H * d.Dh
+    kd_rows = d.bi // 2 if d.w4 else d.bi
     sq_rows = d.D // d.g_d if d.w4 else 1
     so_rows = d.H * d.Dh // d.g_o if d.w4 else 1
     sd_rows = d.bi // d.g_down if d.w4 else 1
     w_specs = [
-        pl.BlockSpec((1, d.D, d.bn_qkv), qkv_map),            # wqkv
+        pl.BlockSpec((1, kq_rows, d.bn_qkv), qkv_map),        # wqkv
         pl.BlockSpec((1, sq_rows, d.bn_qkv), sqkv_map),       # sqkv
     ]
     o_specs = [
-        pl.BlockSpec((1, d.H * d.Dh, d.bn_o), o_map),         # wo
+        pl.BlockSpec((1, ko_rows, d.bn_o), o_map),            # wo
         pl.BlockSpec((1, so_rows, d.bn_o), so_map),           # so
     ]
     mlp_specs = [
-        pl.BlockSpec((1, d.D, d.bi), gu_map),                 # wgu
+        pl.BlockSpec((1, kq_rows, d.bi), gu_map),             # wgu
         pl.BlockSpec((1, sq_rows, d.bi), sgu_map),            # sgu
-        pl.BlockSpec((1, d.bi, d.D), down_map),               # wdown
+        pl.BlockSpec((1, kd_rows, d.D), down_map),            # wdown
         pl.BlockSpec((1, sd_rows, d.D), sdown_map),           # sdown
     ]
     grid_spec = pltpu.PrefetchScalarGridSpec(

@@ -70,6 +70,14 @@ def lora_init(
     for path in lora_target_paths(params, target, exclude):
         leaf = _get(params, path)
         fan_in = leaf.shape[0]
+        # packed-int4 base (QuantDense bits=4): the kernel stores two
+        # logical K rows per int8 byte and carries 2-D group scales; the
+        # adapter operates in the LOGICAL (K, N) space
+        module = _get(params, path.rsplit("/kernel", 1)[0])
+        scale = module.get("scale") if isinstance(module, dict) else None
+        if (np.ndim(scale) == 2
+                and getattr(leaf, "dtype", None) == jnp.int8):
+            fan_in *= 2
         rng, sub = jax.random.split(rng)
         bound = float(np.sqrt(6.0 / fan_in))
         a = jax.random.uniform(

@@ -55,7 +55,7 @@ def main():
     dtype = jnp.bfloat16 if on_tpu else jnp.float32
 
     tiny = os.environ.get("BENCH12B_TINY", "") == "1" or not on_tpu
-    bits = int(os.environ.get("BENCH12B_BITS", "8"))  # 8 | 4 (native s4)
+    bits = int(os.environ.get("BENCH12B_BITS", "8"))  # 8 | 4 (packed int4)
     if tiny:
         base = OmniLMMConfig.tiny()
         cfg = OmniLMMConfig(

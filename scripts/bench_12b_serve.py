@@ -52,7 +52,7 @@ def main():
 
     on_tpu = jax.devices()[0].platform == "tpu"
     tiny = os.environ.get("BENCH12B_TINY", "") == "1" or not on_tpu
-    bits = int(os.environ.get("BENCH12B_BITS", "8"))  # 8 | 4 (native s4)
+    bits = int(os.environ.get("BENCH12B_BITS", "8"))  # 8 | 4 (packed int4)
     if tiny:
         base = OmniLMMConfig.tiny()
         cfg = OmniLMMConfig(

@@ -44,7 +44,7 @@ def main():
 
     on_tpu = jax.devices()[0].platform == "tpu"
     tiny = os.environ.get("BENCH7B_TINY", "") == "1" or not on_tpu
-    bits = int(os.environ.get("BENCH7B_BITS", "8"))  # 8 | 4 (native s4)
+    bits = int(os.environ.get("BENCH7B_BITS", "8"))  # 8 | 4 (packed int4)
     if tiny:
         hw = (dict(hidden_size=256, intermediate_size=512, num_heads=2,
                    num_kv_heads=2, head_dim=128) if fused else {})

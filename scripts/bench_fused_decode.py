@@ -69,14 +69,14 @@ def main():
     Nq = d.Nq
 
     if d.w4:
-        stacked = {  # native s4 weights (XLA packs two per byte in HBM)
-            "wqkv": jnp.zeros((n, D, Nq), jnp.int4),
+        stacked = {  # nibble-packed int8 weights (two per byte in HBM)
+            "wqkv": jnp.zeros((n, D // 2, Nq), jnp.int8),
             "sqkv": jnp.ones((n, D // d.g_d, Nq), jnp.float32) * 0.01,
-            "wo": jnp.zeros((n, d.H * Dh, D), jnp.int4),
+            "wo": jnp.zeros((n, d.H * Dh // 2, D), jnp.int8),
             "so": jnp.ones((n, d.H * Dh // d.g_o, D), jnp.float32) * 0.01,
-            "wgu": jnp.zeros((n, D, 2 * I), jnp.int4),
+            "wgu": jnp.zeros((n, D // 2, 2 * I), jnp.int8),
             "sgu": jnp.ones((n, D // d.g_d, 2 * I), jnp.float32) * 0.01,
-            "wdown": jnp.zeros((n, I, D), jnp.int4),
+            "wdown": jnp.zeros((n, I // 2, D), jnp.int8),
             "sdown": jnp.ones((n, I // d.g_down, D), jnp.float32) * 0.01,
             "ln": jnp.ones((n, 2, D), jnp.float32),
         }

@@ -43,7 +43,7 @@ def main():
 
     on_tpu = jax.devices()[0].platform == "tpu"
     tiny = os.environ.get("BENCHMCV_TINY", "") == "1" or not on_tpu
-    bits = int(os.environ.get("BENCHMCV_BITS", "8"))  # 8 | 4 (native s4)
+    bits = int(os.environ.get("BENCHMCV_BITS", "8"))  # 8 | 4 (packed int4)
     import dataclasses
 
     if tiny:

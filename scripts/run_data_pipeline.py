@@ -178,7 +178,7 @@ def main():
                          "weight-only int8 + fused proj + int8 KV cache")
     ap.add_argument("--llm-int4", action="store_true",
                     help="serve the Llama3-8B divide/changeq models "
-                         "weight-only native-s4 int4 (half the int8 "
+                         "weight-only packed int4 (half the int8 "
                          "weight traffic on this decode-heavy stage)")
     ap.add_argument("--llm-fused-decode", action="store_true",
                     help="decode Llama3-8B with the whole-layer-stack "

@@ -379,7 +379,7 @@ def test_llama_int8_drift_goldens():
 
 
 def test_llama_int4_drift_goldens():
-    """int4 (native s4 + group-128 scales) quality gate on real weights:
+    """int4 (nibble-packed + group-128 scales) quality gate on real weights:
     greedy next-token agreement vs the recorded fp32 logits. Looser than
     the int8 gate (4-bit grouped quantization is the bitsandbytes-nf4
     quality class, not lossless) but still catches a broken converter or

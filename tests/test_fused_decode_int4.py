@@ -1,7 +1,8 @@
 """int4 fused decode kernel vs the per-layer flax decode path.
 
-Same harness as test_fused_decode.py, but the weights are native-s4 int4
-with group scales (convert.quantize_llm_int4 -> fuse_llm_projections). On
+Same harness as test_fused_decode.py, but the weights are nibble-packed
+int4 (int8 bytes, two logical rows each) with group scales
+(convert.quantize_llm_int4 -> fuse_llm_projections). On
 CPU the flax QuantDense(bits=4) fallback is the exact dequant matmul while
 the kernel (interpret mode) quantizes activations, so parity carries the
 same reassociation tolerance as the int8 tests. Geometry notes: tiny dims
@@ -69,13 +70,13 @@ def test_int4_dims_and_stacked_layout():
     assert dims.g_o % dims.Dh == 0
     stacked = stack_llama_params(params, cfg)
     D, H, Dh = dims.D, dims.H, dims.Dh
-    assert stacked["wqkv"].dtype == jnp.int4
-    assert stacked["wqkv"].shape[1] == D
+    assert stacked["wqkv"].dtype == jnp.int8  # nibble-packed rows
+    assert stacked["wqkv"].shape[1] == D // 2
     assert stacked["sqkv"].shape[1] == D // dims.g_d
-    assert stacked["wo"].shape[1] == H * Dh
+    assert stacked["wo"].shape[1] == H * Dh // 2
     assert stacked["so"].shape[1] == H * Dh // dims.g_o
-    assert stacked["wgu"].shape == (cfg.num_layers, D, 2 * dims.Ip)
-    assert stacked["wdown"].shape == (cfg.num_layers, dims.Ip, D)
+    assert stacked["wgu"].shape == (cfg.num_layers, D // 2, 2 * dims.Ip)
+    assert stacked["wdown"].shape == (cfg.num_layers, dims.Ip // 2, D)
     assert stacked["sdown"].shape[1] == dims.Ip // dims.g_down
 
 

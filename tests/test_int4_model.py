@@ -54,14 +54,13 @@ def test_int4_param_layout_and_forward_parity():
     fparams = _float_params(fmodel, ids)
     qllm = quantize_llm_int4(fparams)
 
-    # layout: native s4 kernels + group scales (tiny dims -> one group)
-    import ml_dtypes
-
+    # layout: nibble-packed int8 kernels + group scales (tiny dims -> one
+    # group)
     qp = qllm["model"]["layer_0"]["attn"]["q_proj"]
     K = cfg.hidden_size
     G = pick_int4_group(K)
-    assert qp["kernel"].shape == (K, cfg.num_heads * cfg.head_size)
-    assert qp["kernel"].dtype == ml_dtypes.int4
+    assert qp["kernel"].shape == (K // 2, cfg.num_heads * cfg.head_size)
+    assert qp["kernel"].dtype == np.int8
     assert qp["scale"].shape == (K // G, cfg.num_heads * cfg.head_size)
     # head stays float by default (include_lm_head=False)
     assert qllm["lm_head"]["kernel"].dtype == np.float32
@@ -125,9 +124,9 @@ def test_int4_fuse_quantize_commute():
     b = quantize_llm_int4(fuse_llm_projections(layer))
     # quantize_llm_int4 only matches q/k/v_proj module names; after fusion
     # the module is qkv_proj, which the walker skips — quantize first is
-    # the supported order. Verify that order produced the s4 layout:
+    # the supported order. Verify that order produced the packed layout:
     qkv = a["attn"]["qkv_proj"]  # tiny K=64 -> one group (G = K)
-    assert qkv["kernel"].shape == (64, 64) and qkv["scale"].shape == (1, 64)
+    assert qkv["kernel"].shape == (32, 64) and qkv["scale"].shape == (1, 64)
     # ... and the fused dequant equals per-part dequant concatenated
     parts = quantize_llm_int4(layer)["attn"]
     want = np.concatenate(

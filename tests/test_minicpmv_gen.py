@@ -195,7 +195,7 @@ def test_minicpmv_chat_int4(tiny_minicpmv_checkpoint):
     )
     assert chat.gen.cfg.llm.quantize and chat.gen.cfg.llm.quantize_bits == 4
     qp = chat.gen.params["llm"]["model"]["layer_0"]["attn"]["q_proj"]
-    assert qp["kernel"].dtype == jnp.int4
+    assert qp["kernel"].dtype == jnp.int8  # nibble-packed (K/2, N)
     rng = np.random.default_rng(0)
     img = rng.integers(0, 255, size=(90, 60, 3), dtype=np.uint8)
     out = chat.chat({"question": "what is shown?", "image": img})

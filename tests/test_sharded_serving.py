@@ -61,8 +61,10 @@ def test_tp_serving_matches_single_device():
 
 @pytest.mark.slow
 def test_tp_serving_int4_matches_single_device():
-    """tp=2 over a native-s4 int4 base: s4 kernels shard by the same
-    (fsdp, tp) rules as bf16/int8, the 2-D group scales replicate."""
+    """tp=2 over a packed-int4 base: the nibble-packed int8 kernels shard
+    by the same (fsdp, tp) rules as bf16/int8 (packing halves the K axis,
+    which is orthogonal to the tp column split), the 2-D group scales
+    replicate."""
     from rlaifv_tpu.models.convert import quantize_llm_int4
 
     cfg = LlamaConfig.tiny(quantize=True, quantize_bits=4,
@@ -83,7 +85,7 @@ def test_tp_serving_int4_matches_single_device():
     mesh = create_mesh(dp=1, fsdp=1, tp=2, devices=jax.devices()[:2])
     sharded = shard_params(params, mesh)
     assert sharded["model"]["layer_0"]["attn"]["q_proj"]["kernel"].dtype \
-        == jnp.int4
+        == jnp.int8  # nibble-packed (K/2, N)
     engine = DecodeEngine(model, sharded, eos_id=-1, pad_id=0)
     with mesh:
         got = engine.generate(prompts, **kw)

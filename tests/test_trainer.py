@@ -258,9 +258,9 @@ def test_qlora_trainer_int8_base(setup, tmp_path):
 
 @pytest.mark.slow
 def test_qlora_trainer_int4_base(setup, tmp_path):
-    """DPOTrainer LoRA path over a frozen native-s4 int4 base (the
+    """DPOTrainer LoRA path over a frozen packed-int4 base (the
     ORIGINAL QLoRA recipe: 4-bit base + bf16 adapters; train.py's
-    model.quantize_bits=4) — adapters move, the s4 base stays frozen."""
+    model.quantize_bits=4) — adapters move, the packed base stays frozen."""
     import dataclasses
 
     from rlaifv_tpu.models.convert import quantize_llm_int4
@@ -286,10 +286,10 @@ def test_qlora_trainer_int4_base(setup, tmp_path):
     )
     state = trainer.train()
     b = state.params["llm"]["model"]["layer_0"]["attn"]["q_proj"]["b"]
-    assert float(jnp.abs(b).sum()) > 0  # adapters moved through the s4 base
+    assert float(jnp.abs(b).sum()) > 0  # adapters moved via the packed base
     assert trainer.base_params["llm"]["model"]["layer_0"]["attn"]["q_proj"][
         "kernel"
-    ].dtype == jnp.int4
+    ].dtype == jnp.int8  # nibble-packed (K/2, N)
 
 
 @pytest.mark.slow
