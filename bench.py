@@ -1,8 +1,17 @@
 """Benchmark: DPO throughput on one chip — REAL 7B geometry + 470M proxy.
 
-Prints ONE JSON line:
+Prints at least ONE JSON line of the form:
   {"metric": "dpo_pairs_per_sec_per_chip", "value": N, "unit": "pairs/s",
    "vs_baseline": R, "real_geometry": {...}, ...}
+
+Output discipline (survives driver timeouts and tunnel deaths — round 4
+lost all its perf evidence to rc=124/empty-tail): the last committed
+result (BENCH_LAST.json) is printed FIRST with "stale": true, a watchdog
+thread force-emits the best-known line and exits before BENCH_DEADLINE_S
+(default 2700s), and a tunnel-health probe fails the real-geometry
+section over to stale fallbacks instead of letting one hung sub-bench
+burn the budget. The LAST JSON line in the output is always the most
+informative one.
 
 The headline `value` tracks the 470M proxy (comparable across every round);
 `real_geometry` carries the numbers that matter — LLaVA-1.5-**7B** QLoRA DPO
@@ -144,6 +153,24 @@ def _probe_platform(timeout_s: float = 120) -> str:
         return "?"
 
 
+def _probe_tunnel_health(timeout_s: float = 240) -> bool:
+    """One tiny jit with an int32 operand + f32 scalar fetch, in a
+    subprocess. The round-5 axon failure mode hangs exactly this (integer
+    operands/outputs stall while f32-only programs run) — failing fast
+    here saves the whole budget from being burned by the first sub-bench."""
+    try:
+        p = subprocess.run(
+            [sys.executable, "-c",
+             "import jax, jax.numpy as jnp, numpy as np;"
+             "a = jnp.asarray(np.arange(256, dtype=np.int32));"
+             "print(float(jax.jit(lambda x: x.astype(jnp.float32).sum())(a)))"],
+            capture_output=True, text=True, timeout=timeout_s,
+        )
+        return p.returncode == 0
+    except Exception:
+        return False
+
+
 def real_geometry_section() -> dict:
     """Driver-witnessed 7B-geometry numbers (VERDICT r2 next #1)."""
     platform = _probe_platform()
@@ -151,9 +178,6 @@ def real_geometry_section() -> dict:
         # the 7B sub-benches are interpret-mode-slow off-TPU; the stale
         # numbers are TPU-measured, so emitting them here would mislabel
         return {"skipped": f"non-tpu platform ({platform})"}
-    out = {}
-    budget = float(os.environ.get("BENCH_RG_BUDGET_S", "3000"))
-    t0 = time.perf_counter()
     stale_all = {}
     if os.path.exists(_STALE_FILE):
         try:
@@ -161,19 +185,34 @@ def real_geometry_section() -> dict:
                 stale_all = json.load(f)
         except Exception:
             stale_all = {}
+
+    def stale_for(name, reason):
+        stale = dict(stale_all.get(name) or {})
+        stale["stale"] = True
+        stale["stale_reason"] = reason[:200]
+        return stale
+
+    if not _probe_tunnel_health():
+        return {
+            name: stale_for(name, "tunnel unhealthy: int32-operand jit "
+                            "hangs (axon degraded state)")
+            for name, _, _ in _RG_SUBBENCHES
+        }
+    out = {}
+    budget = float(os.environ.get("BENCH_RG_BUDGET_S", "1800"))
+    per_bench = float(os.environ.get("BENCH_RG_PER_BENCH_S", "600"))
+    t0 = time.perf_counter()
     for name, script, extra in _RG_SUBBENCHES:
         remaining = budget - (time.perf_counter() - t0)
         try:
             if remaining < 30:
                 raise TimeoutError(f"budget exhausted ({budget:.0f}s)")
-            res = _run_sub(script, extra, remaining)
+            res = _run_sub(script, extra, min(remaining, per_bench))
             res["stale"] = False
             out[name] = res
+            _partials[name] = res  # watchdog emits these on a late hang
         except Exception as e:  # budget / OOM / crash -> last committed
-            stale = dict(stale_all.get(name) or {})
-            stale["stale"] = True
-            stale["stale_reason"] = f"{type(e).__name__}: {e}"[:200]
-            out[name] = stale
+            out[name] = stale_for(name, f"{type(e).__name__}: {e}")
     return out
 
 
@@ -184,6 +223,9 @@ def main():
 
         sharded_main()
         return
+
+    _emit_stale_first()
+    _start_watchdog()
 
     # real-geometry sub-benches run FIRST: they need the whole chip, and the
     # proxy bench below initializes jax in this process (device lock)
@@ -390,7 +432,7 @@ def main():
         pass
 
     ref_a100 = 0.45 * 312e12 / fpp  # analytic reference estimate (see docstring)
-    print(json.dumps({
+    result = {
         "metric": "dpo_pairs_per_sec_per_chip",
         "value": round(pairs_per_sec, 3),
         "unit": "pairs/s",
@@ -412,7 +454,14 @@ def main():
             "platform": dev.platform,
             "device": str(dev),
         },
-    }))
+    }
+    print(json.dumps(result), flush=True)
+    if on_tpu:  # the next round's pre-run fallback is this fresh line
+        try:
+            with open(_LAST_FILE, "w") as f:
+                json.dump(result, f, indent=1)
+        except OSError:
+            pass
 
 
 if __name__ == "__main__":
