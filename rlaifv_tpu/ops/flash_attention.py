@@ -51,6 +51,15 @@ NEG_INF = -1e30
 DEFAULT_BLOCK_Q = 512
 
 
+def _interpret() -> bool:
+    """Interpret off-TPU so the same kernels run (slowly) in CPU CI — the
+    in-suite contract gate between tunnel windows; compiled execution is
+    still validated by tests/run_tpu_checks.py on hardware."""
+    import jax
+
+    return jax.default_backend() != "tpu"
+
+
 def _pick_block_q(L: int) -> Optional[int]:
     for b in (DEFAULT_BLOCK_Q, 256, 128):
         if L % b == 0:
@@ -137,6 +146,7 @@ def _fwd(q, k, v, mask, scale, causal, block_q, q_offset=0):
             jax.ShapeDtypeStruct((B, H, Lq, D), q.dtype),
             jax.ShapeDtypeStruct((B, H, 8, Lq), jnp.float32),
         ],
+        interpret=_interpret(),
     )(mask[:, None, :], q, k, v)
     return out, lse
 
@@ -281,6 +291,7 @@ def _bwd(scale, causal, block_q, q_offset, res, g):
         out_specs=pl.BlockSpec((1, 1, block_q, D), lambda b, h, i: (b, h, i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, H, Lq, D), q.dtype),
+        interpret=_interpret(),
     )(mask3, q, k, v, do, lse, delta)
 
     block_k = block_q
@@ -329,6 +340,7 @@ def _bwd(scale, causal, block_q, q_offset, res, g):
             pltpu.VMEM((block_k, D), jnp.float32),
             pltpu.VMEM((block_k, D), jnp.float32),
         ],
+        interpret=_interpret(),
     )(mask3, qg, k, v, dog, lseg, deltag)
 
     # reshape dkv kernel views back; mask grad is None
