@@ -125,6 +125,9 @@ _RG_SUBBENCHES = [
     # trips, the headline metrics above are already fresh.
     ("fused_decode_int8", "bench_fused_decode.py", {}),
     ("fused_decode_int4", "bench_fused_decode.py", {"BENCHFD_BITS": "4"}),
+    # single-stream exact-greedy speculation (genai/lookup_decode.py):
+    # plain-vs-window step cost at llama3-8B serving geometry
+    ("lookup_decode", "bench_lookup_decode.py", {}),
 ]
 
 

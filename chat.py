@@ -32,7 +32,8 @@ class RLAIFV7B:
 
     def __init__(self, model_path: str, model_base: Optional[str] = None,
                  max_new_tokens: int = 1024, load_8bit: bool = False,
-                 load_4bit: bool = False, kv_int8: bool = False):
+                 load_4bit: bool = False, kv_int8: bool = False,
+                 lookup_decode: bool = False):
         import jax
         import numpy as np
 
@@ -83,6 +84,14 @@ class RLAIFV7B:
             pad_id=self.tokenizer.pad_token_id or 0,
         )
         self.max_new_tokens = max_new_tokens
+        # prompt-lookup speculative greedy (genai/lookup_decode.py): a
+        # SPEED mode — exact greedy tokens, fewer decode steps. The
+        # reference default stays beam-3 (ref chat.py:169-178); lookup
+        # needs the bf16-KV window path, so it excludes --kv-int8.
+        if lookup_decode and kv_int8:
+            raise ValueError("--lookup-decode needs the bf16 KV cache "
+                             "(drop --kv-int8)")
+        self.lookup_decode = lookup_decode
         self.mm_use_im_start_end = False
         self.image_newline = None
         if cfg.image_aspect_ratio == "anyres":
@@ -137,6 +146,19 @@ class RLAIFV7B:
                 decode_image(input["image"])
             )
 
+            if self.lookup_decode:
+                from rlaifv_tpu.genai.lookup_decode import lookup_generate
+
+                res = lookup_generate(
+                    self.engine, ex["input_ids"].tolist(),
+                    images=image[None],
+                    image_starts=[int(ex["image_start"])],
+                    max_new_tokens=self.max_new_tokens,
+                )
+                return self.tokenizer.decode(
+                    res.tokens, skip_special_tokens=True
+                ).strip()
+
             # ref chat.py:169-178: do_sample=False, num_beams=3
             result = self.engine.generate_beam(
                 [ex["input_ids"].tolist()],
@@ -153,7 +175,8 @@ class RLAIFVChat:
     """Pick the model family by path substring (ref chat.py:221-228)."""
 
     def __init__(self, model_path: str, load_8bit: bool = False,
-                 load_4bit: bool = False, kv_int8: bool = False):
+                 load_4bit: bool = False, kv_int8: bool = False,
+                 lookup_decode: bool = False):
         if "12B" in model_path:
             from rlaifv_tpu.genai.omni_gen import OmniLMMChat  # noqa: F401
 
@@ -178,7 +201,8 @@ class RLAIFVChat:
                 )
             self.model = RLAIFV7B(model_path, model_base=base,
                                   load_8bit=load_8bit, load_4bit=load_4bit,
-                                  kv_int8=kv_int8)
+                                  kv_int8=kv_int8,
+                                  lookup_decode=lookup_decode)
 
     def chat(self, input: dict) -> str:
         return self.model.chat(input)
@@ -197,8 +221,13 @@ if __name__ == "__main__":
     ap.add_argument("--load-4bit", action="store_true",
                     help="weight-only packed int4 LLM, group-128 scales "
                          "(halves weight HBM again vs int8)")
+    ap.add_argument("--lookup-decode", action="store_true",
+                    help="7B only: exact-greedy prompt-lookup speculation "
+                         "instead of beam-3 — same-quality class, fewer "
+                         "decode steps (genai/lookup_decode.py)")
     args = ap.parse_args()
 
     chat_model = RLAIFVChat(args.model_path, load_8bit=args.load_8bit,
-                            load_4bit=args.load_4bit, kv_int8=args.kv_int8)
+                            load_4bit=args.load_4bit, kv_int8=args.kv_int8,
+                            lookup_decode=args.lookup_decode)
     print(chat_model.chat({"image": args.image, "question": args.question}))
