@@ -558,12 +558,66 @@ def run_section_inprocess(name: str) -> int:
     return 1 if failures else 0
 
 
+def _flush_summary(results, t_start, final=False):
+    n_pass = sum(1 for r in results.values() if r["status"] == "PASS")
+    summary = {
+        "passed": n_pass,
+        "failed": len(results) - n_pass,
+        "total": len(results),
+        "complete": final,
+        "seconds": round(time.time() - t_start, 1),
+        "sections": {k: v["status"] for k, v in results.items()},
+    }
+    try:
+        with open(os.path.join(_ROOT, "TPU_CHECKS.json"), "w") as f:
+            json.dump({**summary, "detail": results}, f, indent=1)
+    except OSError:
+        pass
+    return summary
+
+
 def run_all(only=None, timeout_s: float = None) -> int:
     timeout_s = timeout_s or float(os.environ.get("TPU_CHECK_TIMEOUT_S", 900))
     names = [n for n in SECTIONS if not only or n in only]
+    # resume support: previously-PASSed sections (recorded by an earlier,
+    # possibly killed run) can be skipped with TPU_CHECK_RESUME=1 — healthy
+    # tunnel windows are short, so the gate accumulates across them
     results = {}
+    if os.environ.get("TPU_CHECK_RESUME") == "1":
+        try:
+            with open(os.path.join(_ROOT, "TPU_CHECKS.json")) as f:
+                prev = json.load(f).get("detail", {})
+            results = {k: v for k, v in prev.items()
+                       if v.get("status") == "PASS" and k in names}
+            if results:
+                print("resuming; already PASSed:", ", ".join(results),
+                      flush=True)
+        except Exception:
+            pass
     t_start = time.time()
     for name in names:
+        if name in results:
+            continue
+        if os.environ.get("TPU_CHECK_HEALTH_ABORT") == "1":
+            # the round-5 axon failure mode: integer-operand programs hang
+            # while f32 runs — a quick probe between sections stops a run
+            # the moment the tunnel sickens instead of burning the
+            # per-section timeout on every remaining section
+            try:
+                hp = subprocess.run(
+                    [sys.executable, "-c",
+                     "import jax, jax.numpy as jnp, numpy as np;"
+                     "a = jnp.asarray(np.arange(256, dtype=np.int32));"
+                     "print(float(jax.jit(lambda x: x.astype("
+                     "jnp.float32).sum())(a)))"],
+                    capture_output=True, timeout=75,
+                ).returncode == 0
+            except Exception:
+                hp = False
+            if not hp:
+                print(f"tunnel unhealthy before section {name} — "
+                      "aborting this run (PASS record kept)", flush=True)
+                break
         for attempt in (1, 2):
             t0 = time.time()
             status, tail = "PASS", ""
@@ -588,25 +642,15 @@ def run_all(only=None, timeout_s: float = None) -> int:
                 print("  " + "\n  ".join(tail.splitlines()[-6:]), flush=True)
             results[name] = {"status": status, "seconds": round(dt, 1),
                              "attempt": attempt, "tail": tail}
+            _flush_summary(results, t_start)  # survive a mid-run kill
             if status == "PASS":
                 break
-    n_pass = sum(1 for r in results.values() if r["status"] == "PASS")
-    summary = {
-        "passed": n_pass,
-        "failed": len(results) - n_pass,
-        "total": len(results),
-        "seconds": round(time.time() - t_start, 1),
-        "sections": {k: v["status"] for k, v in results.items()},
-    }
+    summary = _flush_summary(results, t_start, final=True)
+    n_pass = summary["passed"]
     print("TPU kernel checks:",
           "PASS" if n_pass == len(results) else
           f"{len(results) - n_pass} FAILURES")
     print(json.dumps(summary), flush=True)
-    try:
-        with open(os.path.join(_ROOT, "TPU_CHECKS.json"), "w") as f:
-            json.dump({**summary, "detail": results}, f, indent=1)
-    except OSError:
-        pass
     return 0 if n_pass == len(results) else 1
 
 
