@@ -1,0 +1,163 @@
+"""Activation-aware smoothing for int4 quantization (AWQ/SmoothQuant).
+
+Group-128 int4 (ops/int4_matmul.py) loses the most where activations
+carry rare large channels (the LLM.int8 observation): one outlier column
+inflates a whole group's scale. The classic fix (AWQ, arXiv:2306.00978;
+SmoothQuant, arXiv:2211.10438) migrates that difficulty into the weights
+BEFORE quantization with a per-in-channel scale s:
+
+    y = (x / s) @ (W * s[:, None])        — mathematically identical
+
+and the division by s folds EXACTLY into the producer of x, so runtime
+cost is zero:
+
+  - q/k/v_proj and gate/up_proj read an RMSNorm output: gamma' = gamma/s.
+  - down_proj reads silu(gate) * up, which is LINEAR in up: scaling
+    up_proj's output columns by 1/s scales down's input channels by 1/s.
+    The column scaling is absorbed bit-exactly by up's own per-(group,
+    column) quantization scales — quantized integers are unchanged.
+  - o_proj is left unsmoothed: its input is a softmax-convex combination
+    of v rows (outliers already averaged down), and the v-side fold
+    would couple into RoPE'd attention numerics for no measured gain
+    (AWQ finds o least sensitive too).
+
+s_k = amax_x(k)^alpha / amax_w(k)^(1-alpha), geometric-mean-normalized
+(the SmoothQuant form; alpha=0.5 default). Calibration statistics come
+from `collect_llm_act_amax` — one forward over a calibration batch with
+flax capture_intermediates limited to the three producer modules.
+
+Reference surface: this upgrades the loader's `load_4bit` path
+(ref llava/model/builder.py:30-49 uses bitsandbytes nf4, whose
+double-quantization plays the same robustness role).
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Tree = Dict[str, Any]
+
+_CAPTURE = ("ln_attn", "ln_mlp", "gate_proj", "up_proj", "gate_up_proj")
+
+
+def collect_llm_act_amax(model, params: Tree, ids) -> Tree:
+    """Per-in-channel |activation| maxima for the smoothable projections.
+
+    Runs `model` (a bare LlamaForCausalLM) over `ids` (B, L) capturing
+    only the producer modules' outputs. Returns
+    {"layer_i": {"attn_in": (D,), "mlp_in": (D,), "down_in": (I,)}}.
+    """
+    def keep(mdl, method_name):
+        return method_name == "__call__" and mdl.name in _CAPTURE
+
+    _, state = model.apply(
+        {"params": params}, jnp.asarray(ids),
+        capture_intermediates=keep, mutable=["intermediates"],
+    )
+    inter = state["intermediates"]
+    # bare LM: {"model": {"layer_i": {...}}}
+    layers = inter["model"]
+
+    def amax(t):
+        return np.asarray(
+            jnp.max(jnp.abs(t.astype(jnp.float32)), axis=tuple(
+                range(t.ndim - 1)))
+        )
+
+    out = {}
+    for lname, mods in layers.items():
+        if not lname.startswith("layer_"):
+            continue
+        rec = {
+            "attn_in": amax(mods["ln_attn"]["__call__"][0]),
+            "mlp_in": amax(mods["ln_mlp"]["__call__"][0]),
+        }
+        mlp = mods.get("mlp", {})
+        if "gate_up_proj" in mlp:
+            gu = mlp["gate_up_proj"]["__call__"][0].astype(jnp.float32)
+            I = gu.shape[-1] // 2
+            down_in = jax.nn.silu(gu[..., :I]) * gu[..., I:]
+        else:
+            g = mlp["gate_proj"]["__call__"][0].astype(jnp.float32)
+            u = mlp["up_proj"]["__call__"][0].astype(jnp.float32)
+            down_in = jax.nn.silu(g) * u
+        rec["down_in"] = amax(down_in)
+        out[lname] = rec
+    return out
+
+
+def _smooth_scale(act_amax: np.ndarray, w_amax: np.ndarray,
+                  alpha: float) -> np.ndarray:
+    a = np.maximum(np.asarray(act_amax, np.float64), 1e-8)
+    w = np.maximum(np.asarray(w_amax, np.float64), 1e-8)
+    s = a ** alpha / w ** (1.0 - alpha)
+    s = s / np.exp(np.mean(np.log(s)))  # geometric mean 1: pure migration
+    return np.clip(s, 1e-3, 1e3).astype(np.float32)
+
+
+def smooth_llm_for_int4(llm_params: Tree, act_amax: Tree,
+                        alpha: float = 0.5) -> Tree:
+    """Float param tree -> float param tree with the smoothing folds
+    applied. Model outputs are mathematically unchanged (fp32 identical
+    up to reassociation); quantize AFTER this, fuse after that."""
+    params = jax.tree.map(lambda x: np.asarray(x, np.float32), llm_params)
+    model = params["model"]
+    for lname, stats in act_amax.items():
+        layer = model[lname]
+        attn, mlp = layer["attn"], layer["mlp"]
+
+        def wk(mod):  # (K, N) kernel
+            return mod["kernel"]
+
+        # ---- qkv (shared RMSNorm producer -> one joint s)
+        qkv_mods = ([attn["qkv_proj"]] if "qkv_proj" in attn
+                    else [attn["q_proj"], attn["k_proj"], attn["v_proj"]])
+        w_amax = np.max(
+            np.stack([np.abs(wk(m)).max(axis=1) for m in qkv_mods]), axis=0
+        )
+        s = _smooth_scale(stats["attn_in"], w_amax, alpha)
+        layer["ln_attn"]["scale"] = layer["ln_attn"]["scale"] / s
+        for m in qkv_mods:
+            m["kernel"] = wk(m) * s[:, None]
+
+        # ---- gate/up (shared ln_mlp producer)
+        gu_mods = ([mlp["gate_up_proj"]] if "gate_up_proj" in mlp
+                   else [mlp["gate_proj"], mlp["up_proj"]])
+        w_amax = np.max(
+            np.stack([np.abs(wk(m)).max(axis=1) for m in gu_mods]), axis=0
+        )
+        s = _smooth_scale(stats["mlp_in"], w_amax, alpha)
+        layer["ln_mlp"]["scale"] = layer["ln_mlp"]["scale"] / s
+        for m in gu_mods:
+            m["kernel"] = wk(m) * s[:, None]
+
+        # ---- down (producer = up's output columns; linear in up)
+        w_amax = np.abs(wk(mlp["down_proj"])).max(axis=1)
+        s = _smooth_scale(stats["down_in"], w_amax, alpha)
+        mlp["down_proj"]["kernel"] = wk(mlp["down_proj"]) * s[:, None]
+        if "gate_up_proj" in mlp:
+            k = mlp["gate_up_proj"]["kernel"]
+            I = k.shape[1] // 2
+            mlp["gate_up_proj"]["kernel"] = np.concatenate(
+                [k[:, :I], k[:, I:] / s[None, :]], axis=1
+            )
+        else:
+            mlp["up_proj"]["kernel"] = mlp["up_proj"]["kernel"] / s[None, :]
+    return params
+
+
+def quantize_llm_int4_smooth(model, llm_params: Tree, calib_ids,
+                             alpha: float = 0.5,
+                             act_amax: Optional[Tree] = None) -> Tree:
+    """Calibrate (one forward over calib_ids) -> smooth -> group-128
+    packed int4 (convert.quantize_llm_int4 layout). Pass `act_amax` to
+    reuse recorded statistics instead of running calibration."""
+    from rlaifv_tpu.models.convert import quantize_llm_int4
+
+    if act_amax is None:
+        act_amax = collect_llm_act_amax(model, llm_params, calib_ids)
+    smoothed = smooth_llm_for_int4(llm_params, act_amax, alpha)
+    return quantize_llm_int4(smoothed)

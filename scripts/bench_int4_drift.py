@@ -122,6 +122,13 @@ def main():
     toks_f = greedy(params)
     toks_8 = greedy(quantize_llm_int8(params, include_lm_head=False), 8)
     toks_4 = greedy(quantize_llm_int4(params), 4)
+    # AWQ-style smoothed int4 (models/quant_smooth.py): calibrate on the
+    # same prompt, fold the scales, quantize
+    from rlaifv_tpu.models.quant_smooth import quantize_llm_int4_smooth
+
+    toks_4s = greedy(
+        quantize_llm_int4_smooth(model, params, ids), 4
+    )
 
     def agree(a, b):
         n = min(len(a), len(b))
@@ -137,6 +144,7 @@ def main():
         "detail": {
             "geometry": "tiny" if tiny else "7b-slice-4layer",
             "int8_greedy_agreement": agree(toks_f, toks_8),
+            "int4_smooth_greedy_agreement": agree(toks_f, toks_4s),
             "layer_rel_drift_int4_g128": round(layer_rel4, 4),
             "layer_rel_drift_int8_percol": round(layer_rel8, 4),
             "decode_steps": steps,
