@@ -205,11 +205,18 @@ def real_geometry_section() -> dict:
     budget = float(os.environ.get("BENCH_RG_BUDGET_S", "1800"))
     per_bench = float(os.environ.get("BENCH_RG_PER_BENCH_S", "600"))
     t0 = time.perf_counter()
+    sick = False
     for name, script, extra in _RG_SUBBENCHES:
         remaining = budget - (time.perf_counter() - t0)
         try:
             if remaining < 30:
                 raise TimeoutError(f"budget exhausted ({budget:.0f}s)")
+            if sick or not _probe_tunnel_health(90):
+                # re-probe between entries: the tunnel sickens mid-run on
+                # this runtime; stale-fall the rest instead of burning
+                # per_bench on each
+                sick = True
+                raise RuntimeError("tunnel went unhealthy mid-section")
             res = _run_sub(script, extra, min(remaining, per_bench))
             res["stale"] = False
             out[name] = res
