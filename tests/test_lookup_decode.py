@@ -30,7 +30,8 @@ def _greedy_reference(engine, prompt, max_new):
     return toks
 
 
-@pytest.mark.parametrize("ngram,k", [(2, 4), (3, 8)])
+@pytest.mark.parametrize("ngram,k", [pytest.param(2, 4, marks=pytest.mark.slow),
+                                     (3, 8)])
 def test_lookup_matches_plain_greedy(ngram, k):
     cfg, engine = _engine()
     rng = np.random.default_rng(5)
@@ -92,6 +93,7 @@ def test_lookup_eos_truncation():
     assert got.tokens == want
 
 
+@pytest.mark.slow
 def test_lookup_multimodal_matches_plain_greedy():
     """Vision prompt: the spliced-embedding prefill feeds the same window
     loop; tokens must match the engine's plain greedy decode."""
@@ -124,3 +126,14 @@ def test_lookup_multimodal_matches_plain_greedy():
     got = lookup_generate(engine, prompt, images=img, image_starts=starts,
                           max_new_tokens=12, draft_len=4, ngram=2)
     assert got.tokens == want_toks
+
+
+def test_lookup_short_prompt_edge():
+    """Prompt shorter than the n-gram: lookup degrades to plain greedy
+    (no match possible) without shape errors."""
+    cfg, engine = _engine(seed=4)
+    prompt = [7, 9]  # shorter than ngram=3
+    want = _greedy_reference(engine, prompt, 6)
+    got = lookup_generate(engine, prompt, max_new_tokens=6, draft_len=4,
+                          ngram=3)
+    assert got.tokens == want
