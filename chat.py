@@ -58,6 +58,12 @@ class RLAIFV7B:
             # int8 decode cache: ~1% decode-logit quantization error,
             # half the cache memory/bandwidth (prefill stays exact)
             llm_over["kv_cache_dtype"] = "int8"
+        # RLAIFV_INT4_SMOOTH=1: activation-aware (AWQ-style) smoothing
+        # before int4 quantization (models/quant_smooth.py) — plays the
+        # robustness role bitsandbytes nf4's double quantization plays in
+        # the reference loader. Calibrates on one short text forward.
+        int4_smooth = (load_4bit
+                       and os.environ.get("RLAIFV_INT4_SMOOTH") == "1")
         overrides = {"llm": llm_over} if llm_over else {}
         cfg = llava_config_from_hf(model_base or model_path, **overrides)
         self.cfg = cfg
@@ -67,7 +73,8 @@ class RLAIFV7B:
         params = load_pretrained_llava(
             model_path, model_base=model_base,
             vision_layers_to_run=cfg.vision.layers_to_run,
-            quantize_llm="int4" if load_4bit else load_8bit,
+            quantize_llm=(False if int4_smooth
+                          else "int4" if load_4bit else load_8bit),
         )
 
         try:
@@ -77,6 +84,23 @@ class RLAIFV7B:
             )
         except (ValueError, OSError):
             self.tokenizer = AutoTokenizer.from_pretrained(model_path)
+
+        if int4_smooth:
+            from rlaifv_tpu.models.llama import LlamaForCausalLM
+            from rlaifv_tpu.models.quant_smooth import (
+                quantize_llm_int4_smooth,
+            )
+
+            cfg_f = llava_config_from_hf(model_base or model_path)
+            calib = self.tokenizer(
+                "A chat between a curious human and an artificial "
+                "intelligence assistant. The assistant gives helpful, "
+                "detailed, and polite answers to the human's questions.",
+                return_tensors="np",
+            )["input_ids"].astype(np.int32)
+            params = {**params, "llm": quantize_llm_int4_smooth(
+                LlamaForCausalLM(cfg_f.llm), params["llm"], calib
+            )}
         self.image_processor = ClipImageProcessor(image_size=cfg.vision.image_size)
         self.engine = DecodeEngine(
             self.model, params,

@@ -137,3 +137,30 @@ def test_chat_anyres_end_to_end(tiny_anyres_checkpoint, tmp_path):
     m.max_new_tokens = 6
     out = m.chat({"image": img_path, "question": "why did the car stop"})
     assert isinstance(out, str) and len(out) > 0
+
+
+@pytest.mark.slow
+def test_chat_int4_smooth_and_lookup(tiny_checkpoint, tmp_path, monkeypatch):
+    """--load-4bit with RLAIFV_INT4_SMOOTH=1 (AWQ smoothing at load) and
+    --lookup-decode ride the tiny checkpoint end-to-end."""
+    from PIL import Image
+
+    img_path = str(tmp_path / "img.jpeg")
+    rng = np.random.default_rng(1)
+    Image.fromarray(
+        rng.integers(0, 255, size=(50, 70, 3), dtype=np.uint8)
+    ).save(img_path, quality=90)
+
+    monkeypatch.setenv("RLAIFV_INT4_SMOOTH", "1")
+    from chat import RLAIFVChat
+
+    m = RLAIFVChat(tiny_checkpoint, load_4bit=True, lookup_decode=True)
+    assert m.model.cfg.llm.quantize_bits == 4
+    qp = m.model.engine.params["llm"]["model"]["layer_0"]["attn"]["q_proj"]
+    assert qp["kernel"].dtype == np.int8  # packed int4 after smoothing
+    assert np.ndim(qp["scale"]) == 2
+
+    m.model.engine.eos_id = -1
+    m.model.max_new_tokens = 8
+    out = m.chat({"image": img_path, "question": "why did the car stop"})
+    assert isinstance(out, str)
