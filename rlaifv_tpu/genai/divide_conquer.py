@@ -152,6 +152,7 @@ def make_llama3_backend(model_path: str, *, temperature: float = 0.2,
                         top_p: float = 0.9, max_new_tokens: int = 256,
                         continuous: bool = False, slots: int = 8,
                         int8: bool = False, int4: bool = False,
+                        int4_smooth: bool = False,
                         fused_decode: bool = False):
     """Converted Llama3-8B + jitted decode engine as the generate_fn.
 
@@ -183,7 +184,15 @@ def make_llama3_backend(model_path: str, *, temperature: float = 0.2,
     )
     model = LlamaForCausalLM(cfg)
     params = convert_llama(load_state_dict_dir(model_path))
-    if int4:
+    if int4 and int4_smooth:
+        from rlaifv_tpu.models.quant_smooth import (
+            smooth_quantize_for_serving,
+        )
+
+        params = fuse_llm_projections(
+            smooth_quantize_for_serving(cfg, params, tokenizer)
+        )
+    elif int4:
         params = fuse_llm_projections(quantize_llm_int4(params))
     elif int8:
         params = fuse_llm_projections(

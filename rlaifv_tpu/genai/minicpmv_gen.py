@@ -32,7 +32,8 @@ class MiniCPMVChat:
 
     def __init__(self, model_path: str, *, tokenizer=None,
                  max_new_tokens: int = 1024, int8: bool = False,
-                 int4: bool = False, fused_decode: bool = False):
+                 int4: bool = False, int4_smooth: bool = False,
+                 fused_decode: bool = False):
         from rlaifv_tpu.models.convert import (
             convert_minicpmv,
             fuse_llm_projections,
@@ -58,7 +59,17 @@ class MiniCPMVChat:
         cfg = minicpmv_config_from_hf(model_path, **overrides)
         model = MiniCPMVForCausalLM(cfg)
         params = convert_minicpmv(load_state_dict_dir(model_path))
-        if int4:
+        if int4 and int4_smooth:
+            # AWQ-style activation-aware smoothing before quantization
+            # (models/quant_smooth.py) — zero runtime cost, folds into
+            # gammas/up columns; calibrated on one short forward
+            from rlaifv_tpu.models.quant_smooth import (
+                smooth_quantize_for_serving,
+            )
+
+            params = {**params, "llm": smooth_quantize_for_serving(
+                cfg.llm, params["llm"], tokenizer)}
+        elif int4:
             params = {**params, "llm": quantize_llm_int4(params["llm"])}
         elif int8:
             params = {**params, "llm": quantize_llm_int8(

@@ -288,7 +288,7 @@ class OmniLMMChat:
     def __init__(self, model_path: str, *, tokenizer=None,
                  max_new_tokens: int = 1024, image_size: int = 448,
                  int8: bool = False, int4: bool = False,
-                 fused_decode: bool = False):
+                 int4_smooth: bool = False, fused_decode: bool = False):
         from rlaifv_tpu.models.convert import (
             convert_omnilmm,
             fuse_llm_projections,
@@ -322,9 +322,21 @@ class OmniLMMChat:
         model = OmniLMMForCausalLM(cfg)
         params = convert_omnilmm(load_state_dict_dir(model_path))
         if int4:
+            if int4_smooth:
+                # AWQ smoothing on the LM (models/quant_smooth.py);
+                # vision towers keep plain group quant (LayerNorm+bias
+                # producers don't admit the exact gamma fold)
+                from rlaifv_tpu.models.quant_smooth import (
+                    smooth_quantize_for_serving,
+                )
+
+                llm_q = smooth_quantize_for_serving(cfg.llm, params["llm"],
+                                                    tokenizer)
+            else:
+                llm_q = quantize_llm_int4(params["llm"])
             params = {
                 **params,
-                "llm": quantize_llm_int4(params["llm"]),
+                "llm": llm_q,
                 "vision_tower": quantize_vision_int4(params["vision_tower"]),
             }
         elif int8:

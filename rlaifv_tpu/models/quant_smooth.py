@@ -161,3 +161,37 @@ def quantize_llm_int4_smooth(model, llm_params: Tree, calib_ids,
         act_amax = collect_llm_act_amax(model, llm_params, calib_ids)
     smoothed = smooth_llm_for_int4(llm_params, act_amax, alpha)
     return quantize_llm_int4(smoothed)
+
+
+def smooth_quantize_for_serving(llm_cfg, llm_params: Tree, tokenizer=None,
+                                alpha: float = 0.5) -> Tree:
+    """Serving-loader convenience: float llm subtree -> smoothed packed
+    int4. `llm_cfg` may be the serving config (quantize/fuse flags are
+    stripped for the calibration model); calibration ids come from the
+    tokenizer when it can encode text, else a deterministic id ramp
+    (statistically weak but mechanically sound — real-text calibration
+    needs real checkpoints, which are still egress-blocked)."""
+    import dataclasses
+
+    from rlaifv_tpu.models.llama import LlamaForCausalLM
+
+    cfg_f = dataclasses.replace(llm_cfg, quantize=False, fuse_proj=False)
+    ids = None
+    if tokenizer is not None:
+        try:
+            enc = tokenizer(
+                "A chat between a curious user and an artificial "
+                "intelligence assistant. The assistant gives helpful "
+                "answers to the user's questions."
+            )
+            raw = enc["input_ids"] if isinstance(enc, dict) else enc
+            arr = np.asarray(raw, np.int32)
+            ids = arr[None] if arr.ndim == 1 else arr
+        except Exception:
+            ids = None
+    if ids is None:
+        ids = (np.arange(48, dtype=np.int32)[None]
+               % max(cfg_f.vocab_size - 2, 2)) + 1
+    ids = np.clip(ids, 0, cfg_f.vocab_size - 1)
+    return quantize_llm_int4_smooth(LlamaForCausalLM(cfg_f), llm_params,
+                                    ids, alpha)

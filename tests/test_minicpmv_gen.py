@@ -216,3 +216,23 @@ def test_chat_cli_picks_minicpmv(tiny_minicpmv_checkpoint, monkeypatch):
     )
     chat_mod.RLAIFVChat("/ckpts/MiniCPM-Llama3-V-2_5-iter3")
     assert captured["path"].endswith("MiniCPM-Llama3-V-2_5-iter3")
+
+
+@pytest.mark.slow
+def test_minicpmv_chat_int4_smooth(tiny_minicpmv_checkpoint):
+    """int4_smooth: AWQ smoothing rides the 2.5 loader (calibration falls
+    back to the id ramp when the fake tokenizer can't encode)."""
+    import jax.numpy as jnp
+
+    from rlaifv_tpu.genai.minicpmv_gen import MiniCPMVChat
+
+    chat = MiniCPMVChat(
+        tiny_minicpmv_checkpoint, tokenizer=FakeTokenizer(),
+        max_new_tokens=4, int4=True, int4_smooth=True,
+    )
+    qp = chat.gen.params["llm"]["model"]["layer_0"]["attn"]["q_proj"]
+    assert qp["kernel"].dtype == jnp.int8 and qp["scale"].ndim == 2
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 255, size=(90, 60, 3), dtype=np.uint8)
+    out = chat.chat({"question": "what is shown?", "image": img})
+    assert isinstance(out, str)
