@@ -73,3 +73,36 @@ def test_qlora_config_wiring():
     q = quantize_llm_int8(llm, include_lm_head=False)
     assert q["model"]["layer_0"]["attn"]["q_proj"]["kernel"].dtype == np.int8
     assert q["lm_head"]["kernel"].dtype == np.float32  # head stays float
+
+
+def test_checkpoint_roundtrips_packed_int4_tree(tmp_path):
+    """A QLoRA-over-int4 training state (packed int8 kernels + 2-D group
+    scales + float adapters) survives orbax save/restore bit-exactly —
+    the packed redesign keeps every leaf an orbax-native dtype."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from rlaifv_tpu.core.checkpoint import CheckpointManager
+    from rlaifv_tpu.models.convert import quantize_llm_int4
+    from rlaifv_tpu.models.llama import LlamaConfig, LlamaForCausalLM
+
+    cfg = LlamaConfig.tiny()
+    model = LlamaForCausalLM(cfg)
+    params = model.init(jax.random.PRNGKey(0), jnp.ones((1, 4), jnp.int32))[
+        "params"
+    ]
+    q = quantize_llm_int4(params)
+    state = {"params": q, "step": jnp.int32(7)}
+
+    mgr = CheckpointManager(str(tmp_path / "ckpt"))
+    assert mgr.save(7, state, force=True)
+    mgr.wait()
+    back = mgr.restore(jax.tree.map(np.zeros_like, state))
+    mgr.close()
+    flat_a = jax.tree_util.tree_leaves_with_path(state)
+    flat_b = dict(jax.tree_util.tree_leaves_with_path(back))
+    for path, leaf in flat_a:
+        got = flat_b[path]
+        assert np.asarray(got).dtype == np.asarray(leaf).dtype, path
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(leaf))
