@@ -132,3 +132,38 @@ def test_smoothed_quantized_runs_in_quantdense():
                                                quantize_lm_head=False))
     out = qmodel.apply({"params": q}, ids)[0]
     assert np.isfinite(np.asarray(out, np.float32)).all()
+
+
+def test_smoothing_exact_fold_on_fused_tree():
+    """The qkv_proj / gate_up_proj branches: smoothing a FUSED float tree
+    is also an exact fold (model outputs unchanged)."""
+    from rlaifv_tpu.models.convert import fuse_llm_projections
+
+    cfg = LlamaConfig.tiny()
+    model, params = _structured_params(cfg, seed=2)
+    ids = jnp.asarray(
+        np.random.default_rng(6).integers(5, cfg.vocab_size - 1,
+                                          size=(1, 10)), jnp.int32
+    )
+    stats = collect_llm_act_amax(model, params, ids)
+
+    fused = fuse_llm_projections(jax.tree.map(np.asarray, params))
+    fcfg = LlamaConfig.tiny(fuse_proj=True)
+    fmodel = LlamaForCausalLM(fcfg)
+    want = fmodel.apply({"params": fused}, ids)[0]
+    smoothed = smooth_llm_for_int4(fused, stats, alpha=0.5)
+    got = fmodel.apply({"params": smoothed}, ids)[0]
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4
+    )
+
+    # ... and the two orders agree exactly: smooth-then-fuse == fuse-then-
+    # smooth (the folds act on the same rows/columns either way)
+    a = fuse_llm_projections(smooth_llm_for_int4(
+        jax.tree.map(np.asarray, params), stats, alpha=0.5))
+    for la, lb in (("layer_0", "layer_0"), ("layer_1", "layer_1")):
+        np.testing.assert_allclose(
+            a["model"][la]["attn"]["qkv_proj"]["kernel"],
+            smoothed["model"][lb]["attn"]["qkv_proj"]["kernel"],
+            rtol=1e-6, atol=1e-6,
+        )
