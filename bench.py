@@ -156,11 +156,16 @@ def _probe_platform(timeout_s: float = 120) -> str:
         return "?"
 
 
-def _probe_tunnel_health(timeout_s: float = 240) -> bool:
+_HEALTH_CACHE = {}
+
+
+def _probe_tunnel_health(timeout_s: float = 120) -> bool:
     """One tiny jit with an int32 operand + f32 scalar fetch, in a
     subprocess. The round-5 axon failure mode hangs exactly this (integer
     operands/outputs stall while f32-only programs run) — failing fast
     here saves the whole budget from being burned by the first sub-bench."""
+    if "ok" in _HEALTH_CACHE:
+        return _HEALTH_CACHE["ok"]
     try:
         p = subprocess.run(
             [sys.executable, "-c",
@@ -169,9 +174,11 @@ def _probe_tunnel_health(timeout_s: float = 240) -> bool:
              "print(float(jax.jit(lambda x: x.astype(jnp.float32).sum())(a)))"],
             capture_output=True, text=True, timeout=timeout_s,
         )
-        return p.returncode == 0
+        ok = p.returncode == 0
     except Exception:
-        return False
+        ok = False
+    _HEALTH_CACHE["ok"] = ok  # one verdict per bench run (sick stays sick)
+    return ok
 
 
 def real_geometry_section() -> dict:
@@ -211,6 +218,7 @@ def real_geometry_section() -> dict:
         try:
             if remaining < 30:
                 raise TimeoutError(f"budget exhausted ({budget:.0f}s)")
+            _HEALTH_CACHE.pop("ok", None)  # re-probe between entries
             if sick or not _probe_tunnel_health(90):
                 # re-probe between entries: the tunnel sickens mid-run on
                 # this runtime; stale-fall the rest instead of burning
@@ -242,6 +250,21 @@ def main():
     real_geometry = None
     if os.environ.get("BENCH_REAL_GEOMETRY", "1") == "1":
         real_geometry = real_geometry_section()
+
+    platform = _probe_platform()
+    if platform == "?" or (platform == "tpu"
+                           and not _probe_tunnel_health()):
+        # sick tunnel (round-5 axon state: integer-dtype programs hang,
+        # or device init itself stalls): the proxy bench would stall
+        # until the watchdog — emit the best-known line now and exit
+        # clean instead
+        out = _best_known_line(
+            f"tunnel unhealthy (platform probe={platform!r}); proxy "
+            "bench skipped — all values are last-committed measurements")
+        if real_geometry is not None:
+            out["real_geometry"] = real_geometry
+        print(json.dumps(out), flush=True)
+        return
 
     import jax
 
