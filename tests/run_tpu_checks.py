@@ -533,7 +533,14 @@ def check_int4_qlora_grad():
     return int(not ok)
 
 
+# ordered so short tunnel-health windows bank the round-5 flagship first:
+# the packed-int4 kernels, then the decode/fused families, then the rest
 SECTIONS = {
+    "int4_matmul": check_int4_matmul,
+    "int4_dx": check_int4_dx,
+    "int4_qlora_grad": check_int4_qlora_grad,
+    "fused_decode_int4_mha": check_fused_decode_int4_mha,
+    "fused_decode_int4_gqa": check_fused_decode_int4_gqa,
     "flash": check_flash,
     "flash_rect": check_flash_rect,
     "decode": check_decode,
@@ -541,11 +548,6 @@ SECTIONS = {
     "fused_head": check_fused_head,
     "fused_decode_mha": check_fused_decode_mha,
     "fused_decode_gqa": check_fused_decode_gqa,
-    "int4_matmul": check_int4_matmul,
-    "int4_dx": check_int4_dx,
-    "int4_qlora_grad": check_int4_qlora_grad,
-    "fused_decode_int4_mha": check_fused_decode_int4_mha,
-    "fused_decode_int4_gqa": check_fused_decode_int4_gqa,
 }
 
 
