@@ -30,19 +30,22 @@ _OUT = os.path.join(_ROOT, "BENCH_REAL_GEOMETRY.json")
 
 # (name, script, env) — mirrors bench.py's _RG_SUBBENCHES plus the
 # round-5 decode ladder + drift entries.
+# ordered for short tunnel-health windows: the round-5 flagship ladder
+# (int8-vs-int4 fused decode + drift + lookup — small, fast compiles)
+# first, then the heavier 7B/12B training+serving configs
 ENTRIES = [
+    ("fused_decode_int8", "bench_fused_decode.py", {}),
+    ("fused_decode_int4", "bench_fused_decode.py", {"BENCHFD_BITS": "4"}),
+    ("int4_drift_7b_slice", "bench_int4_drift.py", {}),
+    ("lookup_decode", "bench_lookup_decode.py", {}),
+    ("serve7b_int8", "bench_7b_serve.py", {}),
+    ("serve7b_int4", "bench_7b_serve.py", {"BENCH7B_BITS": "4"}),
     ("qlora7b_dpo", "bench_7b_lora.py", {}),
     ("qlora7b_dpo_paired", "bench_7b_lora.py",
      {"BENCH7B_PREFIX": "auto", "BENCH7B_PAIRS": "8"}),
     ("autocheck_shared_llava", "bench_autocheck_shared.py",
      {"BENCH_MODEL": "llava"}),
     ("ref_logp_shared", "bench_7b_ref_logp.py", {}),
-    ("fused_decode_int8", "bench_fused_decode.py", {}),
-    ("fused_decode_int4", "bench_fused_decode.py", {"BENCHFD_BITS": "4"}),
-    ("lookup_decode", "bench_lookup_decode.py", {}),
-    ("int4_drift_7b_slice", "bench_int4_drift.py", {}),
-    ("serve7b_int8", "bench_7b_serve.py", {}),
-    ("serve7b_int4", "bench_7b_serve.py", {"BENCH7B_BITS": "4"}),
     ("qlora12b_omni_dpo", "bench_12b_omni_lora.py", {}),
     ("qlora12b_omni_dpo_int4", "bench_12b_omni_lora.py",
      {"BENCH12B_BITS": "4"}),
