@@ -7,8 +7,12 @@ lookup (Saxena 2023, the technique behind HF assisted generation's
 prompt_lookup_num_tokens) drafts continuation candidates by matching the
 last n-gram against the tokens already seen (prompt + generated) and
 verifies the draft with ONE (k+1)-token window forward. Greedy output is
-TOKEN-IDENTICAL to step-by-step decoding — acceptance only decides speed,
-never quality. It shines exactly where this pipeline decodes greedily:
+TOKEN-IDENTICAL to step-by-step decoding, and sampled output (speculative
+sampling over point-mass drafts, `_spec_accept_resample`) is distributed
+IDENTICALLY to plain `sample_token` decoding — acceptance only decides
+speed, never quality; temperature/top-k/top-p are honored exactly (the
+reference's divide-and-conquer stage samples at T=0.2,
+ref utils/llama3_8b_inference.py:176-179). It shines exactly where this pipeline decodes greedily:
 divide-and-conquer fact splitting quotes long spans of the answer it is
 splitting (ref utils/llama3_8b_inference.py:207 prompts), and chat
 answers echo question phrases.
@@ -41,6 +45,55 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from rlaifv_tpu.genai.sampling import (
+    NEG_INF,
+    SamplingParams,
+    filtered_logits,
+)
+
+
+def _spec_accept_resample(rng, fl, draft, eos_id):
+    """Exact speculative sampling over point-mass drafts.
+
+    fl: (k+1, V) FILTERED logits (softmax = the target sampling
+    distribution p_j after position j). draft: (k,) proposed tokens
+    (-1 = no proposal). Returns (a, new_pending):
+
+      - draft j is accepted with probability p_j[draft[j]] (the
+        Leviathan/Chen accept rule with a point-mass proposal q = δ_d:
+        min(1, p/q) evaluated at d is just p(d));
+      - a = length of the leading accepted run (an accepted EOS ends it);
+      - new_pending ~ the residual max(0, p_a - δ_{draft[a]}) renormalized
+        (= p_a with the rejected token masked) — or plain p_a when there
+        was no proposal or all k drafts were accepted.
+
+    The emitted-token distribution is exactly p at every position, so
+    sampled output is distributed identically to step-by-step
+    `sample_token` decoding; lookup quality is untouched by acceptance.
+    """
+    k = draft.shape[0]
+    probs = jax.nn.softmax(fl, axis=-1)  # (k+1, V)
+    d_ok = draft >= 0
+    pd = jnp.take_along_axis(
+        probs[:k], jnp.maximum(draft, 0)[:, None], axis=1
+    )[:, 0] * d_ok
+    rng, r_acc, r_new = jax.random.split(rng, 3)
+    u = jax.random.uniform(r_acc, (k,))
+    acc = u < pd
+    run_ok = jnp.cumprod(acc.astype(jnp.int32))
+    not_eos = jnp.cumprod((draft != eos_id).astype(jnp.int32))
+    pre_eos = jnp.concatenate([jnp.ones((1,), jnp.int32), not_eos[:-1]])
+    a = jnp.sum(run_ok * pre_eos)
+
+    l_sel = fl[a]
+    # mask the rejected proposal out of the residual (only when there WAS
+    # a proposal at the break position, i.e. a < k and draft[a] >= 0)
+    d_at = jnp.where(a < k, draft[jnp.minimum(a, k - 1)], -1)
+    iota = jnp.arange(fl.shape[1])
+    l_sel = jnp.where((iota == d_at) & (d_at >= 0), NEG_INF, l_sel)
+    new_pending = jax.random.categorical(r_new, l_sel).astype(jnp.int32)
+    return a, new_pending
+
 
 @dataclasses.dataclass
 class LookupResult:
@@ -52,11 +105,13 @@ class LookupResult:
 
 
 def _build_lookup_fn(engine, Lp: int, max_new: int, k: int, n: int,
-                     max_len: int, eos_id: int):
+                     max_len: int, eos_id: int,
+                     sp: Optional[SamplingParams] = None):
     model = engine.model
 
     @jax.jit
-    def run(params, ids, images, image_starts, span_features, span_starts):
+    def run(params, ids, images, image_starts, span_features, span_starts,
+            rng0):
         # ---- prefill (mirrors DecodeEngine._build, non-fused path)
         B = 1
         pos = jnp.arange(Lp, dtype=jnp.int32)[None]
@@ -76,7 +131,14 @@ def _build_lookup_fn(engine, Lp: int, max_new: int, k: int, n: int,
                 attention_mask=cache_mask,
                 position_ids=pos, cache=cache, cache_index=jnp.int32(0),
             )
-        pending = jnp.argmax(logits[0, -1]).astype(jnp.int32)
+        if sp is None:
+            pending = jnp.argmax(logits[0, -1]).astype(jnp.int32)
+            rng = rng0
+        else:
+            rng, r0 = jax.random.split(rng0)
+            pending = jax.random.categorical(
+                r0, filtered_logits(logits[0, -1], sp)
+            ).astype(jnp.int32)
 
         # token history drives the n-gram lookup; sentinel ids (e.g. the
         # -200 image slot) clamp to 0 — they never match real drafts
@@ -105,11 +167,12 @@ def _build_lookup_fn(engine, Lp: int, max_new: int, k: int, n: int,
             return jnp.where(p >= 0, draft, jnp.full((k,), -1, jnp.int32))
 
         def cond(st):
-            cur, hlen, pending, done, out_n, steps, cache, hist = st
+            cur = st[0]
+            done, out_n = st[3], st[4]
             return (~done) & (out_n < max_new) & (cur + k + 1 <= max_len)
 
         def body(st):
-            cur, hlen, pending, done, out_n, steps, cache, hist = st
+            cur, hlen, pending, done, out_n, steps, cache, hist, rng = st
             draft = find_draft(hist, hlen, pending)
             window = jnp.concatenate([pending[None], jnp.maximum(draft, 0)]
                                      )[None]  # (1, k+1)
@@ -119,28 +182,37 @@ def _build_lookup_fn(engine, Lp: int, max_new: int, k: int, n: int,
                 params, input_ids=window, attention_mask=wmask,
                 position_ids=wpos, cache=cache, cache_index=cur,
             )
-            nxt = jnp.argmax(logits[0], axis=-1).astype(jnp.int32)  # (k+1,)
-            eq = draft == nxt[:k]
-            # accepted = leading-True run length; eos inside the accepted
-            # prefix ends the run there (tokens past eos must not count)
-            run_ok = jnp.cumprod(eq.astype(jnp.int32))
-            not_eos = jnp.cumprod((draft != eos_id).astype(jnp.int32))
-            pre_eos = jnp.concatenate([jnp.ones((1,), jnp.int32),
-                                       not_eos[:-1]])
-            a = jnp.sum(run_ok * pre_eos)
+            if sp is None:
+                nxt = jnp.argmax(logits[0], axis=-1).astype(jnp.int32)
+                eq = draft == nxt[:k]
+                # accepted = leading-True run length; eos inside the
+                # accepted prefix ends the run there (tokens past eos
+                # must not count)
+                run_ok = jnp.cumprod(eq.astype(jnp.int32))
+                not_eos = jnp.cumprod((draft != eos_id).astype(jnp.int32))
+                pre_eos = jnp.concatenate([jnp.ones((1,), jnp.int32),
+                                           not_eos[:-1]])
+                a = jnp.sum(run_ok * pre_eos)
+                new_pending = nxt[a]
+            else:
+                rng, r_step = jax.random.split(rng)
+                fl = filtered_logits(logits[0], sp)  # (k+1, V)
+                a, new_pending = _spec_accept_resample(
+                    r_step, fl, draft, eos_id
+                )
             emitted = jnp.concatenate([pending[None], draft])  # (k+1,)
             hist = jax.lax.dynamic_update_slice(hist, emitted, (hlen,))
             n_emit = 1 + a
             hit_eos = (pending == eos_id) | (jnp.max(
                 (jnp.arange(k + 1) <= a) & (emitted == eos_id)
             ))
-            new_pending = nxt[a]
             return (cur + n_emit, hlen + n_emit, new_pending,
-                    done | hit_eos, out_n + n_emit, steps + 1, cache, hist)
+                    done | hit_eos, out_n + n_emit, steps + 1, cache, hist,
+                    rng)
 
         st = (jnp.int32(Lp), jnp.int32(Lp), pending, jnp.bool_(False),
-              jnp.int32(0), jnp.int32(0), cache, hist)
-        cur, hlen, pending, done, out_n, steps, cache, hist = (
+              jnp.int32(0), jnp.int32(0), cache, hist, rng)
+        cur, hlen, pending, done, out_n, steps, cache, hist, rng = (
             jax.lax.while_loop(cond, body, st)
         )
         # the pending token was produced but its KV never written; emit it
@@ -170,24 +242,37 @@ def lookup_generate(
     span_features=None,
     span_starts=None,
     eos_id: Optional[int] = None,
+    sampling: Optional[SamplingParams] = None,
+    seed: int = 0,
 ) -> LookupResult:
-    """Greedy generation with prompt-lookup speculation — token-identical
-    to DecodeEngine.generate(greedy) for the same prompt. Single prompt
-    (list of ids); media kwargs mirror the engine's generate()."""
+    """Generation with prompt-lookup speculation. sampling=None (default):
+    greedy, token-identical to DecodeEngine.generate(greedy).
+    sampling=SamplingParams(...): exact speculative sampling — emitted
+    tokens are distributed identically to plain `sample_token` decoding
+    (see `_spec_accept_resample`); repetition_penalty is not supported on
+    this path (it needs the token_seen table the window loop doesn't
+    carry). Single prompt (list of ids); media kwargs mirror the engine's
+    generate()."""
     if engine.fused_decode:
         raise ValueError("lookup decode runs the per-layer path; build the "
                          "engine with fused_decode=False")
+    if sampling is not None and not sampling.do_sample:
+        sampling = None  # greedy params = the greedy path
+    if sampling is not None and sampling.repetition_penalty != 1.0:
+        raise ValueError("lookup decode does not support "
+                         "repetition_penalty")
     eos = engine.eos_id if eos_id is None else eos_id
     ids = np.asarray(prompt_ids, np.int32)[None]
     Lp = ids.shape[1]
     max_len = Lp + max_new_tokens + draft_len + 2
     max_len = int(np.ceil(max_len / 64) * 64)
 
-    key = ("lookup", Lp, max_new_tokens, draft_len, ngram, max_len)
+    key = ("lookup", Lp, max_new_tokens, draft_len, ngram, max_len,
+           sampling)
     fn = engine._gen_fns.get(key)
     if fn is None:
         fn = _build_lookup_fn(engine, Lp, max_new_tokens, draft_len, ngram,
-                              max_len, eos)
+                              max_len, eos, sp=sampling)
         engine._gen_fns[key] = fn
 
     toks, out_n, steps = fn(
@@ -196,6 +281,7 @@ def lookup_generate(
         None if image_starts is None else jnp.asarray(image_starts),
         None if span_features is None else jnp.asarray(span_features),
         None if span_starts is None else jnp.asarray(span_starts),
+        jax.random.PRNGKey(seed),
     )
     toks = np.asarray(toks)[: int(out_n)][:max_new_tokens]
     if (toks == eos).any():

@@ -75,6 +75,19 @@ def apply_top_p(logits: Array, p: float) -> Array:
     return jnp.where(logits < kth, NEG_INF, logits)
 
 
+def filtered_logits(logits: Array, params: SamplingParams) -> Array:
+    """The sampling transform WITHOUT the draw: temperature + top-k +
+    top-p filtered logits (f32). softmax of this is the exact sampling
+    distribution `sample_token` draws from — speculative verification
+    (genai/lookup_decode.py) needs it as a distribution."""
+    logits = logits.astype(jnp.float32)
+    if params.temperature != 1.0:
+        logits = logits / max(params.temperature, 1e-6)
+    logits = apply_top_k(logits, params.top_k)
+    logits = apply_top_p(logits, params.top_p)
+    return logits
+
+
 def sample_token(
     rng: Array,
     logits: Array,
@@ -89,10 +102,7 @@ def sample_token(
         )
     if not params.do_sample:
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
-    if params.temperature != 1.0:
-        logits = logits / max(params.temperature, 1e-6)
-    logits = apply_top_k(logits, params.top_k)
-    logits = apply_top_p(logits, params.top_p)
+    logits = filtered_logits(logits, params)
     return jax.random.categorical(rng, logits, axis=-1).astype(jnp.int32)
 
 

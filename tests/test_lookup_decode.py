@@ -137,3 +137,79 @@ def test_lookup_short_prompt_edge():
     got = lookup_generate(engine, prompt, max_new_tokens=6, draft_len=4,
                           ngram=3)
     assert got.tokens == want
+
+
+def test_spec_accept_resample_preserves_distribution():
+    """Monte Carlo on the speculative-sampling primitive: with a point
+    draft d, the FIRST emitted token (accepted d or the residual
+    resample) must be distributed exactly as softmax(filtered logits) —
+    the Leviathan/Chen guarantee that speculation never changes sampling
+    quality."""
+    from rlaifv_tpu.genai.lookup_decode import _spec_accept_resample
+
+    V, k = 8, 3
+    rng = np.random.default_rng(0)
+    fl = jnp.asarray(rng.normal(0, 1.5, size=(k + 1, V)), jnp.float32)
+    p0 = np.asarray(jax.nn.softmax(fl[0]))
+    draft = jnp.asarray([2, 5, 1], jnp.int32)
+
+    @jax.jit
+    @jax.vmap
+    def one(key):
+        a, new_p = _spec_accept_resample(key, fl, draft, eos_id=-1)
+        # first emitted token: draft[0] if accepted (a >= 1) else new_p
+        return jnp.where(a >= 1, draft[0], new_p)
+
+    n = 40000
+    keys = jax.random.split(jax.random.PRNGKey(7), n)
+    toks = np.asarray(one(keys))
+    emp = np.bincount(toks, minlength=V) / n
+    tv = 0.5 * np.abs(emp - p0).sum()
+    assert tv < 0.02, (tv, emp, p0)
+
+
+def test_spec_no_draft_is_plain_sampling():
+    """draft = -1 (no proposal): a == 0 and the resample is unmasked —
+    plain sampling from p_0."""
+    from rlaifv_tpu.genai.lookup_decode import _spec_accept_resample
+
+    V, k = 6, 2
+    fl = jnp.asarray(np.random.default_rng(1).normal(size=(k + 1, V)),
+                     jnp.float32)
+    p0 = np.asarray(jax.nn.softmax(fl[0]))
+    draft = jnp.full((k,), -1, jnp.int32)
+
+    @jax.jit
+    @jax.vmap
+    def one(key):
+        a, new_p = _spec_accept_resample(key, fl, draft, eos_id=-1)
+        return a * 100 + new_p
+
+    out = np.asarray(one(jax.random.split(jax.random.PRNGKey(3), 20000)))
+    assert (out < 100).all()  # a == 0 always
+    emp = np.bincount(out, minlength=V) / len(out)
+    assert 0.5 * np.abs(emp - p0).sum() < 0.02
+
+
+def test_lookup_sampling_end_to_end_deterministic():
+    """Sampled lookup decode runs end-to-end, is deterministic per seed,
+    and differs across seeds (it actually samples)."""
+    cfg, engine = _engine(seed=2)
+    rng = np.random.default_rng(4)
+    base = list(map(int, rng.integers(5, cfg.vocab_size - 1, size=5)))
+    prompt = (base * 4)[:18]
+    sp = SamplingParams(temperature=0.8, top_p=0.95)
+
+    a = lookup_generate(engine, prompt, max_new_tokens=16, draft_len=4,
+                        ngram=2, sampling=sp, seed=11)
+    b = lookup_generate(engine, prompt, max_new_tokens=16, draft_len=4,
+                        ngram=2, sampling=sp, seed=11)
+    c = lookup_generate(engine, prompt, max_new_tokens=16, draft_len=4,
+                        ngram=2, sampling=sp, seed=12)
+    assert a.tokens == b.tokens
+    assert len(a.tokens) > 0 and a.n_steps >= 1
+    assert a.tokens != c.tokens or a.n_steps != c.n_steps
+
+    with pytest.raises(ValueError, match="repetition_penalty"):
+        lookup_generate(engine, prompt, sampling=SamplingParams(
+            temperature=0.7, repetition_penalty=1.1))
