@@ -412,3 +412,44 @@ def test_llama_int4_drift_goldens():
             assert agree >= 0.75, f"{path} seq {i}: greedy agreement {agree}"
             rel = np.abs(got - want).max() / (np.abs(want).max() + 1e-9)
             assert rel < 0.15, f"{path} seq {i}: rel logit drift {rel}"
+
+
+def test_llama_int4_smooth_drift_goldens():
+    """Smoothed int4 (models/quant_smooth.py) on real weights must be at
+    least as good as plain int4 — tighter gate (85% agreement / 0.10
+    drift vs plain's 75%/0.15): on structured synthetics smoothing took
+    greedy agreement 0.25 -> 1.00, and real transformer activations ARE
+    outlier-structured (the AWQ observation). Auto-skips until egress
+    lets goldens record; calibrates on the probe sequences themselves."""
+    recs = _load("llama_hf")
+    _skip_if_empty(recs, "llama_hf")
+    import jax.numpy as jnp
+
+    from rlaifv_tpu.models.convert import (
+        convert_llama,
+        llama_config_from_hf,
+        load_state_dict_dir,
+    )
+    from rlaifv_tpu.models.llama import LlamaForCausalLM
+    from rlaifv_tpu.models.quant_smooth import quantize_llm_int4_smooth
+
+    for path, z in recs:
+        ckpt = _ckpt_path(z)
+        cfg = llama_config_from_hf(ckpt, quantize=True, quantize_bits=4,
+                                   quantize_lm_head=False)
+        cfg_f = llama_config_from_hf(ckpt)
+        fparams = convert_llama(load_state_dict_dir(ckpt))
+        calib = jnp.asarray(z["ids_0"])[None]
+        params = quantize_llm_int4_smooth(
+            LlamaForCausalLM(cfg_f), fparams, calib
+        )
+        model = LlamaForCausalLM(cfg)
+        for i in range(3):
+            ids = jnp.asarray(z[f"ids_{i}"])[None]
+            logits, _ = model.apply({"params": params}, ids)
+            got = np.asarray(logits[0], np.float32)
+            want = z[f"logits_{i}"]
+            agree = (got.argmax(-1) == want.argmax(-1)).mean()
+            assert agree >= 0.85, f"{path} seq {i}: agreement {agree}"
+            rel = np.abs(got - want).max() / (np.abs(want).max() + 1e-9)
+            assert rel < 0.10, f"{path} seq {i}: rel drift {rel}"
