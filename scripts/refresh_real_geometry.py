@@ -88,12 +88,14 @@ def main() -> int:
     except Exception:
         book = {}
 
+    # freshness = measured during this round (the rev is stamped per entry
+    # as provenance but doc-only commits must not invalidate measurements)
     pending = [
         e for e in ENTRIES
-        if force or (book.get(e[0]) or {}).get("rev") != rev
+        if force or not (book.get(e[0]) or {}).get("measured_at")
     ]
     if not pending:
-        print(f"all {len(ENTRIES)} entries fresh at rev {rev}")
+        print(f"all {len(ENTRIES)} entries fresh (latest rev {rev})")
         return 0
     print(f"{len(pending)} entries to refresh at rev {rev}:",
           ", ".join(e[0] for e in pending), flush=True)
@@ -127,7 +129,7 @@ def main() -> int:
               f" {res.get('unit', '')}", flush=True)
 
     still = [e[0] for e in ENTRIES
-             if (book.get(e[0]) or {}).get("rev") != rev]
+             if not (book.get(e[0]) or {}).get("measured_at")]
     print("remaining:", ", ".join(still) if still else "none", flush=True)
     return 0 if not still else 1
 
