@@ -107,6 +107,23 @@ class FusedDecodeDims:
     g_down: int = 128  # group along I/Ip (down contraction)
 
     @property
+    def gpb_down(self) -> int:
+        """down-proj quantization groups per bi block."""
+        return self.bi // self.g_down
+
+    @property
+    def sdb(self) -> int:
+        """sdown BAND rows per bi block: Mosaic requires second-minor
+        block dims be 8-multiples (or the full array dim) — vicuna's
+        bi=1408/g=128 gives 11 scale rows per block, so each block's
+        scales are stored padded to the next 8-multiple (zero rows are
+        never read: _gdot4 indexes only the first gpb_down)."""
+        g = self.gpb_down
+        if self.nI == 1 or g % 8 == 0:
+            return g
+        return -(-g // 8) * 8
+
+    @property
     def Nq(self) -> int:
         return (self.H + 2 * self.KVH) * self.Dh
 
@@ -243,7 +260,7 @@ def stack_llama_params(llm_params: dict, cfg, *, consume: bool = False) -> dict:
     ]
     # int4 checkpoints (convert.quantize_llm_int4): 2-D group scales
     w4 = np.ndim(scales[0][0]) == 2
-    Ip, _ = _pick_intermediate(I)
+    Ip, bi = _pick_intermediate(I)
 
     def build(kernels, scales, ln):
         wqkv, wo, wgu, wdown = kernels
@@ -268,6 +285,22 @@ def stack_llama_params(llm_params: dict, cfg, *, consume: bool = False) -> dict:
             g = I // a.shape[1]
             z = jnp.zeros((a.shape[0], (Ip - I) // g, a.shape[2]), a.dtype)
             return jnp.concatenate([a, z], axis=1)
+
+        def band_down_scales(a):  # (n, Ip/g, D) -> (n, nI*sdb, D)
+            # per-bi-block scale rows padded to the Mosaic-legal band
+            # (FusedDecodeDims.sdb); zero rows are never indexed
+            rows = a.shape[1]
+            g = Ip // rows
+            gpb = bi // g
+            band = gpb if (Ip // bi == 1 or gpb % 8 == 0) else -(-gpb // 8) * 8
+            if band == gpb:
+                return a
+            nI = rows // gpb
+            a = a.reshape(a.shape[0], nI, gpb, a.shape[2])
+            z = jnp.zeros((a.shape[0], nI, band - gpb, a.shape[3]), a.dtype)
+            return jnp.concatenate([a, z], axis=2).reshape(
+                a.shape[0], nI * band, -1
+            )
 
         if not w4:
             return {
@@ -296,7 +329,9 @@ def stack_llama_params(llm_params: dict, cfg, *, consume: bool = False) -> dict:
             "wgu": pad_gu(jnp.stack(wgu)),     # (n, D/2, 2Ip) packed
             "sgu": pad_gu(jnp.stack(sgu)),     # (n, D/g_d, 2Ip)
             "wdown": pad_down(jnp.stack(wdown)),  # (n, Ip/2, D) packed
-            "sdown": pad_groups(jnp.stack(sdown)),  # (n, Ip/g, D)
+            "sdown": band_down_scales(
+                pad_groups(jnp.stack(sdown))
+            ),  # (n, nI*sdb, D) banded group scales
             "ln": jnp.stack([jnp.stack(pair) for pair in ln]).astype(
                 jnp.float32
             ),
@@ -932,7 +967,7 @@ def fused_decode_step(
     kd_rows = d.bi // 2 if d.w4 else d.bi
     sq_rows = d.D // d.g_d if d.w4 else 1
     so_rows = d.H * d.Dh // d.g_o if d.w4 else 1
-    sd_rows = d.bi // d.g_down if d.w4 else 1
+    sd_rows = d.sdb if d.w4 else 1  # banded (see FusedDecodeDims.sdb)
     w_specs = [
         pl.BlockSpec((1, kq_rows, d.bn_qkv), qkv_map),        # wqkv
         pl.BlockSpec((1, sq_rows, d.bn_qkv), sqkv_map),       # sqkv

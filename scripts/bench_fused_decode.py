@@ -77,7 +77,8 @@ def main():
             "wgu": jnp.zeros((n, D // 2, 2 * I), jnp.int8),
             "sgu": jnp.ones((n, D // d.g_d, 2 * I), jnp.float32) * 0.01,
             "wdown": jnp.zeros((n, I // 2, D), jnp.int8),
-            "sdown": jnp.ones((n, I // d.g_down, D), jnp.float32) * 0.01,
+            # banded per-bi-block scale rows (FusedDecodeDims.sdb)
+            "sdown": jnp.ones((n, d.nI * d.sdb, D), jnp.float32) * 0.01,
             "ln": jnp.ones((n, 2, D), jnp.float32),
         }
     else:
