@@ -13,9 +13,10 @@ two properties that actually break low-bit transformer quantization:
 It builds one llama block's worth of shapes at vicuna-7B geometry
 (d=4096, I=11008), quantizes the same float weights to int8
 (per-column) and packed int4 (group-128), and reports per-layer relative
-output drift and end-to-end greedy agreement over a 24-step decode of a
-4-layer model slice (deep enough for drift to compound, small enough to
-build fast). Labeled synthetic — the gate thresholds get CALIBRATED the
+output drift and TEACHER-FORCED next-token agreement + mean KL over a
+shared 64-token sequence on a 4-layer model slice (free-running rollouts
+on random synthetics measure chaos, not quantizer quality — see the
+in-code note). Labeled synthetic — the gate thresholds get CALIBRATED the
 moment real checkpoints load; this bounds how far off they can be.
 
 BENCHID_TINY=1 (or non-TPU) shrinks geometry. Prints ONE JSON line.
@@ -47,8 +48,6 @@ def main():
     jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
     import jax.numpy as jnp
 
-    from rlaifv_tpu.genai.engine import DecodeEngine
-    from rlaifv_tpu.genai.sampling import SamplingParams
     from rlaifv_tpu.models.convert import quantize_llm_int4, quantize_llm_int8
     from rlaifv_tpu.models.llama import LlamaConfig, LlamaForCausalLM
     from rlaifv_tpu.ops.int4_matmul import dequantize_int4, quantize_int4
@@ -104,50 +103,60 @@ def main():
         return out
 
     params = restructure(params)
-    prompt = [int(t) for t in np.asarray(ids[0])]
-    steps = 12 if tiny else 24
+    # TEACHER-FORCED next-token agreement + mean KL over a shared token
+    # sequence — free-running greedy rollouts on a random synthetic model
+    # measure chaotic divergence, not quantizer quality (a first measured
+    # run showed even int8, whose per-layer drift is ~1%, at 0.0 rollout
+    # agreement at 7B width: random logits have near-zero argmax margins,
+    # so ANY perturbation flips every step and errors compound). The
+    # teacher-forced metrics are the standard quantization evals and
+    # behave sanely on synthetics; real-checkpoint rollout quality stays
+    # gated by tests/test_checkpoint_goldens.py once egress allows.
+    import jax
 
-    def greedy(p, quant_bits=None):
+    seq = jnp.asarray(rng.integers(5, base_cfg.vocab_size - 1,
+                                   size=(1, 64)).astype(np.int32))
+
+    def forced_logits(p, quant_bits=None):
         kw = {} if quant_bits is None else dict(
             quantize=True, quantize_bits=quant_bits, quantize_lm_head=False)
         m = LlamaForCausalLM(
             (LlamaConfig.tiny if tiny else LlamaConfig.vicuna_7b)(
                 **cfg_kw, **kw)
         )
-        eng = DecodeEngine(m, p, eos_id=-1, pad_id=0)
-        r = eng.generate([prompt], sampling=SamplingParams.greedy(),
-                         max_new_tokens=steps, prompt_bucket=32)
-        return [int(t) for t in r.tokens[0][: int(r.lengths[0])]]
+        out = jax.jit(lambda pp: m.apply({"params": pp}, seq)[0])(p)
+        return np.asarray(out[0], np.float32)
 
-    toks_f = greedy(params)
-    toks_8 = greedy(quantize_llm_int8(params, include_lm_head=False), 8)
-    toks_4 = greedy(quantize_llm_int4(params), 4)
-    # AWQ-style smoothed int4 (models/quant_smooth.py): calibrate on the
-    # same prompt, fold the scales, quantize
+    lf = forced_logits(params)
+    l8 = forced_logits(quantize_llm_int8(params, include_lm_head=False), 8)
+    l4 = forced_logits(quantize_llm_int4(params), 4)
     from rlaifv_tpu.models.quant_smooth import quantize_llm_int4_smooth
 
-    toks_4s = greedy(
-        quantize_llm_int4_smooth(model, params, ids), 4
-    )
+    l4s = forced_logits(quantize_llm_int4_smooth(model, params, ids), 4)
 
     def agree(a, b):
-        n = min(len(a), len(b))
-        if n == 0:
-            return 1.0
-        return round(sum(x == y for x, y in zip(a[:n], b[:n])) / n, 3)
+        return round(float((a.argmax(-1) == b.argmax(-1)).mean()), 3)
+
+    def kl(a, b):
+        pa = jax.nn.softmax(jnp.asarray(a))
+        lb = jax.nn.log_softmax(jnp.asarray(b))
+        la = jnp.log(jnp.maximum(pa, 1e-20))
+        return round(float(jnp.mean(jnp.sum(pa * (la - lb), -1))), 4)
 
     print(json.dumps({
-        "metric": "int4_greedy_agreement_structured_synth",
-        "value": agree(toks_f, toks_4),
+        "metric": "int4_forced_agreement_structured_synth",
+        "value": agree(lf, l4),
         "unit": "fraction",
         "vs_baseline": None,
         "detail": {
             "geometry": "tiny" if tiny else "7b-slice-4layer",
-            "int8_greedy_agreement": agree(toks_f, toks_8),
-            "int4_smooth_greedy_agreement": agree(toks_f, toks_4s),
+            "int8_forced_agreement": agree(lf, l8),
+            "int4_smooth_forced_agreement": agree(lf, l4s),
+            "kl_int8": kl(lf, l8),
+            "kl_int4": kl(lf, l4),
+            "kl_int4_smooth": kl(lf, l4s),
             "layer_rel_drift_int4_g128": round(layer_rel4, 4),
             "layer_rel_drift_int8_percol": round(layer_rel8, 4),
-            "decode_steps": steps,
             "note": "structured synthetic weights (lognormal col scales "
                     "+ 0.3% 8x outlier channels); calibrates the drift "
                     "gate until real checkpoints can load (egress dead)",
