@@ -122,6 +122,14 @@ def main() -> int:
         res["rev"] = rev
         res["measured_at"] = time.strftime("%Y-%m-%dT%H:%M:%SZ",
                                            time.gmtime())
+        # reload-merge before flushing: concurrent edits to other entries
+        # (e.g. an interactive invalidation) must not be clobbered by this
+        # process's stale in-memory copy
+        try:
+            with open(_OUT) as f:
+                book = json.load(f)
+        except Exception:
+            pass
         book[name] = res
         with open(_OUT, "w") as f:
             json.dump(book, f, indent=1)
