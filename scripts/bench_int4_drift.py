@@ -103,6 +103,16 @@ def main():
         return out
 
     params = restructure(params)
+    # persistent ACTIVATION outlier channels (the AWQ premise): real LLMs
+    # carry a handful of hot hidden channels through every layer; random
+    # embeddings don't, which leaves smoothing nothing to migrate. Scale a
+    # few embedding columns hot so the residual stream has them.
+    emb = np.array(params["model"]["tok_embed"]["embedding"], np.float32)
+    hot = rng.choice(emb.shape[1], size=max(emb.shape[1] // 256, 2),
+                     replace=False)
+    emb[:, hot] *= 10.0
+    params["model"] = {**params["model"],
+                       "tok_embed": {"embedding": emb}}
     # TEACHER-FORCED next-token agreement + mean KL over a shared token
     # sequence — free-running greedy rollouts on a random synthetic model
     # measure chaotic divergence, not quantizer quality (a first measured
