@@ -43,12 +43,14 @@ Tree = Dict[str, Any]
 _CAPTURE = ("ln_attn", "ln_mlp", "gate_proj", "up_proj", "gate_up_proj")
 
 
-def collect_llm_act_amax(model, params: Tree, ids) -> Tree:
-    """Per-in-channel |activation| maxima for the smoothable projections.
+def collect_llm_act_stats(model, params: Tree, ids,
+                          max_rows: int = 256) -> Tree:
+    """Calibration ACTIVATIONS for the smoothable projections: up to
+    `max_rows` token rows of each producer's output, flattened to (T, K).
 
     Runs `model` (a bare LlamaForCausalLM) over `ids` (B, L) capturing
     only the producer modules' outputs. Returns
-    {"layer_i": {"attn_in": (D,), "mlp_in": (D,), "down_in": (I,)}}.
+    {"layer_i": {"attn_in": (T, D), "mlp_in": (T, D), "down_in": (T, I)}}.
     """
     def keep(mdl, method_name):
         return method_name == "__call__" and mdl.name in _CAPTURE
@@ -61,19 +63,17 @@ def collect_llm_act_amax(model, params: Tree, ids) -> Tree:
     # bare LM: {"model": {"layer_i": {...}}}
     layers = inter["model"]
 
-    def amax(t):
-        return np.asarray(
-            jnp.max(jnp.abs(t.astype(jnp.float32)), axis=tuple(
-                range(t.ndim - 1)))
-        )
+    def rows(t):
+        flat = np.asarray(t.astype(jnp.float32)).reshape(-1, t.shape[-1])
+        return flat[:max_rows]
 
     out = {}
     for lname, mods in layers.items():
         if not lname.startswith("layer_"):
             continue
         rec = {
-            "attn_in": amax(mods["ln_attn"]["__call__"][0]),
-            "mlp_in": amax(mods["ln_mlp"]["__call__"][0]),
+            "attn_in": rows(mods["ln_attn"]["__call__"][0]),
+            "mlp_in": rows(mods["ln_mlp"]["__call__"][0]),
         }
         mlp = mods.get("mlp", {})
         if "gate_up_proj" in mlp:
@@ -84,9 +84,58 @@ def collect_llm_act_amax(model, params: Tree, ids) -> Tree:
             g = mlp["gate_proj"]["__call__"][0].astype(jnp.float32)
             u = mlp["up_proj"]["__call__"][0].astype(jnp.float32)
             down_in = jax.nn.silu(g) * u
-        rec["down_in"] = amax(down_in)
+        rec["down_in"] = rows(down_in)
         out[lname] = rec
     return out
+
+
+def collect_llm_act_amax(model, params: Tree, ids) -> Tree:
+    """Back-compat wrapper: per-channel |act| maxima (see
+    collect_llm_act_stats)."""
+    stats = collect_llm_act_stats(model, params, ids)
+    return {
+        ln: {k: np.abs(v).max(axis=0) for k, v in rec.items()}
+        for ln, rec in stats.items()
+    }
+
+
+def _quant_dequant(w: np.ndarray) -> np.ndarray:
+    """Group-128 int4 quantize->dequantize in numpy (the error model the
+    alpha search scores against; mirrors ops/int4_matmul.quantize_int4)."""
+    K, N = w.shape
+    g = 128 if K % 128 == 0 else K
+    wg = w.reshape(K // g, g, N)
+    scale = np.maximum(np.abs(wg).max(axis=1), 1e-8) / 7.0
+    q = np.clip(np.round(wg / scale[:, None, :]), -7, 7)
+    return (q * scale[:, None, :]).reshape(K, N).astype(np.float32)
+
+
+_ALPHAS = (0.0, 0.25, 0.5, 0.75)
+
+
+def _search_scale(x: np.ndarray, kernels, alpha) -> np.ndarray:
+    """s for one producer group. alpha=None: grid-search _ALPHAS for the
+    s minimizing the summed quantized-output MSE on the calibration
+    activations — alpha=0 (s=1, plain group quant) is always a candidate,
+    so search-mode smoothing is never worse than no smoothing ON THE
+    CALIBRATION BATCH (the actual AWQ procedure, arXiv:2306.00978 §3.2).
+    A float alpha pins the classic fixed-exponent formula."""
+    act_amax = np.abs(x).max(axis=0)
+    w_amax = np.max(np.stack([np.abs(w).max(axis=1) for w in kernels]),
+                    axis=0)
+    if alpha is not None:
+        return _smooth_scale(act_amax, w_amax, alpha)
+    best, best_err = None, None
+    for a in _ALPHAS:
+        s = _smooth_scale(act_amax, w_amax, a)
+        err = 0.0
+        for w in kernels:
+            ref = x @ w
+            got = (x / s[None, :]) @ _quant_dequant(w * s[:, None])
+            err += float(((got - ref) ** 2).mean())
+        if best_err is None or err < best_err:
+            best, best_err = s, err
+    return best
 
 
 def _smooth_scale(act_amax: np.ndarray, w_amax: np.ndarray,
@@ -98,27 +147,41 @@ def _smooth_scale(act_amax: np.ndarray, w_amax: np.ndarray,
     return np.clip(s, 1e-3, 1e3).astype(np.float32)
 
 
-def smooth_llm_for_int4(llm_params: Tree, act_amax: Tree,
-                        alpha: float = 0.5) -> Tree:
+def smooth_llm_for_int4(llm_params: Tree, act_stats: Tree,
+                        alpha=None) -> Tree:
     """Float param tree -> float param tree with the smoothing folds
     applied. Model outputs are mathematically unchanged (fp32 identical
-    up to reassociation); quantize AFTER this, fuse after that."""
+    up to reassociation); quantize AFTER this, fuse after that.
+
+    act_stats: collect_llm_act_stats (sample activations, (T, K) per
+    producer — enables the per-layer alpha grid search, the default) or
+    collect_llm_act_amax (amax vectors — fixed-alpha formula only).
+    alpha=None: grid search when activations are available (never worse
+    than plain quantization on the calibration batch), else 0.5."""
     params = jax.tree.map(lambda x: np.asarray(x, np.float32), llm_params)
     model = params["model"]
-    for lname, stats in act_amax.items():
+    for lname, stats in act_stats.items():
         layer = model[lname]
         attn, mlp = layer["attn"], layer["mlp"]
 
         def wk(mod):  # (K, N) kernel
             return mod["kernel"]
 
+        def scale_for(key, kernels):
+            a = np.asarray(stats[key], np.float32)
+            if a.ndim == 1:  # amax-only stats: fixed-alpha formula
+                w_amax = np.max(
+                    np.stack([np.abs(w).max(axis=1) for w in kernels]),
+                    axis=0,
+                )
+                return _smooth_scale(a, w_amax,
+                                     0.5 if alpha is None else alpha)
+            return _search_scale(a, kernels, alpha)
+
         # ---- qkv (shared RMSNorm producer -> one joint s)
         qkv_mods = ([attn["qkv_proj"]] if "qkv_proj" in attn
                     else [attn["q_proj"], attn["k_proj"], attn["v_proj"]])
-        w_amax = np.max(
-            np.stack([np.abs(wk(m)).max(axis=1) for m in qkv_mods]), axis=0
-        )
-        s = _smooth_scale(stats["attn_in"], w_amax, alpha)
+        s = scale_for("attn_in", [wk(m) for m in qkv_mods])
         layer["ln_attn"]["scale"] = layer["ln_attn"]["scale"] / s
         for m in qkv_mods:
             m["kernel"] = wk(m) * s[:, None]
@@ -126,17 +189,13 @@ def smooth_llm_for_int4(llm_params: Tree, act_amax: Tree,
         # ---- gate/up (shared ln_mlp producer)
         gu_mods = ([mlp["gate_up_proj"]] if "gate_up_proj" in mlp
                    else [mlp["gate_proj"], mlp["up_proj"]])
-        w_amax = np.max(
-            np.stack([np.abs(wk(m)).max(axis=1) for m in gu_mods]), axis=0
-        )
-        s = _smooth_scale(stats["mlp_in"], w_amax, alpha)
+        s = scale_for("mlp_in", [wk(m) for m in gu_mods])
         layer["ln_mlp"]["scale"] = layer["ln_mlp"]["scale"] / s
         for m in gu_mods:
             m["kernel"] = wk(m) * s[:, None]
 
         # ---- down (producer = up's output columns; linear in up)
-        w_amax = np.abs(wk(mlp["down_proj"])).max(axis=1)
-        s = _smooth_scale(stats["down_in"], w_amax, alpha)
+        s = scale_for("down_in", [wk(mlp["down_proj"])])
         mlp["down_proj"]["kernel"] = wk(mlp["down_proj"]) * s[:, None]
         if "gate_up_proj" in mlp:
             k = mlp["gate_up_proj"]["kernel"]
@@ -150,15 +209,17 @@ def smooth_llm_for_int4(llm_params: Tree, act_amax: Tree,
 
 
 def quantize_llm_int4_smooth(model, llm_params: Tree, calib_ids,
-                             alpha: float = 0.5,
+                             alpha=None,
                              act_amax: Optional[Tree] = None) -> Tree:
-    """Calibrate (one forward over calib_ids) -> smooth -> group-128
-    packed int4 (convert.quantize_llm_int4 layout). Pass `act_amax` to
-    reuse recorded statistics instead of running calibration."""
+    """Calibrate (one forward over calib_ids) -> smooth (per-layer alpha
+    grid search by default) -> group-128 packed int4
+    (convert.quantize_llm_int4 layout). Pass `act_amax` (amax vectors or
+    full act stats) to reuse recorded statistics instead of running
+    calibration."""
     from rlaifv_tpu.models.convert import quantize_llm_int4
 
     if act_amax is None:
-        act_amax = collect_llm_act_amax(model, llm_params, calib_ids)
+        act_amax = collect_llm_act_stats(model, llm_params, calib_ids)
     smoothed = smooth_llm_for_int4(llm_params, act_amax, alpha)
     return quantize_llm_int4(smoothed)
 

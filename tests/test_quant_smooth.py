@@ -167,3 +167,39 @@ def test_smoothing_exact_fold_on_fused_tree():
             smoothed["model"][lb]["attn"]["qkv_proj"]["kernel"],
             rtol=1e-6, atol=1e-6,
         )
+
+
+def test_alpha_search_never_hurts_on_calibration():
+    """The grid search includes alpha=0 (s=1, plain quantization), so the
+    searched smoothing's calibration-batch quantization MSE is <= plain's
+    for EVERY producer group — the AWQ guarantee the fixed exponent
+    lacks."""
+    from rlaifv_tpu.models.quant_smooth import (
+        _quant_dequant,
+        _search_scale,
+        collect_llm_act_stats,
+    )
+
+    cfg = LlamaConfig.tiny()
+    model, params = _structured_params(cfg, seed=9)
+    ids = jnp.asarray(
+        np.random.default_rng(13).integers(5, cfg.vocab_size - 1,
+                                           size=(2, 16)), jnp.int32
+    )
+    stats = collect_llm_act_stats(model, params, ids)
+    for lname, rec in stats.items():
+        attn = params["model"][lname]["attn"]
+        x = rec["attn_in"]
+        kernels = [np.asarray(attn[m]["kernel"])
+                   for m in ("q_proj", "k_proj", "v_proj")]
+        s = _search_scale(x, kernels, None)
+
+        def err(sv):
+            total = 0.0
+            for w in kernels:
+                ref = x @ w
+                got = (x / sv[None, :]) @ _quant_dequant(w * sv[:, None])
+                total += float(((got - ref) ** 2).mean())
+            return total
+
+        assert err(s) <= err(np.ones_like(s)) + 1e-12
