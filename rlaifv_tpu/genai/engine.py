@@ -597,7 +597,10 @@ class DecodeEngine:
             _, cache = self._llm(
                 params, inputs_embeds=embeds, attention_mask=mask,
                 position_ids=pos, cache=self._fp_cache(1, P),
-                cache_index=jnp.int32(0),
+                # STATIC 0 (python int): a traced jnp.int32(0) makes
+                # q_offset traced, which forbids the flash kernel for
+                # this square prefix prefill (auto falls back to dense)
+                cache_index=0,
             )
             return cache
 

@@ -111,6 +111,7 @@ def multi_head_attention(
     static_off = isinstance(q_offset, int)
     use_flash = impl == "flash" or (
         impl == "auto" and _on_tpu() and Lq >= 128 and D <= 256
+        and (q_offset is None or static_off)
         and (Lq == Lk or (static_off and q_offset + Lq == Lk))
     )
     if use_flash:
