@@ -46,11 +46,13 @@ ENTRIES = [
     ("autocheck_shared_llava", "bench_autocheck_shared.py",
      {"BENCH_MODEL": "llava"}),
     ("ref_logp_shared", "bench_7b_ref_logp.py", {}),
-    ("qlora12b_omni_dpo", "bench_12b_omni_lora.py", {}),
+    # 12B entries carry their own timeout (4th field): EVA02+Mistral
+    # compiles are the slowest in the suite
+    ("qlora12b_omni_dpo", "bench_12b_omni_lora.py", {}, 1500),
     ("qlora12b_omni_dpo_int4", "bench_12b_omni_lora.py",
-     {"BENCH12B_BITS": "4"}),
+     {"BENCH12B_BITS": "4"}, 1500),
     ("serve12b_int4_fused", "bench_12b_serve.py",
-     {"BENCH12B_BITS": "4", "BENCH12B_FUSED": "1"}),
+     {"BENCH12B_BITS": "4", "BENCH12B_FUSED": "1"}, 1500),
 ]
 
 
@@ -100,7 +102,8 @@ def main() -> int:
     print(f"{len(pending)} entries to refresh at rev {rev}:",
           ", ".join(e[0] for e in pending), flush=True)
 
-    for name, script, env in pending:
+    for name, script, env, *rest in pending:
+        entry_timeout = rest[0] if rest else per_bench
         if not _healthy():
             print(f"tunnel unhealthy before {name} — stopping (resumable)",
                   flush=True)
@@ -109,7 +112,8 @@ def main() -> int:
         try:
             p = subprocess.run(
                 [sys.executable, os.path.join(_HERE, script)],
-                capture_output=True, text=True, timeout=per_bench,
+                capture_output=True, text=True,
+                timeout=max(entry_timeout, per_bench),
                 env=dict(os.environ, **env),
             )
             if p.returncode != 0:
