@@ -44,6 +44,7 @@ def test_lookup_matches_plain_greedy(ngram, k):
     assert got.n_steps >= 1
 
 
+@pytest.mark.slow
 def test_lookup_accepts_on_repetitive_prompt():
     """A prompt that forces the model into a copyable loop must yield
     acceptance > 1 token/step — the mechanism actually fires (a tiny
@@ -75,6 +76,7 @@ def test_lookup_rejects_fused_engine():
         lookup_generate(eng, [1, 2, 3])
 
 
+@pytest.mark.slow
 def test_lookup_eos_truncation():
     """When greedy hits EOS, lookup emits exactly the same prefix."""
     cfg, engine = _engine(seed=1)
@@ -128,6 +130,7 @@ def test_lookup_multimodal_matches_plain_greedy():
     assert got.tokens == want_toks
 
 
+@pytest.mark.slow
 def test_lookup_short_prompt_edge():
     """Prompt shorter than the n-gram: lookup degrades to plain greedy
     (no match possible) without shape errors."""
