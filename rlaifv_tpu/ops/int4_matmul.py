@@ -295,16 +295,26 @@ def int4_matmul_dx(
                        block_m)
     bm = min(block_m, ((M + 7) // 8) * 8)
     if block_k is None:
-        # bk must be a multiple of the group so each tile owns whole groups
-        cap = 512 if N <= 8192 else 256
+        # bk must be a multiple of the group so each tile owns whole
+        # groups, AND its per-tile scale rows (bk/group) must satisfy
+        # Mosaic's sublane rule: an 8-multiple, or the FULL scale array
+        # (bk == K). gpb in {1..7} lowered fine on the tiny gate
+        # geometries only because bk == K there — at Mistral's
+        # K=14336/bk=512 it is an illegal (4, N) block.
+        cap = 1024 if N <= 8192 else 512
         block_k = next(
-            (b for b in (512, 256, 128)
-             if b <= cap and K % b == 0 and b % group == 0),
-            group,
+            (b for b in (1024, 512, 256, 128)
+             if b <= cap and K % b == 0 and b % group == 0
+             and (b // group) % 8 == 0),
+            K,  # full-K block: scale rows == array rows, always legal
         )
     bk = block_k
     if bk % group or K % bk:
         raise ValueError(f"block_k={bk} needs group({group})|bk and bk|K({K})")
+    if bk >= 1024:
+        # keep the dy stripe + doubled weight block inside the default
+        # 16MB scoped-VMEM budget of training processes
+        bm = min(bm, 128)
     pad_m = (-M) % bm
     if pad_m:
         dy2 = jnp.pad(dy2, ((0, pad_m), (0, 0)))
