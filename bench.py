@@ -75,9 +75,20 @@ def _best_known_line(reason: str) -> dict:
         pass
     out["stale"] = True
     out["stale_reason"] = reason
-    if _partials:  # fresh sub-bench results trump their stale copies
-        rg = dict(out.get("real_geometry") or {})
-        rg.update(_partials)
+    # overlay the freshest real-geometry measurements: the committed book
+    # (timestamped entries from refresh_real_geometry.py) beats whatever
+    # BENCH_LAST carried, and this run's own completed sub-benches beat both
+    rg = out.get("real_geometry")
+    rg = dict(rg) if isinstance(rg, dict) else {}
+    try:
+        with open(_STALE_FILE) as f:
+            book = json.load(f)
+        rg.update({k: v for k, v in book.items()
+                   if isinstance(v, dict) and v.get("measured_at")})
+    except Exception:
+        pass
+    rg.update(_partials)
+    if rg:
         out["real_geometry"] = rg
     return out
 
@@ -184,6 +195,8 @@ def _probe_tunnel_health(timeout_s: float = 120) -> bool:
 def real_geometry_section() -> dict:
     """Driver-witnessed 7B-geometry numbers (VERDICT r2 next #1)."""
     platform = _probe_platform()
+    if platform == "?":  # one retry: a single flaky probe subprocess must
+        platform = _probe_platform()  # not discard the whole section
     if platform != "tpu":
         # the 7B sub-benches are interpret-mode-slow off-TPU; the stale
         # numbers are TPU-measured, so emitting them here would mislabel
