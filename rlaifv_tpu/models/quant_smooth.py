@@ -100,8 +100,8 @@ def collect_llm_act_amax(model, params: Tree, ids) -> Tree:
 
 
 def _quant_dequant(w: np.ndarray) -> np.ndarray:
-    """Group-128 int4 quantize->dequantize in numpy (the error model the
-    alpha search scores against; mirrors ops/int4_matmul.quantize_int4)."""
+    """Group-128 int4 quantize->dequantize in numpy (the weight half of
+    the alpha-search error model; mirrors ops/int4_matmul.quantize_int4)."""
     K, N = w.shape
     g = 128 if K % 128 == 0 else K
     wg = w.reshape(K // g, g, N)
@@ -110,16 +110,27 @@ def _quant_dequant(w: np.ndarray) -> np.ndarray:
     return (q * scale[:, None, :]).reshape(K, N).astype(np.float32)
 
 
+def _act_quant(x: np.ndarray) -> np.ndarray:
+    """Rowwise symmetric int8 quantize->dequantize — the kernel's
+    activation contract (ops/int4_matmul int8 prequant). Smoothing's x/s
+    changes THIS error too (migrating difficulty into x), so the search
+    must score it or it optimizes the wrong objective."""
+    s = np.maximum(np.abs(x).max(axis=1, keepdims=True), 1e-20) / 127.0
+    return np.clip(np.round(x / s), -127, 127) * s
+
+
 _ALPHAS = (0.0, 0.25, 0.5, 0.75)
 
 
 def _search_scale(x: np.ndarray, kernels, alpha) -> np.ndarray:
     """s for one producer group. alpha=None: grid-search _ALPHAS for the
     s minimizing the summed quantized-output MSE on the calibration
-    activations — alpha=0 (s=1, plain group quant) is always a candidate,
-    so search-mode smoothing is never worse than no smoothing ON THE
-    CALIBRATION BATCH (the actual AWQ procedure, arXiv:2306.00978 §3.2).
-    A float alpha pins the classic fixed-exponent formula."""
+    activations, with BOTH error sources the runtime has (group-int4
+    weights AND rowwise-int8 activations) — alpha=0 (s=1, plain group
+    quant) is always a candidate, so search-mode smoothing is never worse
+    than no smoothing ON THE CALIBRATION BATCH (the AWQ procedure,
+    arXiv:2306.00978 §3.2, extended with the act-quant term). A float
+    alpha pins the classic fixed-exponent formula."""
     act_amax = np.abs(x).max(axis=0)
     w_amax = np.max(np.stack([np.abs(w).max(axis=1) for w in kernels]),
                     axis=0)
@@ -128,10 +139,11 @@ def _search_scale(x: np.ndarray, kernels, alpha) -> np.ndarray:
     best, best_err = None, None
     for a in _ALPHAS:
         s = _smooth_scale(act_amax, w_amax, a)
+        xs = _act_quant(x / s[None, :])
         err = 0.0
         for w in kernels:
             ref = x @ w
-            got = (x / s[None, :]) @ _quant_dequant(w * s[:, None])
+            got = xs @ _quant_dequant(w * s[:, None])
             err += float(((got - ref) ** 2).mean())
         if best_err is None or err < best_err:
             best, best_err = s, err

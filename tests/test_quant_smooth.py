@@ -175,6 +175,7 @@ def test_alpha_search_never_hurts_on_calibration():
     for EVERY producer group — the AWQ guarantee the fixed exponent
     lacks."""
     from rlaifv_tpu.models.quant_smooth import (
+        _act_quant,
         _quant_dequant,
         _search_scale,
         collect_llm_act_stats,
@@ -194,11 +195,12 @@ def test_alpha_search_never_hurts_on_calibration():
                    for m in ("q_proj", "k_proj", "v_proj")]
         s = _search_scale(x, kernels, None)
 
-        def err(sv):
+        def err(sv):  # the search's own objective: weight AND act quant
             total = 0.0
+            xs = _act_quant(x / sv[None, :])
             for w in kernels:
                 ref = x @ w
-                got = (x / sv[None, :]) @ _quant_dequant(w * sv[:, None])
+                got = xs @ _quant_dequant(w * sv[:, None])
                 total += float(((got - ref) ** 2).mean())
             return total
 
